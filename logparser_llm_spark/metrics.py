@@ -1,0 +1,143 @@
+"""Evaluation metrics: GA, PA, cluster F1, ARI, template accuracy.
+
+Formula-parity with the reference (reference utils/metrics.py:13-249);
+implemented over plain Python sequences (fixture scale) plus DataFrame
+variants for the aggregates that matter at scale.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize_template(template: str) -> str:
+    """Whitespace-collapse normalize (metrics.py:212-216)."""
+    return " ".join(template.split()).strip()
+
+
+def grouping_accuracy(predictions: list[str], ground_truth: list[str]) -> float:
+    """Elementwise id-equality ratio (metrics.py:13-36)."""
+    if len(predictions) != len(ground_truth):
+        raise ValueError("length mismatch")
+    if not predictions:
+        return 0.0
+    return sum(p == g for p, g in zip(predictions, ground_truth)) / len(predictions)
+
+
+def parsing_accuracy(predicted: list[str], truth: list[str]) -> float:
+    """Normalized-template equality ratio (metrics.py:39-66)."""
+    if len(predicted) != len(truth):
+        raise ValueError("length mismatch")
+    if not predicted:
+        return 0.0
+    return sum(
+        _normalize_template(p) == _normalize_template(g) for p, g in zip(predicted, truth)
+    ) / len(predicted)
+
+
+def _clusters(labels: list[str]) -> dict[str, set[int]]:
+    out: dict[str, set[int]] = defaultdict(set)
+    for i, label in enumerate(labels):
+        out[label].add(i)
+    return out
+
+
+def cluster_f1(predictions: list[str], ground_truth: list[str]) -> tuple[float, float, float]:
+    """Best-overlap cluster F1/precision/recall (metrics.py:69-123)."""
+    if len(predictions) != len(ground_truth):
+        raise ValueError("length mismatch")
+    pred, true = _clusters(predictions), _clusters(ground_truth)
+    tp = fp = fn = 0
+    for pc in pred.values():
+        best = max((len(pc & tc) for tc in true.values()), default=0)
+        tp += best
+        fp += len(pc) - best
+    for tc in true.values():
+        best = max((len(pc & tc) for pc in pred.values()), default=0)
+        fn += len(tc) - best
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return f1, precision, recall
+
+
+def adjusted_rand_index(predictions: list[str], ground_truth: list[str]) -> float:
+    """ARI via contingency combinations (metrics.py:154-209)."""
+    if len(predictions) != len(ground_truth):
+        raise ValueError("length mismatch")
+    pred, true = _clusters(predictions), _clusters(ground_truth)
+
+    def c2(n: int) -> float:
+        return n * (n - 1) / 2 if n > 1 else 0.0
+
+    sum_pred = sum(c2(len(c)) for c in pred.values())
+    sum_true = sum(c2(len(c)) for c in true.values())
+    sum_int = sum(c2(len(pc & tc)) for pc in pred.values() for tc in true.values())
+    total = c2(len(predictions))
+    if total == 0:
+        return 0.0
+    expected = sum_pred * sum_true / total
+    max_index = (sum_pred + sum_true) / 2
+    if max_index == expected:
+        return 0.0
+    return (sum_int - expected) / (max_index - expected)
+
+
+def template_accuracy(predicted: dict[str, str], truth: dict[str, str]) -> float:
+    """Id-aligned normalized pattern equality (metrics.py:125-151)."""
+    if not truth:
+        return 0.0
+    correct = sum(
+        1
+        for tid, gt in truth.items()
+        if tid in predicted and _normalize_template(predicted[tid]) == _normalize_template(gt)
+    )
+    return correct / len(truth)
+
+
+# ---- DataFrame variants (distributed; for large eval sets) ----------------
+
+
+def grouping_accuracy_df(df: DataFrame, pred_col: str, truth_col: str) -> float:
+    """GA as a single distributed aggregate."""
+    row = df.agg(
+        F.avg((F.col(pred_col) == F.col(truth_col)).cast("double")).alias("ga")
+    ).collect()[0]
+    return float(row["ga"]) if row["ga"] is not None else 0.0
+
+
+def contingency_df(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
+    """groupBy(pred,truth).count() — the distributed half of ARI/F1; the
+    tiny contingency table then feeds the driver-side arithmetic."""
+    return df.groupBy(pred_col, truth_col).count()
+
+
+def adjusted_rand_index_df(df: DataFrame, pred_col: str, truth_col: str) -> float:
+    """ARI with the contingency computed distributed (scales to any n)."""
+    rows = contingency_df(df, pred_col, truth_col).collect()
+
+    def c2(n: float) -> float:
+        return n * (n - 1) / 2 if n > 1 else 0.0
+
+    pred_sizes: dict[str, int] = defaultdict(int)
+    true_sizes: dict[str, int] = defaultdict(int)
+    n = 0
+    sum_int = 0.0
+    for r in rows:
+        pred_sizes[r[pred_col]] += r["count"]
+        true_sizes[r[truth_col]] += r["count"]
+        n += r["count"]
+        sum_int += c2(r["count"])
+    sum_pred = sum(c2(v) for v in pred_sizes.values())
+    sum_true = sum(c2(v) for v in true_sizes.values())
+    total = c2(n)
+    if total == 0:
+        return 0.0
+    expected = sum_pred * sum_true / total
+    max_index = (sum_pred + sum_true) / 2
+    if max_index == expected:
+        return 0.0
+    return (sum_int - expected) / (max_index - expected)

@@ -1,0 +1,199 @@
+"""Unit tests for the prefix-tree operator and merge semantics, using the
+reference's own __main__ demo cases as fixtures (prefix_tree.py:367-389,
+merger.py:280-337)."""
+
+from logparser_llm_spark.operators.drain import (
+    TemplateTree,
+    extract_template,
+    extract_variables,
+    levenshtein,
+    template_to_regex,
+    token_similarity,
+    tokenize,
+)
+from logparser_llm_spark.operators.merging import (
+    dedup_pool_exact,
+    merge_patterns,
+    merge_pool,
+    pattern_similarity,
+    should_merge,
+)
+
+
+def test_tokenize():
+    assert tokenize("  a  b   c ") == ["a", "b", "c"]
+    assert tokenize("") == []
+    assert tokenize("one") == ["one"]
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("same", "same") == 0
+
+
+def test_token_similarity_table():
+    # cases from reference prefix_tree.py:241-279
+    assert token_similarity("abc", "abc") == 1.0
+    assert token_similarity("123", "456") == 0.9
+    assert token_similarity("1.5", "2-2") == 0.9
+    # IPs and dates strip to digits, so the numeric check fires FIRST
+    # (reference prefix_tree.py:258-260 precedes the pattern table)
+    assert token_similarity("10.0.0.1", "192.168.1.1") == 0.9
+    assert token_similarity("2024-01-01", "1999-12-31") == 0.9
+    assert token_similarity("deadbeef" * 4, "cafebabe" * 4) == 0.85  # md5-shaped
+    # levenshtein fallback: server1 vs server2 → 1 - 1/7
+    assert abs(token_similarity("server1", "server2") - (1 - 1 / 7)) < 1e-9
+
+
+def test_tree_clusters_reference_demo():
+    """Reference prefix_tree.py:367-389 demo, verified against the actual
+    reference module: with max_depth=3 the User logs diverge at token 2
+    ('john'/'mary' similarity 0 < 0.8) and never cluster; only the
+    Failed-to-connect pair (identical first 3 tokens) promotes."""
+    tree = TemplateTree(max_depth=3, min_cluster_size=2)
+    logs = [
+        ("log1", "User john logged in at 10:00"),
+        ("log2", "User mary logged in at 10:05"),
+        ("log3", "User bob logged in at 10:10"),
+        ("log4", "Failed to connect to server1"),
+        ("log5", "Failed to connect to server2"),
+        ("log6", "Started process with PID 1234"),
+    ]
+    results = {lid: tree.insert(msg, lid) for lid, msg in logs}
+    assert results["log1"] is None
+    assert results["log2"] is None
+    assert results["log3"] is None
+    assert results["log4"] is None
+    assert results["log5"] == "tmpl_0000"  # Failed-to-connect cluster promoted
+    assert results["log6"] is None
+    assert tree.search("User alice logged in at 11:00") is None
+    assert tree.search("Failed to connect to server9") == "tmpl_0000"
+    assert tree.search("completely unrelated line") is None
+    stats = tree.stats()
+    assert stats["num_clusters"] == 1 and stats["total_nodes"] == 14
+
+
+def test_tree_fuzzy_descent():
+    tree = TemplateTree(max_depth=4, min_cluster_size=2)
+    tree.insert("error code 1234 found", "a")
+    tree.insert("error code 5678 found", "b")  # 1234~5678 similarity 0.9 → same node
+    tid = tree.insert("error code 9999 found", "c")
+    assert tid is not None
+
+
+def test_match_tree_wildcards():
+    tree = TemplateTree(max_depth=5, min_cluster_size=1)
+    tree.add_pattern("User <*> logged in", "tmpl_0001")
+    tree.add_pattern("Failed to connect to <*>", "tmpl_0000")
+    assert tree.match("User zork logged in") == "tmpl_0001"
+    assert tree.match("Failed to connect to db-77") == "tmpl_0000"
+    assert tree.match("nothing to see") is None
+
+
+def test_match_tree_collision_is_deterministic():
+    t1 = TemplateTree(max_depth=2, min_cluster_size=1)
+    t1.add_pattern("alpha beta gamma", "tmpl_0005")
+    t1.add_pattern("alpha beta delta", "tmpl_0002")  # same ≤2-token prefix
+    t2 = TemplateTree(max_depth=2, min_cluster_size=1)
+    t2.add_pattern("alpha beta delta", "tmpl_0002")
+    t2.add_pattern("alpha beta gamma", "tmpl_0005")
+    assert t1.match("alpha beta x") == t2.match("alpha beta x") == "tmpl_0002"
+
+
+def test_extract_template():
+    assert (
+        extract_template("User john logged in from 10.0.0.1 port 22")
+        == "User john logged in from <*> port <*>"
+    )
+    assert extract_template("request id=abc123 took 3.5 ms") == "request <*> took <*> ms"
+    assert extract_template("plain words only here") == "plain words only here"
+
+
+def test_extract_variables_reference_quirks():
+    """parser.py:400-416: lazy groups, unanchored end."""
+    assert extract_variables("User john logged in", "User <*> logged in") == {"var_1": "john"}
+    # unanchored end: trailing text doesn't break the match
+    assert extract_variables("User john logged in today", "User <*> logged in") == {
+        "var_1": "john"
+    }
+    assert extract_variables("no match here", "User <*> logged in") == {}
+
+
+def test_template_to_regex():
+    rx = template_to_regex("User <*> logged in")
+    assert rx.match("User john logged in")
+    assert not rx.match("User john logged in today")  # anchored, log_entry.py:59-64
+
+
+def test_pattern_similarity_reference_demo():
+    """merger.py:280-337 demo values."""
+    s = pattern_similarity("User <*> logged in", "User <*> logged out")
+    # 3/4 positional * 0.7 + (3 common of 5 union) * 0.3
+    assert abs(s - (0.75 * 0.7 + 0.6 * 0.3)) < 1e-9
+    assert pattern_similarity("User <*> logged in", "User <*> logged in") == 1.0
+
+
+def test_should_merge_reference_demo():
+    assert should_merge("User <*> logged in", "User <*> logged in")
+    # t1/t2 from the demo: similarity 0.705 < 0.9 → no merge
+    assert not should_merge("User <*> logged in", "User <*> logged out")
+
+
+def test_merge_patterns():
+    assert merge_patterns("User <*> logged in", "User <*> logged out") == "User <*> logged <*>"
+    # length mismatch pads with wildcards (merger.py:179-207)
+    assert merge_patterns("a b", "a b c") == "a b <*>"
+
+
+def test_merge_pool_respects_thresholds():
+    """similarity 0.705 < 0.9 → 'logged in'/'logged on' do NOT merge
+    (verified against reference merger.py demo semantics)."""
+    ts = [
+        {"pattern": "User <*> logged in", "count": 5, "examples": [], "confidence": 0.95},
+        {"pattern": "User <*> logged on", "count": 3, "examples": [], "confidence": 0.90},
+    ]
+    assert len(merge_pool(ts)) == 2
+
+
+def test_merge_pool_greedy():
+    # 15 shared tokens + 1 differing short token → similarity ≈ 0.916 ≥ 0.9
+    # and whole-pattern levenshtein 1 ≤ 3 → merges
+    base = "a b c d e f g h i j k l m n"
+    ts = [
+        {"pattern": base + " in", "count": 5, "examples": [], "confidence": 0.95},
+        {"pattern": base + " on", "count": 3, "examples": [], "confidence": 0.90},
+        {"pattern": "totally different thing", "count": 2, "examples": [], "confidence": 0.92},
+    ]
+    merged = merge_pool(ts)
+    patterns = sorted(t["pattern"] for t in merged)
+    assert len(merged) == 2
+    assert "totally different thing" in patterns
+    assert base + " <*>" in patterns
+    m = next(t for t in merged if t["pattern"] == base + " <*>")
+    assert m["count"] == 8
+    assert abs(m["confidence"] - 0.90 * 0.95) < 1e-9
+
+
+def test_merge_pool_idempotent():
+    base = "a b c d e f g h i j k l m n"
+    ts = [
+        {"pattern": base + " in", "count": 5, "examples": [], "confidence": 0.95},
+        {"pattern": base + " on", "count": 3, "examples": [], "confidence": 0.90},
+        {"pattern": "disk <*> at <*> percent", "count": 2, "examples": [], "confidence": 0.9},
+    ]
+    once = merge_pool(ts)
+    twice = merge_pool(once)
+    assert sorted(t["pattern"] for t in once) == sorted(t["pattern"] for t in twice)
+
+
+def test_dedup_pool_exact():
+    ts = [
+        {"pattern": "b", "count": 1, "examples": ["x"], "confidence": 0.9},
+        {"pattern": "a", "count": 2, "examples": [], "confidence": 0.8},
+        {"pattern": "b", "count": 3, "examples": ["y"], "confidence": 0.7},
+    ]
+    out = dedup_pool_exact(ts)
+    assert [t["pattern"] for t in out] == ["a", "b"]
+    b = out[1]
+    assert b["count"] == 4 and b["examples"] == ["x", "y"] and b["confidence"] == 0.9
