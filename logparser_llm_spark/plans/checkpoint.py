@@ -1,0 +1,159 @@
+"""Checkpoint / lineage manifest: resumable runs without reprocessing.
+
+The Spark equivalent of the reference's ``save_state``/``load_state``
+(reference core/parser.py:432-455: templates.json + statistics.json),
+extended to the north rule's "resumable from checkpoint with
+per-partition lineage + metrics":
+
+- the unit of work is an **input file** (parquet split) — stable,
+  enumerable, and exactly what a 10^12-row Iceberg table exposes as
+  partitions/files;
+- a JSON **manifest** records every completed unit with its row counters
+  (per-partition lineage) and the pool version it was parsed with;
+- the **template pool** is checkpointed like the reference's
+  templates.json (template_pool.py:198-245) and reloaded on resume —
+  existing template ids stay STABLE (the reference's online-learning
+  contract: already-routed rows are never re-labeled); genuinely new
+  patterns get fresh ids appended after the existing ones;
+- resume = set-difference(input files, manifest) → only new files are
+  read (Spark never even scans completed ones: the file list is pruned
+  before ``spark.read``), their routed rows appended, counts merged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..operators.cluster import assign_templates, discover_templates
+from ..operators.merging import merge_pool, dedup_pool_exact
+from .pipeline import enrich, route, sink_counts
+
+MANIFEST_NAME = "manifest.json"
+POOL_NAME = "pool.json"
+
+
+@dataclass
+class Checkpoint:
+    directory: str
+    pool: list[dict] = field(default_factory=list)
+    completed: dict[str, dict] = field(default_factory=dict)  # file -> lineage
+
+    @classmethod
+    def load(cls, directory: str) -> "Checkpoint":
+        ck = cls(directory)
+        mpath = os.path.join(directory, MANIFEST_NAME)
+        ppath = os.path.join(directory, POOL_NAME)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                ck.completed = json.load(f)["completed"]
+        if os.path.exists(ppath):
+            with open(ppath) as f:
+                ck.pool = json.load(f)["templates"]
+        return ck
+
+    def save(self) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+        tmp = os.path.join(self.directory, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"completed": self.completed, "saved_at": time.time()}, f, indent=1)
+        os.replace(tmp, os.path.join(self.directory, MANIFEST_NAME))
+        tmp = os.path.join(self.directory, POOL_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"templates": self.pool, "metadata": {"total_templates": len(self.pool)}},
+                f,
+                indent=1,
+            )
+        os.replace(tmp, os.path.join(self.directory, POOL_NAME))
+
+
+def _merge_into_pool(existing: list[dict], discovered: list[dict], cfg: PipelineConfig) -> list[dict]:
+    """Grow the pool keeping existing ids stable; new patterns get the
+    next sequential ids (sorted for determinism)."""
+    known = {t["pattern"] for t in existing}
+    fresh = [t for t in discovered if t["pattern"] not in known]
+    if not fresh:
+        return existing
+    fresh = dedup_pool_exact(fresh)
+    out = list(existing)
+    next_id = len(existing)
+    for t in sorted(fresh, key=lambda t: t["pattern"]):
+        t = dict(t)
+        t["template_id"] = f"tmpl_{next_id:04d}"
+        next_id += 1
+        out.append(t)
+    return out
+
+
+def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
+    """Enumerate parquet files (the resume units)."""
+    df = spark.read.parquet(input_path)
+    return sorted(r[0] for r in df.select(F.input_file_name()).distinct().collect())
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    text_col: str = "text",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Process only input files not yet in the manifest; append routed
+    rows, refresh counts, checkpoint pool + manifest.
+
+    Returns {"processed": [files], "skipped": [files], "pool_size": n}.
+    """
+    ck = Checkpoint.load(checkpoint_dir)
+    all_files = list_input_files(spark, input_path)
+    todo = [f for f in all_files if f not in ck.completed]
+    skipped = [f for f in all_files if f in ck.completed]
+    if not todo:
+        return {"processed": [], "skipped": skipped, "pool_size": len(ck.pool)}
+
+    df = spark.read.parquet(*todo)
+
+    # discover on the new slice only; merge into the stable pool
+    discovered = discover_templates(df, text_col, cfg)
+    ck.pool = (
+        _merge_into_pool(ck.pool, discovered, cfg) if ck.pool else discovered
+    )
+
+    assigned = assign_templates(df, text_col, ck.pool, cfg)
+    routed = route(enrich(assigned), cfg).withColumn("_src", F.input_file_name())
+
+    # per-partition (per-file) lineage counters — one distributed agg
+    lineage_rows = (
+        routed.groupBy("_src")
+        .agg(
+            F.count(F.lit(1)).alias("rows_total"),
+            F.sum(F.col("is_valid").cast("long")).alias("rows_valid"),
+            F.sum((F.col("template_id") == "unknown").cast("long")).alias("rows_unknown"),
+        )
+        .collect()
+    )
+
+    payload = routed.drop("is_valid", "html", "_src")
+    payload.write.mode("append").partitionBy("sink_id").parquet(f"{output_dir}/sinks")
+
+    counts = sink_counts(spark.read.parquet(f"{output_dir}/sinks"), cfg)
+    counts.write.mode("overwrite").parquet(f"{output_dir}/counts")
+
+    pool_version = len(ck.pool)
+    for r in lineage_rows:
+        ck.completed[r["_src"]] = {
+            "rows_total": r["rows_total"],
+            "rows_valid": int(r["rows_valid"] or 0),
+            "rows_unknown": int(r["rows_unknown"] or 0),
+            "pool_version": pool_version,
+            "completed_at": time.time(),
+        }
+    ck.save()
+    return {"processed": todo, "skipped": skipped, "pool_size": len(ck.pool)}

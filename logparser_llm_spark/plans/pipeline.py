@@ -1,0 +1,186 @@
+"""End-to-end pipeline: parse → enrich → route → aggregate.
+
+The Spark generalization of the reference's ``parse_file`` flow
+(reference core/parser.py:241-304): scan → clean/match/cluster → project,
+extended per the north rule with broadcast-join enrichment, hash fan-out
+routing to per-sink tables, and salted per-sink aggregate counts.
+
+Scale design notes (explicit partitioning / shuffle / skew handling):
+
+- **Enrichment joins are broadcast** (J5): lang/domain lookups are tiny
+  dims; ``F.broadcast`` pins the plan to BroadcastHashJoin — no shuffle
+  of the fact side, no skew exposure.
+- **Routing is a pure map-side column** (``sink_id = md5-bucket of
+  template_id``) + ONE partitioned write (``partitionBy('sink_id')``) —
+  a single pass, not K filtered scans of the input.
+- **Per-sink counts are salted**: boilerplate templates own a huge share
+  of a web corpus, so the aggregate goes (template_id, salt) partial →
+  template_id final. Spark's map-side partial aggregation already
+  absorbs most count-skew; the explicit salt stage guards the case
+  where the *number of distinct groups per mapper* is so small that a
+  single reducer would own the hot key during the final agg, and it is
+  the documented pattern the north rule asks for.
+- **AQE** (adaptive coalescing + skew-join splitting) is enabled in
+  session defaults (session.py) as the runtime backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..functions.hashing import sink_id_col
+from ..operators.cluster import assign_templates, discover_templates, pool_to_df
+
+# Small built-in dimension tables for enrichment (J5). Deterministic
+# literals — in production these would be Iceberg dim tables.
+LANG_DIM = [
+    ("en", "English", "germanic"),
+    ("de", "German", "germanic"),
+    ("fr", "French", "romance"),
+    ("es", "Spanish", "romance"),
+    ("zh", "Chinese", "sinitic"),
+]
+LANG_DIM_SCHEMA = "lang string, lang_name string, lang_family string"
+
+DOMAIN_DIM = [
+    ("example.com", "reference"),
+    ("logs.acme.io", "infrastructure"),
+    ("srv.foobar.net", "infrastructure"),
+    ("app.widgets.org", "saas"),
+    ("cdn.bigsite.com", "cdn"),
+    ("shop.retail.biz", "commerce"),
+    ("api.cloudy.dev", "saas"),
+    ("blog.writer.me", "media"),
+]
+DOMAIN_DIM_SCHEMA = "domain string, domain_category string"
+
+
+def explode_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Split multi-line page text into one log line per row (S3 semantics:
+    line-per-row, blanks dropped — parser.py:271-274). Use this before
+    parsing page-shaped inputs: feeding whole multi-line documents to
+    discovery inflates the pattern space combinatorially (each distinct
+    line-combination becomes its own pattern)."""
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *out_cols, F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", text_col)
+    ).filter(F.length(F.trim(F.col(text_col))) > 0)
+
+
+def domain_of(url: Column) -> Column:
+    """Host extraction from a url column (pure JVM regex)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def lang_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(LANG_DIM, LANG_DIM_SCHEMA)
+
+
+def domain_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DOMAIN_DIM, DOMAIN_DIM_SCHEMA)
+
+
+def enrich(
+    df: DataFrame,
+    lang_lookup: DataFrame | None = None,
+    domain_lookup: DataFrame | None = None,
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Broadcast hash-join enrichment (J5, north_star requirement)."""
+    spark = df.sparkSession
+    out = df
+    if lang_col in df.columns:
+        out = out.join(F.broadcast(lang_lookup or lang_dim(spark)), on=lang_col, how="left")
+    if url_col in df.columns:
+        out = out.withColumn("domain", domain_of(F.col(url_col))).join(
+            F.broadcast(domain_lookup or domain_dim(spark)), on="domain", how="left"
+        )
+    return out
+
+
+def route(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Fan-out bucket: ``sink_id = int(md5(template_id)[:8],16) % K``.
+
+    Map-side only; md5-based so routed-row sets are reproducible in
+    DuckDB/Python for the parity gate (routed-row equality)."""
+    return df.withColumn("sink_id", sink_id_col(F.col("template_id"), cfg.scale.num_sinks))
+
+
+def salted_counts(
+    df: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe count: groupBy(keys + salt) partial →
+    groupBy(keys) final. Output column: ``doc_count``."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("doc_count"))
+
+
+def sink_counts(routed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-sink per-template counts (A1 — the parity target)."""
+    return salted_counts(routed, ["sink_id", "template_id"], cfg.scale.salt_buckets).orderBy(
+        "sink_id", "template_id"
+    )
+
+
+def parse_enrich_route(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    pool: list[dict] | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """parse (discover+assign) → enrich → route. Returns (routed, pool)."""
+    if pool is None:
+        pool = discover_templates(df, text_col, cfg)
+    assigned = assign_templates(df, text_col, pool, cfg)
+    enriched = enrich(assigned)
+    return route(enriched, cfg), pool
+
+
+def run_pipeline(
+    spark: SparkSession,
+    df: DataFrame,
+    output_dir: str | None = None,
+    text_col: str = "text",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Full job: parse → enrich → route → (optionally) fan-out write →
+    per-sink aggregate counts. Returns a result dict with the counts
+    DataFrame, the pool, and lineage metrics observed in-flight."""
+    from pyspark.sql import Observation
+
+    routed, pool = parse_enrich_route(df, text_col, cfg)
+
+    obs = Observation("lineage")
+    routed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum(F.col("is_valid").cast("long")).alias("rows_valid"),
+        F.sum((F.col("template_id") == "unknown").cast("long")).alias("rows_unknown"),
+    )
+
+    if output_dir is not None:
+        # ONE partitioned single-pass fan-out write (not K filtered scans).
+        # Drop binary/internal cols from the routed payload.
+        payload = routed.drop("is_valid", "html")
+        payload.write.mode("overwrite").partitionBy("sink_id").parquet(f"{output_dir}/sinks")
+        pool_to_df(spark, pool).write.mode("overwrite").json(f"{output_dir}/pool")
+        written = spark.read.parquet(f"{output_dir}/sinks")
+        counts = sink_counts(written, cfg)
+    else:
+        counts = sink_counts(routed, cfg)
+
+    counts_rows = counts.collect()
+    return {
+        "counts": counts_rows,
+        "pool": pool,
+        "lineage": dict(obs.get) if output_dir is not None else None,
+        "num_sinks": cfg.scale.num_sinks,
+    }

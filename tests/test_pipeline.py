@@ -1,0 +1,127 @@
+"""End-to-end pipeline tests: enrich, route, salted counts, fan-out write,
+and checkpoint/resume without reprocessing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.config import PipelineConfig, ScaleConfig
+from logparser_llm_spark.functions.hashing import sink_id
+from logparser_llm_spark.plans.checkpoint import Checkpoint, run_resumable
+from logparser_llm_spark.plans.pipeline import (
+    domain_of,
+    enrich,
+    parse_enrich_route,
+    run_pipeline,
+    salted_counts,
+    sink_counts,
+)
+from logparser_llm_spark.sources.synth import generate_pages
+
+CFG = PipelineConfig(scale=ScaleConfig(num_sinks=4, salt_buckets=4))
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 200, seed=3, partitions=4).cache()
+
+
+def test_domain_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://example.com/a/b",), ("http://x.y.z:8080/q?p=1",), ("nota url",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(domain_of(F.col("url"))).collect()]
+    assert got == ["example.com", "x.y.z", ""]
+
+
+def test_enrich_broadcast_join(spark, pages):
+    out = enrich(pages)
+    assert {"lang_name", "lang_family", "domain", "domain_category"} <= set(out.columns)
+    assert out.filter(F.col("lang_name").isNull()).count() == 0
+    assert out.filter(F.col("domain_category").isNull()).count() == 0
+    # plan must be broadcast joins, not sort-merge
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_route_and_counts(spark, pages):
+    routed, pool = parse_enrich_route(pages, "text", CFG)
+    counts = sink_counts(routed, CFG).collect()
+    assert sum(r["doc_count"] for r in counts) == pages.count()
+    # sink ids are the portable md5 buckets
+    for r in counts:
+        assert r["sink_id"] == sink_id(r["template_id"], CFG.scale.num_sinks)
+
+
+def test_salted_counts_equals_plain_groupby(spark, pages):
+    routed, _ = parse_enrich_route(pages, "text", CFG)
+    salted = {
+        (r["sink_id"], r["template_id"]): r["doc_count"]
+        for r in salted_counts(routed, ["sink_id", "template_id"], 8).collect()
+    }
+    plain = {
+        (r["sink_id"], r["template_id"]): r["count"]
+        for r in routed.groupBy("sink_id", "template_id").count().collect()
+    }
+    assert salted == plain
+
+
+def test_run_pipeline_with_fanout_write(spark, pages, tmp_path):
+    out = str(tmp_path / "out")
+    result = run_pipeline(spark, pages, output_dir=out, cfg=CFG)
+    assert result["lineage"]["rows_total"] == pages.count()
+    assert result["lineage"]["rows_valid"] <= result["lineage"]["rows_total"]
+    # fan-out write produced sink_id=* hive partitions
+    sinks = [d for d in os.listdir(f"{out}/sinks") if d.startswith("sink_id=")]
+    assert len(sinks) >= 2
+    written = spark.read.parquet(f"{out}/sinks")
+    assert written.count() == pages.count()
+    # per-sink counts from the written data match the in-flight ones
+    assert sum(r["doc_count"] for r in result["counts"]) == pages.count()
+
+
+def test_resume_skips_completed_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 120, seed=5).write.mode("overwrite").parquet(src)
+
+    r1 = run_resumable(spark, src, ck, out)
+    assert len(r1["processed"]) >= 1 and not r1["skipped"]
+    total1 = spark.read.parquet(f"{out}/sinks").count()
+    assert total1 == 120
+
+    # second run: nothing to do, nothing reprocessed, output unchanged
+    r2 = run_resumable(spark, src, ck, out)
+    assert r2["processed"] == [] and len(r2["skipped"]) == len(r1["processed"])
+    assert spark.read.parquet(f"{out}/sinks").count() == total1
+
+    # manifest carries per-file lineage counters
+    manifest = Checkpoint.load(ck)
+    assert len(manifest.completed) == len(r1["processed"])
+    for entry in manifest.completed.values():
+        assert entry["rows_total"] > 0 and "pool_version" in entry
+
+
+def test_resume_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 80, seed=6).coalesce(1).write.mode("overwrite").parquet(src)
+    r1 = run_resumable(spark, src, ck, out)
+    n1 = len(r1["processed"])
+
+    # new data arrives as additional files
+    generate_pages(spark, 40, seed=7).coalesce(1).write.mode("append").parquet(src)
+    r2 = run_resumable(spark, src, ck, out)
+    assert len(r2["processed"]) >= 1
+    assert len(r2["skipped"]) == n1
+    assert spark.read.parquet(f"{out}/sinks").count() == 120
+
+    # template ids from run 1 are stable in run 2's pool (prefix property)
+    ck2 = Checkpoint.load(ck)
+    ids = [t["template_id"] for t in ck2.pool]
+    assert ids == [f"tmpl_{i:04d}" for i in range(len(ids))]
