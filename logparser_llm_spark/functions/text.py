@@ -1,0 +1,126 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (min-shingle
+hash). All pure ``pyspark.sql.functions`` Column expressions — JVM-side,
+whole-stage-codegen friendly, no Python in the hot path — and all
+formulated so a DuckDB oracle can express the identical semantics
+(the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword banks (deterministic; top function words).
+STOPWORDS = {
+    "en": ["the", "a", "an", "of", "to", "in", "and", "is", "that", "for", "it", "on", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "des", "du", "que", "pour"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "un", "una", "que", "en", "por"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+# BPE-ish word-piece tokenizer: letter runs, digit runs, single symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (tokenize semantics F10,
+    reference prefix_tree.py:78-94). Splits on the single-space delimiter
+    exactly like the reference default."""
+    return F.filter(F.split(F.trim(col), " "), lambda t: t != F.lit(""))
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(ws_tokens(col), lambda t: F.array_contains(words, F.lower(t))))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """stopword tokens / all tokens (0.0 when empty)."""
+    n = token_count_ws(col)
+    return F.when(n > 0, stopword_hits(col, lang) / n).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits
+    (lexicographically-first language wins ties; 'und' = undetermined
+    when no stopwords hit at all)."""
+    langs = sorted(STOPWORDS)
+    hits = {lg: stopword_hits(col, lg) for lg in langs}
+    best = F.greatest(*[hits[lg] for lg in langs])
+    expr = F.lit("und")
+    # build reverse so earlier langs take precedence in the final CASE
+    for lg in reversed(langs):
+        expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: Column) -> Column:
+    """Non-alphanumeric-non-space chars / all chars (0.0 when empty)."""
+    total = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+    return F.when(total > 0, (total - stripped) / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, lang: str = "en") -> Column:
+    """Composite quality in [0,1] — the classic web-text heuristics
+    (length, punctuation density, stopword density, word-length sanity):
+
+        0.25·min(1, n_chars/500)
+      + 0.25·(1 − min(1, 2·punct_ratio))
+      + 0.30·min(1, 4·stopword_ratio)
+      + 0.20·(1 if 3 ≤ mean_word_len ≤ 10 else 0)
+    """
+    length_term = F.least(F.lit(1.0), F.length(col) / F.lit(500.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 2)
+    stop_term = F.least(F.lit(1.0), stopword_ratio(col, lang) * 4)
+    mwl = mean_word_length(col)
+    word_term = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        length_term * 0.25 + punct_term * 0.25 + stop_term * 0.30 + word_term * 0.20
+    )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """k-token shingles (array of space-joined k-grams); empty array when
+    fewer than k tokens."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(col: Column, k: int = 5) -> Column:
+    """Document fingerprint: min md5 over k-token shingles (a 1-perm
+    MinHash — the rolling-hash-winnowing style content id). Documents
+    shorter than k tokens fall back to md5 of the whole text."""
+    sh = shingles(col, k)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
+    ).otherwise(F.md5(col))

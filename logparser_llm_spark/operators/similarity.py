@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_expr` / :func:`dot_expr`: pure Column kernels
+  (``F.zip_with`` + ``F.aggregate`` — JVM, codegen-friendly, no UDF).
+- :func:`brute_force_topk`: exact top-k for a query vector — one scan,
+  one small top-k sort (baseline / oracle).
+- :func:`knn_join_topk`: exact top-k for EVERY query row via window
+  ranking (small query sets; the all-pairs is bounded by |queries|·|corpus|).
+- :func:`lsh_bucket_topk`: the scale path — random-hyperplane LSH signs
+  bucket the corpus; queries probe only their own bucket. At 10^12 rows
+  the bucket join replaces the full scan; recall is tunable by bits /
+  multi-probe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (double precision)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is 0."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector. Deterministic
+    tie-break on id. Output: (id, cosine) ordered desc."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact k-NN join: for each query row, its top-k corpus neighbors.
+    Broadcast the (small) query side; rank per query via window."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr(F.col("_cvec"), F.col("_qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bits (no RNG state
+    — reproducible across any runtime)."""
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big", signed=False) / 2**64  # [0,1)
+            # Box–Muller-free symmetric value in [-1,1): sign from bit
+            row.append(v * 2 - 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign signature: bit b = 1 iff vec · plane_b ≥ 0 (packed bigint)."""
+    acc = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        acc = acc + F.when(dot_expr(vec, p) >= 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def _bucket_array(vec: Column, all_planes: list[list[list[float]]]) -> Column:
+    """One bucket key per LSH table: array of structs (table_id, bucket)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_signature_expr(vec, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(all_planes)
+        ]
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate k-NN: multi-table random-hyperplane LSH.
+
+    ``tables`` independent sign-signatures; a corpus row is a candidate
+    for a query iff they share a bucket in ANY table (the standard
+    recall amplifier: miss probability (1−p^bits)^tables). The join is
+    on tiny (table_id, bucket) equality keys — at 10^12 rows this is
+    the scan-replacement path; recall/cost tunes via bits × tables."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    all_planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"),
+        F.explode(_bucket_array(F.col(vec_col), all_planes)).alias("_b"),
+    ).select(id_col, "_cvec", F.col("_b.table_id").alias("_t"), F.col("_b.bucket").alias("_k"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.explode(_bucket_array(F.col(vec_col), all_planes)).alias("_b"),
+    ).select(query_id_col, "_qvec", F.col("_b.table_id").alias("_t"), F.col("_b.bucket").alias("_k"))
+    candidates = (
+        c.join(F.broadcast(q), ["_t", "_k"])
+        .select(query_id_col, id_col, "_cvec", "_qvec")
+        .dropDuplicates([query_id_col, id_col])  # met in ≥1 table → once
+    )
+    scored = candidates.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,104 @@
+"""Tests for the dedup family: exact, n-gram Jaccard, MinHash LSH,
+SimHash, embedding cosine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_dedup,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat near the river bank"),  # near dup of 0
+    (3, "completely different content about database query optimization plans"),
+    (4, "another unrelated text mentioning spark partitions and shuffle behavior"),
+    (5, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string").cache()
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs, "doc_id", "text").collect()
+    assert len(out) == 5  # 6 docs, one exact pair
+    by_rep = {r["rep_id"]: r["dup_count"] for r in out}
+    assert by_rep[0] == 2  # doc 0 represents {0,1}
+    assert by_rep[2] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 5) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_ngram_jaccard_df_cap_drops_common_shingles(spark, docs):
+    # cap=1 keeps only shingles unique to a single doc → no pairs at all
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_shingle_df=1
+    ).collect()
+    assert pairs == []
+
+
+def test_minhash_signatures_shape_and_determinism(spark, docs):
+    sig1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, "doc_id", "text", 16, 3).collect()}
+    sig2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs.repartition(5), "doc_id", "text", 16, 3).collect()}
+    assert sig1 == sig2  # partitioning-invariant
+    assert all(len(s) == 16 for s in sig1.values())
+    assert sig1[0] == sig1[1]  # exact dups → identical signatures
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 8  # identical docs share all bands
+    assert (0, 2) in pairs or (0, 5) in pairs  # near dups collide on ≥1 band
+    assert (3, 4) not in pairs
+
+
+def test_simhash(spark, docs):
+    rows = docs.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in rows}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    assert sh[0] != sh[3]
+    # near dup differs in few bits
+    assert bin(sh[0] ^ sh[2]).count("1") <= 8
+    grouped = simhash_dedup(docs, "doc_id", "text").collect()
+    assert sum(r["dup_count"] for r in grouped) == 6
+    # empty text → 0
+    empty = spark.createDataFrame([("",)], "text string")
+    assert empty.select(simhash_col(F.col("text"))).collect()[0][0] == 0
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "doc_id bigint, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, "doc_id", "embedding", 0.95).collect()
+    }
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.99
