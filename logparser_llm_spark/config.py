@@ -53,6 +53,9 @@ class ScaleConfig:
     salt_buckets: int = 16               # salting for skewed per-sink aggregates
     broadcast_pool_max_templates: int = 100_000
     arrow_max_records_per_batch: int = 10_000
+    # True → clean/extract run as Python-re Arrow UDFs (byte-parity mode
+    # for corpora with Java/Python regex divergence); False → JVM codegen
+    arrow_parity_mode: bool = False
 
 
 @dataclass(frozen=True)

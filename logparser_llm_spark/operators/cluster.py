@@ -32,13 +32,19 @@ Driver merge (pools are O(10²..10³) rows — collect is safe):
     broadcast, mirroring the reference's pool-bounding auto-merge trigger
     (parser.py:229-232).
 
-Pass 2 (assignment, no shuffle):
-    broadcast the merged pool → per-row match via an Arrow-batched UDF
-    walking a pattern tree (exact child → ``<*>`` wildcard → fuzzy, the
-    search semantics of prefix_tree.py:154-186) with an exact-extract
-    fallback; miss → 'unknown' (parser.py:388-398). This is the "cached
-    template-match fast path" that replaces the reference's per-row LLM
-    call.
+Pass 2 (assignment, no shuffle of the fact side):
+    clean (JVM) → extract pattern (JVM) → **broadcast hash join** against
+    a driver-precomputed pattern→template_id map. Tree-walk semantics
+    (first template node on the ≤max_depth walk, prefix_tree.py:154-186,
+    which collapses patterns sharing a ≤max_depth prefix) are preserved
+    by running the tree matcher ONCE PER PATTERN on the driver while
+    building the map — so the per-row path is pure whole-stage codegen
+    with zero Python workers. Rows whose pattern is outside the map (the
+    capped tail / genuinely new patterns in incremental runs) route to
+    'unknown' (parser.py:388-398) or, with ``fallback="tree"``, through a
+    vectorized-masked Arrow UDF that runs the fuzzy tree walk on just
+    those rows. This is the "cached template-match fast path" that
+    replaces the reference's per-row LLM call.
 """
 
 from __future__ import annotations
@@ -50,26 +56,40 @@ from pyspark.sql.functions import pandas_udf
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..functions.cleaning import clean_pandas, is_valid_log_col
-from .drain import UNKNOWN_ID, TemplateTree, extract_template
+from .drain import UNKNOWN_ID, TemplateTree, extract_template, extract_template_col
 from .merging import dedup_pool_exact, merge_pool
 
 
 
 def cleaned_frame(df: DataFrame, text_col: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Append a ``cleaned`` column (vectorized extractor) and a validity flag."""
+    """Append a ``cleaned`` column (the extractor) and a validity flag.
+
+    Default path is the JVM ``regexp_replace`` chain (whole-stage
+    codegen, no Python workers); ``cfg.scale.arrow_parity_mode`` switches
+    to the Arrow-batched Python-``re`` UDF for corpora where Java/Python
+    regex semantics could diverge (the two are cross-checked byte-for-
+    byte on fixtures + the synthetic corpus in tests)."""
     pre = cfg.preprocessing
+    if cfg.scale.arrow_parity_mode:
 
-    @pandas_udf("string")
-    def _clean(s: pd.Series) -> pd.Series:
-        return clean_pandas(s, pre)
+        @pandas_udf("string")
+        def _clean(s: pd.Series) -> pd.Series:
+            return clean_pandas(s, pre)
 
-    return df.withColumn("cleaned", _clean(F.col(text_col))).withColumn(
+        cleaned = _clean(F.col(text_col))
+    else:
+        from ..functions.cleaning import clean_col
+
+        cleaned = clean_col(F.col(text_col), pre)
+    return df.withColumn("cleaned", cleaned).withColumn(
         "is_valid", is_valid_log_col(F.col("cleaned"))
     )
 
 
 def extract_pattern_udf(cfg: PipelineConfig = DEFAULT_CONFIG):
-    """Arrow-batched UDF: cleaned text → deterministic template pattern."""
+    """Arrow-batched UDF: cleaned text → deterministic template pattern
+    (the parity-mode path; the default hot path is the JVM
+    :func:`~.drain.extract_template_col`)."""
     delim = cfg.tree.token_delimiter
 
     @pandas_udf("string")
@@ -78,6 +98,14 @@ def extract_pattern_udf(cfg: PipelineConfig = DEFAULT_CONFIG):
         return cleaned.map(lambda c: memo.setdefault(c, extract_template(c, delim)))
 
     return _extract
+
+
+def pattern_col(cfg: PipelineConfig = DEFAULT_CONFIG):
+    """cleaned → pattern, JVM by default, Python in parity mode."""
+    if cfg.scale.arrow_parity_mode:
+        udf = extract_pattern_udf(cfg)
+        return lambda c: udf(c)
+    return extract_template_col
 
 
 def discover_templates(
@@ -93,7 +121,7 @@ def discover_templates(
     pattern_counts = (
         cleaned_frame(df, text_col, cfg)
         .filter(F.col("is_valid"))
-        .select(extract_pattern_udf(cfg)(F.col("cleaned")).alias("pattern"))
+        .select(pattern_col(cfg)(F.col("cleaned")).alias("pattern"))
         .groupBy("pattern")
         .count()
     )
@@ -169,32 +197,80 @@ def make_matcher(pool: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG):
     return match_one
 
 
+def assignment_map(pool: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, str]:
+    """Driver-side pattern → template_id map with TREE semantics baked in.
+
+    For every pre-merge source pattern (and every canonical pattern), the
+    assigned id is what the prefix-tree matcher would return for a line
+    of that pattern — i.e. the first template node on its ≤max_depth walk
+    (prefix_tree.py:154-186), which collapses patterns sharing a
+    ≤max_depth prefix exactly like the reference's search does. Running
+    the walk ONCE PER PATTERN on the driver (pool is small) instead of
+    once per row on executors turns pass 2 into a pure broadcast hash
+    join — zero Python in the row path."""
+    matcher = make_matcher(pool, cfg)
+    out: dict[str, str] = {}
+    for t in pool:
+        for pattern in {t["pattern"], *t.get("sources", [])}:
+            out[pattern] = matcher(pattern)
+    return out
+
+
 def assign_templates(
     df: DataFrame,
     text_col: str,
     pool: list[dict],
     cfg: PipelineConfig = DEFAULT_CONFIG,
     keep_cleaned: bool = True,
+    fallback: str = "unknown",
 ) -> DataFrame:
-    """Pass 2: per-row template assignment against the broadcast pool.
+    """Pass 2: per-row template assignment — clean (JVM) → extract
+    pattern (JVM) → broadcast hash join against the driver-computed
+    pattern→tid map. Map-side only, whole-stage codegen, no shuffle of
+    the fact side, no Python workers.
 
-    Adds ``cleaned``, ``template_id``; invalid rows route to 'unknown'.
-    Pure map-side — no shuffle.
-    """
-    matcher = make_matcher(pool, cfg)
-
-    @pandas_udf("string")
-    def _match(cleaned: pd.Series) -> pd.Series:
-        # per-batch memo: web corpora are heavily duplicated, so match
-        # each distinct line once per batch (the reference's cache,
-        # parser.py:94-106, collapsed into the batch dimension)
-        memo: dict[str, str] = {}
-        return cleaned.map(lambda c: memo.setdefault(c, matcher(c)))
-
-    out = cleaned_frame(df, text_col, cfg).withColumn(
-        "template_id",
-        F.when(F.col("is_valid"), _match(F.col("cleaned"))).otherwise(F.lit(UNKNOWN_ID)),
+    ``fallback`` controls rows whose pattern is not in the map (only the
+    capped-out long tail in batch runs; possible new patterns in
+    incremental runs): "unknown" routes them to the fallback sink
+    (parser.py:388-398); "tree" runs the fuzzy tree matcher UDF on just
+    those rows (Arrow-batched, vectorized-masked so matched rows cost
+    nothing but transfer)."""
+    amap = assignment_map(pool, cfg)
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        list(amap.items()), schema="pattern string, _tid string"
     )
+
+    base = cleaned_frame(df, text_col, cfg).withColumn(
+        "_pattern",
+        F.when(F.col("is_valid"), pattern_col(cfg)(F.col("cleaned"))),
+    )
+    joined = base.join(F.broadcast(map_df), base["_pattern"] == map_df["pattern"], "left").drop(
+        "pattern"
+    )
+
+    if fallback == "tree":
+        matcher = make_matcher(pool, cfg)
+
+        @pandas_udf("string")
+        def _match_miss(tid: pd.Series, cleaned: pd.Series) -> pd.Series:
+            miss = tid.isna() & cleaned.notna()
+            if not miss.any():
+                return tid
+            memo: dict[str, str] = {}
+            out = tid.copy()
+            out[miss] = cleaned[miss].map(lambda c: memo.setdefault(c, matcher(c)))
+            return out
+
+        tid_col = F.when(~F.col("is_valid"), F.lit(UNKNOWN_ID)).otherwise(
+            _match_miss(F.col("_tid"), F.col("cleaned"))
+        )
+    else:
+        tid_col = F.when(F.col("is_valid"), F.coalesce(F.col("_tid"), F.lit(UNKNOWN_ID))).otherwise(
+            F.lit(UNKNOWN_ID)
+        )
+
+    out = joined.withColumn("template_id", tid_col).drop("_tid", "_pattern")
     if not keep_cleaned:
         out = out.drop("cleaned", "is_valid")
     return out

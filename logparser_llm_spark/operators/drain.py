@@ -112,6 +112,33 @@ def extract_template(cleaned: str, delimiter: str = " ") -> str:
     return " ".join(out)
 
 
+def extract_template_col(cleaned):
+    """JVM Column version of :func:`extract_template` — identical
+    wildcarding rules as a ``transform`` over the token array, staying
+    inside whole-stage codegen (no Python workers in the 100 TB hot
+    path). Cross-checked token-for-token against the Python version in
+    tests; the regexes involved have identical Java/Python semantics
+    (ASCII classes only)."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.trim(cleaned), " "), lambda t: t != F.lit(""))
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(r"\d")
+                | (t == WILDCARD)
+                | (t == "<NUM>")
+                | (t == "<PATH>")
+                | t.rlike(r"^[a-f0-9]{8,}$")
+                | t.rlike(r"=\S+$"),
+                F.lit(WILDCARD),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+
+
 def template_to_regex(pattern: str) -> re.Pattern:
     """Template → anchored regex, ``<*>`` → ``.*?`` (log_entry.py:59-64)."""
     return re.compile("^" + re.escape(pattern).replace(re.escape(WILDCARD), ".*?") + "$")

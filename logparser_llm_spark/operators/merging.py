@@ -58,13 +58,17 @@ def merge_patterns(p1: str, p2: str) -> str:
 
 def merge_two(tmpl1: dict, tmpl2: dict) -> dict:
     """Merge metadata (merger.py:55-90): counts sum, confidence =
-    min×0.95, examples concat capped at 10 (keep first 10)."""
+    min×0.95, examples concat capped at 10 (keep first 10). ``sources``
+    (the pre-merge patterns absorbed into this template) accumulate —
+    they feed the broadcast pattern→template_id assignment map."""
     examples = (tmpl1.get("examples", []) + tmpl2.get("examples", []))[:10]
     return {
         "pattern": merge_patterns(tmpl1["pattern"], tmpl2["pattern"]),
         "count": tmpl1.get("count", 0) + tmpl2.get("count", 0),
         "examples": examples,
         "confidence": min(tmpl1.get("confidence", 1.0), tmpl2.get("confidence", 1.0)) * 0.95,
+        "sources": tmpl1.get("sources", [tmpl1["pattern"]])
+        + tmpl2.get("sources", [tmpl2["pattern"]]),
     }
 
 
@@ -87,7 +91,8 @@ def merge_pool(
     for i, t1 in enumerate(templates):
         if i in used:
             continue
-        acc = t1
+        acc = dict(t1)
+        acc.setdefault("sources", [t1["pattern"]])
         for j in range(i + 1, len(templates)):
             if j in used:
                 continue
@@ -109,7 +114,9 @@ def dedup_pool_exact(templates: list[dict]) -> list[dict]:
     for t in templates:
         cur = by_pattern.get(t["pattern"])
         if cur is None:
-            by_pattern[t["pattern"]] = dict(t)
+            cur = dict(t)
+            cur.setdefault("sources", [t["pattern"]])
+            by_pattern[t["pattern"]] = cur
         else:
             cur["count"] = cur.get("count", 0) + t.get("count", 0)
             cur["examples"] = (cur.get("examples", []) + t.get("examples", []))[:10]

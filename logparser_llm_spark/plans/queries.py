@@ -1,0 +1,702 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark, oracle-SQL)
+pair for the driver's correctness gate.
+
+Conventions that make the cross-engine value-hash robust:
+
+- every float output is integerized: ``CAST(ROUND(x * 10^k) AS BIGINT)``
+  aliased ``*_e{k}`` — identical on both engines regardless of float
+  formatting;
+- all counts/sizes cast to BIGINT on the Spark side (DuckDB count()/len()
+  are BIGINT);
+- every hash is md5 (identical in Spark, DuckDB, Python);
+- ordering never matters (the driver's compare is order-insensitive) but
+  every LIMIT carries a deterministic total tiebreak.
+
+The events table doubles as the log corpus: a constructed line
+``{event_type} value {cents} from user {user_id}`` exercises clean →
+extract → cluster → route → aggregate end-to-end, and because the
+corpus has exactly 5 well-separated templates the ENTIRE clustering
+pipeline is SQL-expressible (pattern = digit-wildcarded tokens,
+template_id = rank over sorted patterns) — the flagship query has a real
+DuckDB oracle, not just a rows-only check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..config import DEFAULT_CONFIG
+from ..functions.cleaning import (
+    clean_col,
+    extract_log_level_col,
+    is_valid_log_col,
+)
+from ..functions.hashing import pattern_bucket_col, sink_id_col, sink_id_sql
+from ..functions.text import (
+    BPE_TOKEN_PATTERN,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+    STOPWORDS,
+)
+from ..operators.cluster import extract_pattern_udf, parse_and_count
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from ..operators.similarity import brute_force_topk, cosine_expr
+from .pipeline import LANG_DIM, enrich, route
+
+NUM_SINKS = 8
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def e6(col: Column, alias: str) -> Column:
+    return F.round(col * 1_000_000).cast("bigint").alias(alias)
+
+
+def e2(col: Column, alias: str) -> Column:
+    return F.round(col * 100).cast("bigint").alias(alias)
+
+
+# --- the constructed log line over events (shared by several queries) ----
+
+def event_log_line_col() -> Column:
+    """event_type value {cents} from user {user_id} — deterministic,
+    digit-bearing, clusterable into exactly 5 templates."""
+    cents = F.round(F.col("value") * 100).cast("bigint").cast("string")
+    return F.concat_ws(
+        " ", F.col("event_type"), F.lit("value"), cents, F.lit("from user"),
+        F.col("user_id").cast("string"),
+    )
+
+
+EVENT_LINE_SQL = (
+    "concat_ws(' ', event_type, 'value', "
+    "cast(cast(round(value * 100) as bigint) as varchar), 'from user', "
+    "cast(user_id as varchar))"
+)
+
+# DuckDB rendering of the default clean (normalize numbers+paths ON,
+# timestamps/ips OFF, no lowercase — reference cleaner.py:39-77 order)
+def clean_sql(expr: str) -> str:
+    out = f"trim({expr})"
+    out = f"regexp_replace({out}, '\\b\\d+\\.\\d+\\b', '<NUM>', 'g')"
+    out = f"regexp_replace({out}, '\\b\\d{{4,}}\\b', '<NUM>', 'g')"
+    out = f"regexp_replace({out}, '/(?:[a-zA-Z0-9._-]+/)+[a-zA-Z0-9._-]+', '<PATH>', 'g')"
+    out = f"regexp_replace({out}, '[A-Z]:\\\\(?:[^\\\\]+\\\\)+[^\\\\]+', '<PATH>', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+VALID_SQL = "(length(trim({c})) >= 10 and not regexp_matches(trim({c}), '^[\\W_]+$'))"
+
+# DuckDB rendering of the deterministic template extractor (drain.py
+# extract_template): digit-bearing / placeholder / hex / k=v tokens → <*>
+PATTERN_SQL_BODY = (
+    "array_to_string(list_transform("
+    "list_filter(string_split(trim({c}), ' '), x -> x <> ''), "
+    "t -> case when regexp_matches(t, '\\d') or t = '<NUM>' or t = '<PATH>' "
+    "or regexp_matches(t, '^[a-f0-9]{{8,}}$') or regexp_matches(t, '=[^ ]+$') "
+    "then '<*>' else t end), ' ')"
+)
+
+TOKENS_SQL = "list_filter(string_split(trim({c}), ' '), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_clean_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the vectorized extractor over constructed event log lines."""
+    ev = _read(spark, sf_dir, "events")
+    line = event_log_line_col()
+    return ev.select(
+        F.col("event_id"), clean_col(line, DEFAULT_CONFIG.preprocessing).alias("cleaned")
+    )
+
+
+def q_clean_extract_sql(sf: str) -> str:
+    return f"""
+        select event_id, {clean_sql(EVENT_LINE_SQL)} as cleaned
+        from events
+    """
+
+
+def q_valid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: validity predicate over documents."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id").filter(is_valid_log_col(F.col("text")))
+
+
+def q_valid_filter_sql(sf: str) -> str:
+    return f"select doc_id from documents where {VALID_SQL.format(c='text')}"
+
+
+def q_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 + token counting (whitespace & BPE-ish)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("bigint").alias("n_ws"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe"),
+    )
+
+
+def q_tokenize_stats_sql(sf: str) -> str:
+    return f"""
+        select doc_id,
+               len({TOKENS_SQL.format(c='text')}) as n_ws,
+               len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) as n_bpe
+        from documents
+    """
+
+
+def q_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic extractor (LLM replacement) per event line."""
+    ev = _read(spark, sf_dir, "events")
+    cleaned = clean_col(event_log_line_col(), DEFAULT_CONFIG.preprocessing)
+    return ev.select(
+        "event_id", extract_pattern_udf()(cleaned).alias("pattern")
+    )
+
+
+def q_template_extract_sql(sf: str) -> str:
+    cleaned = clean_sql(EVENT_LINE_SQL)
+    return f"select event_id, {PATTERN_SQL_BODY.format(c=cleaned)} as pattern from events"
+
+
+def q_template_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: first-3-token md5[:8] bucket of each pattern → counts."""
+    pat = q_template_extract(spark, sf_dir).select("pattern")
+    return (
+        pat.groupBy(pattern_bucket_col(F.col("pattern")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_template_prefix_buckets_sql(sf: str) -> str:
+    cleaned = clean_sql(EVENT_LINE_SQL)
+    return f"""
+        with pat as (select {PATTERN_SQL_BODY.format(c=cleaned)} as pattern from events),
+        b as (select substr(md5(array_to_string(
+                ({TOKENS_SQL.format(c='pattern')})[1:3], '_')), 1, 8) as bucket
+              from pat)
+        select bucket, count(*) as cnt from b group by bucket
+    """
+
+
+def q_parse_route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full parse → route → aggregate over event log lines.
+
+    Runs the real distributed pipeline (discovery, driver merge,
+    broadcast assignment, md5 fan-out, salted counts)."""
+    ev = _read(spark, sf_dir, "events").select(event_log_line_col().alias("text"))
+    assigned, pool = parse_and_count(ev, "text")
+    routed = route(assigned)
+    return (
+        routed.groupBy("sink_id", "template_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def q_parse_route_agg_sql(sf: str) -> str:
+    cleaned = clean_sql(EVENT_LINE_SQL)
+    return f"""
+        with lines as (select {cleaned} as cleaned from events),
+        pat as (
+          select case when {VALID_SQL.format(c='cleaned')}
+                 then {PATTERN_SQL_BODY.format(c='cleaned')} else null end as pattern
+          from lines
+        ),
+        ids as (select pattern, printf('tmpl_%04d',
+                   cast(dense_rank() over (order by pattern) as int) - 1) as tid
+                from (select distinct pattern from pat where pattern is not null)),
+        assigned as (
+          select coalesce(ids.tid, 'unknown') as template_id
+          from pat left join ids on pat.pattern = ids.pattern
+        )
+        select {sink_id_sql('template_id', NUM_SINKS)} as sink_id,
+               template_id, count(*) as doc_count
+        from assigned group by 1, 2
+    """
+
+
+def q_enrich_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: broadcast-join enrichment + per-family counts."""
+    d = _read(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(LANG_DIM, "lang string, lang_name string, lang_family string")
+    return (
+        d.join(F.broadcast(dim), "lang", "left")
+        .groupBy("lang_family", "lang_name")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_enrich_lang_join_sql(sf: str) -> str:
+    dim_rows = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in LANG_DIM)
+    return f"""
+        with dim(lang, lang_name, lang_family) as (values {dim_rows})
+        select lang_family, lang_name, count(*) as docs, sum(n_chars) as chars
+        from documents left join dim using (lang)
+        group by 1, 2
+    """
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5 fan-out routing over event types."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("sink_id", sink_id_col(F.col("event_type"), NUM_SINKS))
+        .groupBy("sink_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), e2(F.sum("value"), "value_e2"))
+    )
+
+
+def q_route_counts_sql(sf: str) -> str:
+    return f"""
+        select {sink_id_sql('event_type', NUM_SINKS)} as sink_id, event_type,
+               count(*) as cnt, cast(round(sum(value) * 100) as bigint) as value_e2
+        from events group by 1, 2
+    """
+
+
+def q_top_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/O1: top-10 patterns by frequency (deterministic tiebreak)."""
+    pat = q_template_extract(spark, sf_dir)
+    return (
+        pat.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pattern")
+        .limit(10)
+    )
+
+
+def q_top_patterns_sql(sf: str) -> str:
+    cleaned = clean_sql(EVENT_LINE_SQL)
+    return f"""
+        with pat as (select {PATTERN_SQL_BODY.format(c=cleaned)} as pattern from events)
+        select pattern, count(*) as cnt from pat
+        group by pattern order by cnt desc, pattern limit 10
+    """
+
+
+def q_log_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: log-level extraction from constructed timestamped lines."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat_ws(
+        " ", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.upper("event_type"),
+        F.lit("happened for user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id", F.coalesce(extract_log_level_col(line), F.lit("NONE")).alias("level")
+    )
+
+
+def q_log_levels_sql(sf: str) -> str:
+    line = (
+        "concat_ws(' ', strftime(ts, '%Y-%m-%d %H:%M:%S'), upper(event_type), "
+        "'happened for user', cast(user_id as varchar))"
+    )
+    return f"""
+        select event_id,
+          coalesce(nullif(upper(regexp_extract({line},
+            '(?i)\\b(TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL|CRITICAL)\\b', 1)), ''),
+            'NONE') as level
+        from events
+    """
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate (A1-A3 relational tail)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            e2(F.sum("l_quantity"), "sum_qty_e2"),
+            e2(F.sum("l_extendedprice"), "sum_base_price_e2"),
+            e2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "sum_disc_price_e2"),
+            e6(F.avg("l_discount"), "avg_disc_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_pricing_summary_sql(sf: str) -> str:
+    return """
+        select l_returnflag, l_linestatus,
+          cast(round(sum(l_quantity) * 100) as bigint) as sum_qty_e2,
+          cast(round(sum(l_extendedprice) * 100) as bigint) as sum_base_price_e2,
+          cast(round(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint) as sum_disc_price_e2,
+          cast(round(avg(l_discount) * 1000000) as bigint) as avg_disc_e6,
+          count(*) as count_order
+        from lineitem
+        where l_shipdate <= timestamp '2001-09-02'
+        group by l_returnflag, l_linestatus
+    """
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(e2(F.sum("o_totalprice"), "revenue_e2"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("revenue_e2"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_top_customers_sql(sf: str) -> str:
+    return """
+        select c_custkey, c_name,
+               cast(round(sum(o_totalprice) * 100) as bigint) as revenue_e2,
+               count(*) as n_orders
+        from orders join customer on o_custkey = c_custkey
+        group by c_custkey, c_name
+        order by revenue_e2 desc, c_custkey limit 10
+    """
+
+
+def q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), e2(F.sum("value"), "value_e2"))
+        .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
+    )
+
+
+def q_events_by_hour_sql(sf: str) -> str:
+    return """
+        select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+               event_type, count(*) as cnt,
+               cast(round(sum(value) * 100) as bigint) as value_e2
+        from events group by 1, 2
+    """
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: sessionization by 30-min gaps per user."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("session_start", starts)
+        .groupBy("user_id")
+        .agg(
+            F.sum("session_start").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_user_sessions_sql(sf: str) -> str:
+    return """
+        with g as (
+          select user_id,
+            case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                 or cast(floor(epoch(ts)) as bigint)
+                    - cast(floor(epoch(lag(ts) over (partition by user_id order by ts, event_id))) as bigint)
+                    > 1800
+                 then 1 else 0 end as session_start
+          from events
+        )
+        select user_id, sum(session_start) as n_sessions, count(*) as n_events
+        from g group by user_id
+    """
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return dedup_exact(d, "doc_id", "text")
+
+
+def q_dedup_exact_sql(sf: str) -> str:
+    return """
+        select md5(text) as text_hash, min(doc_id) as rep_id, count(*) as dup_count
+        from documents group by md5(text)
+    """
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    return pairs.select("id_a", "id_b", e6(F.col("jaccard"), "jaccard_e6"))
+
+
+def q_ngram_jaccard_sql(sf: str) -> str:
+    return f"""
+        with toks as (
+          select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
+        ),
+        sh as (
+          select distinct doc_id,
+                 array_to_string(tk[i:i+2], ' ') as shingle
+          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
+          where len(tk) >= 3
+        ),
+        sizes as (select doc_id, count(*) as n from sh group by doc_id),
+        inter as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+          from sh a join sh b using (shingle)
+          where a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select id_a, id_b,
+          cast(round(1000000.0 * i / (sa.n + sb.n - i)) as bigint) as jaccard_e6
+        from inter
+        join sizes sa on sa.doc_id = id_a
+        join sizes sb on sb.doc_id = id_b
+        where 1.0 * i / (sa.n + sb.n - i) >= 0.3
+    """
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4)
+
+
+def q_minhash_lsh_sql(sf: str) -> str:
+    return f"""
+        with toks as (
+          select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
+        ),
+        sh as (
+          select distinct doc_id, array_to_string(tk[i:i+2], ' ') as shingle
+          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
+          where len(tk) >= 3
+        ),
+        mh as (
+          select doc_id, hi,
+            min(('0x' || substr(md5(cast(hi as varchar) || ':' || shingle), 1, 8))::bigint) as h
+          from sh, lateral (select unnest(range(16)) as hi)
+          group by doc_id, hi
+        ),
+        sig as (select doc_id, list(h order by hi) as sig from mh group by doc_id),
+        bands as (
+          select doc_id, b as band_idx,
+            md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                x -> cast(x as varchar)), ',')) as band_key
+          from sig, lateral (select unnest(range(4)) as b)
+        )
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared_bands
+        from bands a join bands b using (band_idx, band_key)
+        where a.doc_id < b.doc_id
+        group by 1, 2
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+
+
+def q_simhash_sql(sf: str) -> str:
+    bit_terms = " + ".join(
+        f"(case when coalesce(list_sum(list_transform(hs, "
+        f"h -> case when (h >> {b}) & 1 = 1 then 1 else -1 end)), 0) >= 0 "
+        f"then {2**b}::bigint else 0 end)"
+        for b in range(32)
+    )
+    return f"""
+        with toks as (
+          select doc_id,
+            list_transform({TOKENS_SQL.format(c='text')},
+              t -> ('0x' || substr(md5(t), 1, 8))::bigint) as hs
+          from documents
+        )
+        select doc_id,
+          case when len(hs) > 0 then {bit_terms} else 0 end as simhash
+        from toks
+    """
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = brute_force_topk(emb, "vec_id", "embedding", qvec, k=10)
+    return top.select("vec_id", e6(F.col("cosine"), "cosine_e6"))
+
+
+def q_ann_topk_sql(sf: str) -> str:
+    return """
+        with q as (select embedding as qv from embeddings where vec_id = 0)
+        select vec_id,
+          cast(round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) * 1000000) as bigint)
+            as cosine_e6
+        from embeddings, q
+        order by list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) desc, vec_id
+        limit 10
+    """
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", e6(F.col("cosine"), "cosine_e6"))
+    )
+
+
+def q_embedding_near_dup_sql(sf: str) -> str:
+    return """
+        select a.vec_id as id_a, b.vec_id as id_b,
+          cast(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               * 1000000) as bigint) as cosine_e6
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lid"),
+        e6(quality_score(F.col("text")), "quality_e6"),
+        fingerprint(F.col("text"), 5).alias("fp"),
+    )
+
+
+def q_lang_quality_sql(sf: str) -> str:
+    langs = sorted(STOPWORDS)
+    hit_exprs = {
+        lg: (
+            f"len(list_filter(tk, t -> list_contains("
+            f"[{', '.join(repr(w) for w in STOPWORDS[lg])}], lower(t))))"
+        )
+        for lg in langs
+    }
+    best = f"greatest({', '.join(hit_exprs[lg] for lg in langs)})"
+    lid_case = "case "
+    for lg in langs:
+        lid_case += f"when {best} > 0 and {hit_exprs[lg]} = {best} then '{lg}' "
+    lid_case += "else 'und' end"
+    en_hits = hit_exprs["en"]
+    return f"""
+        with toks as (
+          select doc_id, text, {TOKENS_SQL.format(c='text')} as tk from documents
+        ),
+        m as (
+          select doc_id, text, tk,
+            len(tk) as n,
+            length(text) as nchars,
+            length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) as nstripped,
+            case when len(tk) > 0
+                 then 1.0 * list_sum(list_transform(tk, t -> length(t))) / len(tk)
+                 else 0.0 end as mwl,
+            {lid_case} as lid,
+            {en_hits} as en_hits
+          from toks
+        ),
+        q as (
+          select doc_id, lid, tk, n,
+            0.25 * least(1.0, nchars / 500.0)
+            + 0.25 * (1.0 - least(1.0, (case when nchars > 0
+                 then 1.0 * (nchars - nstripped) / nchars else 0.0 end) * 2))
+            + 0.30 * least(1.0, (case when n > 0 then 1.0 * en_hits / n else 0.0 end) * 4)
+            + 0.20 * (case when mwl >= 3 and mwl <= 10 then 1.0 else 0.0 end) as quality,
+            m.text as text
+          from m
+        )
+        select doc_id, lid,
+          cast(round(quality * 1000000) as bigint) as quality_e6,
+          case when n >= 5 then
+            list_min(list_transform(range(1, n - 3),
+                     i -> md5(array_to_string(tk[i:i+4], ' '))))
+          else md5(text) end as fp
+        from q
+    """
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join rollup."""
+    r = _read(spark, sf_dir, "region")
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            e2(F.sum("c_acctbal"), "acctbal_e2"),
+            F.countDistinct("n_name").cast("bigint").alias("nations"),
+        )
+    )
+
+
+def q_region_rollup_sql(sf: str) -> str:
+    return """
+        select r_name, count(*) as customers,
+               cast(round(sum(c_acctbal) * 100) as bigint) as acctbal_e2,
+               count(distinct n_name) as nations
+        from customer
+        join nation on c_nationkey = n_nationkey
+        join region on n_regionkey = r_regionkey
+        group by r_name
+    """
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # (spark_fn, sql_fn or None)
+    "clean_extract": (q_clean_extract, q_clean_extract_sql),
+    "valid_filter": (q_valid_filter, q_valid_filter_sql),
+    "tokenize_stats": (q_tokenize_stats, q_tokenize_stats_sql),
+    "template_extract": (q_template_extract, q_template_extract_sql),
+    "template_prefix_buckets": (q_template_prefix_buckets, q_template_prefix_buckets_sql),
+    "parse_route_agg": (q_parse_route_agg, q_parse_route_agg_sql),
+    "enrich_lang_join": (q_enrich_lang_join, q_enrich_lang_join_sql),
+    "route_counts": (q_route_counts, q_route_counts_sql),
+    "top_patterns": (q_top_patterns, q_top_patterns_sql),
+    "log_levels": (q_log_levels, q_log_levels_sql),
+    "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),
+    "top_customers": (q_top_customers, q_top_customers_sql),
+    "events_by_hour": (q_events_by_hour, q_events_by_hour_sql),
+    "user_sessions": (q_user_sessions, q_user_sessions_sql),
+    "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
+    "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
+    "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_sql),
+    "simhash": (q_simhash, q_simhash_sql),
+    "ann_topk": (q_ann_topk, q_ann_topk_sql),
+    "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_sql),
+    "lang_quality": (q_lang_quality, q_lang_quality_sql),
+    "region_rollup": (q_region_rollup, q_region_rollup_sql),
+}
+
+
+def spark_queries() -> dict:
+    return {name: fns[0] for name, fns in QUERIES.items()}
+
+
+def oracle_sqls(sf_dir: str = "") -> dict[str, str]:
+    return {name: fns[1](sf_dir) for name, fns in QUERIES.items() if fns[1] is not None}

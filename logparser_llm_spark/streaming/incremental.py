@@ -1,0 +1,81 @@
+"""Streaming / incremental parsing.
+
+The reference's "online learning" is sequential stateful insertion
+(reference core/parser.py:127-160); streaming is an unchecked roadmap
+item (README.md:333). Our streaming shape is the standard Spark design:
+
+- ``foreachBatch`` micro-batches run the SAME batch pipeline (discover →
+  merge-into-stable-pool → assign → route), so batch and streaming share
+  one code path and one parity story;
+- the template pool is the ONLY cross-batch state — it grows via the
+  checkpoint semantics (existing ids stable, new patterns appended),
+  exactly like the resumable batch runs;
+- per-sink running counts maintained by the sink (append mode) —
+  re-aggregate on read, or use update-mode windowed counts below.
+
+``windowed_template_counts`` additionally shows the watermark/window
+shape for late-data-tolerant per-template time-series counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..operators.cluster import assign_templates, discover_templates
+from ..plans.checkpoint import _merge_into_pool
+from ..plans.pipeline import route
+
+
+class StreamingParser:
+    """Stateful micro-batch parser for ``foreachBatch``.
+
+    >>> parser = StreamingParser(cfg)
+    >>> (stream.writeStream.foreachBatch(parser.process_batch)
+    ...        .option("checkpointLocation", ckpt).start())
+    """
+
+    def __init__(
+        self,
+        output_dir: str,
+        text_col: str = "text",
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        pool: list[dict] | None = None,
+    ):
+        self.output_dir = output_dir
+        self.text_col = text_col
+        self.cfg = cfg
+        self.pool: list[dict] = pool or []
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        discovered = discover_templates(batch_df, self.text_col, self.cfg)
+        self.pool = _merge_into_pool(self.pool, discovered, self.cfg) if self.pool else discovered
+        assigned = assign_templates(batch_df, self.text_col, self.pool, self.cfg)
+        routed = route(assigned, self.cfg).withColumn("_batch_id", F.lit(batch_id))
+        routed.drop("is_valid").write.mode("append").partitionBy("sink_id").parquet(
+            f"{self.output_dir}/sinks"
+        )
+
+
+def windowed_template_counts(
+    assigned: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window per-template counts (late rows beyond
+    the watermark are dropped; state is bounded)."""
+    return (
+        assigned.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("template_id"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "template_id",
+            "doc_count",
+        )
+    )

@@ -1,0 +1,52 @@
+"""Local replica of the driver's correctness gate: run each registry query
+in Spark AND its DuckDB oracle on the same parquet tables; compare row
+count, column names, and the order-insensitive value multiset."""
+
+import duckdb
+import pytest
+
+from logparser_llm_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(rows, cols):
+    # order-insensitive: sort columns by name, stringify, sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = [r[i] for i in order]
+        out.append(tuple("" if v is None else str(v) for v in vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_fn, sql_fn = QUERIES[name]
+    if sql_fn is None:
+        pytest.skip("rows-only query")
+    sdf = spark_fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(sql_fn(SF_DIR))
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sc = _canon(srows, scols)
+    dc = _canon(drows, dcols)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
