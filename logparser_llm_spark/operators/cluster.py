@@ -121,14 +121,17 @@ def discover_templates(
     pattern_counts = (
         cleaned_frame(df, text_col, cfg)
         .filter(F.col("is_valid"))
-        .select(pattern_col(cfg)(F.col("cleaned")).alias("pattern"))
+        .select(pattern_col(cfg)(F.col("cleaned")).alias("pattern"), "cleaned")
         .groupBy("pattern")
-        .count()
+        .agg(F.count(F.lit(1)).alias("count"), F.min("cleaned").alias("example"))
     )
 
     rows = pattern_counts.collect()  # bounded: |distinct patterns|
     templates = [
-        {"pattern": r["pattern"], "count": r["count"], "confidence": 0.9, "examples": []}
+        # example_logs parity (log_entry.py:46, capped like
+        # template_pool.py:102-105): deterministic min-line exemplar
+        {"pattern": r["pattern"], "count": r["count"], "confidence": 0.9,
+         "examples": [r["example"]]}
         for r in rows
     ]
     cap = cfg.scale.broadcast_pool_max_templates

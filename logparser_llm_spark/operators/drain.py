@@ -116,25 +116,30 @@ def extract_template_col(cleaned):
     """JVM Column version of :func:`extract_template` — identical
     wildcarding rules as a ``transform`` over the token array, staying
     inside whole-stage codegen (no Python workers in the 100 TB hot
-    path). Cross-checked token-for-token against the Python version in
-    tests; the regexes involved have identical Java/Python semantics
-    (ASCII classes only)."""
+    path). Deliberately regex-free: each per-token regex would allocate a
+    Matcher + result string per token (the dominant GC pressure at 32
+    cores); ``translate``/``locate`` are single char-scans. Equivalences
+    (tokens are whitespace-free by construction — split on the delimiter):
+
+    - ``\\d`` search            ≡ translate(t, '0123456789', '') shrinks
+    - ``^[a-f0-9]{8,}$``       ≡ len ≥ 8 and translate(t, hex, '') empty
+    - ``.*=\\S+$`` (re.match)   ≡ first '=' exists at position < len
+    Cross-checked token-for-token against the Python version in tests."""
     from pyspark.sql import functions as F
 
     toks = F.filter(F.split(F.trim(cleaned), " "), lambda t: t != F.lit(""))
+
+    def is_var(t):
+        has_digit = F.length(F.translate(t, "0123456789", "")) != F.length(t)
+        is_hex = (F.length(t) >= 8) & (
+            F.length(F.translate(t, "abcdef0123456789", "")) == 0
+        )
+        eq_pos = F.locate("=", t)
+        is_kv = (eq_pos > 0) & (eq_pos < F.length(t))
+        return has_digit | (t == "<NUM>") | (t == "<PATH>") | is_hex | is_kv
+
     return F.array_join(
-        F.transform(
-            toks,
-            lambda t: F.when(
-                t.rlike(r"\d")
-                | (t == WILDCARD)
-                | (t == "<NUM>")
-                | (t == "<PATH>")
-                | t.rlike(r"^[a-f0-9]{8,}$")
-                | t.rlike(r"=\S+$"),
-                F.lit(WILDCARD),
-            ).otherwise(t),
-        ),
+        F.transform(toks, lambda t: F.when(is_var(t), F.lit(WILDCARD)).otherwise(t)),
         " ",
     )
 

@@ -634,6 +634,151 @@ def q_lang_quality_sql(sf: str) -> str:
     """
 
 
+def q_variables_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: variable extraction with the reference's exact quirks
+    (parser.py:400-416 — lazy groups, unanchored end: the LAST variable
+    captures a single character). Runs the real ``extract_variables``
+    port in an Arrow batch against each row's own template pattern."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("var_1 string, var_2 string")
+    def _vars(cleaned: pd.Series) -> pd.DataFrame:
+        # self-contained re-statement of drain.extract_template +
+        # drain.extract_variables (cloudpickle ships nested defs by
+        # value, so executors need no package on their PYTHONPATH;
+        # equality with the canonical versions is asserted in tests)
+        import re
+
+        def _extract_template(text: str) -> str:
+            toks = [t for t in text.strip().split(" ") if t]
+            out = []
+            for t in toks:
+                if (
+                    re.search(r"\d", t)
+                    or t in ("<NUM>", "<PATH>")
+                    or re.match(r"^[a-f0-9]{8,}$", t)
+                    or re.match(r".*=\S+$", t)
+                ):
+                    out.append("<*>")
+                else:
+                    out.append(t)
+            return " ".join(out)
+
+        def _extract_vars(log: str, template: str) -> dict:
+            pattern = re.escape(template).replace(re.escape("<*>"), "(.+?)")
+            try:
+                m = re.match(pattern, log)
+                if m:
+                    return {f"var_{i}": v for i, v in enumerate(m.groups(), 1)}
+            except re.error:
+                pass
+            return {}
+
+        out = []
+        for c in cleaned:
+            v = _extract_vars(c, _extract_template(c))
+            out.append((v.get("var_1"), v.get("var_2")))
+        return pd.DataFrame(out, columns=["var_1", "var_2"])
+
+    ev = _read(spark, sf_dir, "events")
+    cleaned = clean_col(event_log_line_col(), DEFAULT_CONFIG.preprocessing)
+    return ev.select("event_id", _vars(cleaned).alias("v")).select(
+        "event_id", F.col("v.var_1").alias("var_1"), F.col("v.var_2").alias("var_2")
+    )
+
+
+def q_variables_extract_sql(sf: str) -> str:
+    # the per-row template is "{event_type} value <*> from user <*>" →
+    # regex "^{etype} value (.+?) from user (.+?)" (no $ — the quirk)
+    cleaned = clean_sql(EVENT_LINE_SQL)
+    return f"""
+        with c as (select event_id, event_type, {cleaned} as cleaned from events)
+        select event_id,
+          regexp_extract(cleaned, '^' || event_type || ' value (.+?) from user (.+?)', 1) as var_1,
+          regexp_extract(cleaned, '^' || event_type || ' value (.+?) from user (.+?)', 2) as var_2
+        from c
+    """
+
+
+def q_split_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (cleaner.py:128-148): split line into (timestamp, level,
+    message-with-both-removed) — replace-all of the found timestamp, then
+    case-insensitive word-boundary removal of the found level, strip."""
+    from ..functions.cleaning import extract_timestamp_col
+
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat_ws(
+        " ", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.upper("event_type"),
+        F.lit("happened for user"), F.col("user_id").cast("string"),
+    )
+    ts = extract_timestamp_col(line)
+    level = extract_log_level_col(line)
+    msg = F.when(ts.isNotNull(), F.replace(line, ts, F.lit(""))).otherwise(line)
+    lvl_pattern = F.concat(F.lit("(?i)\\b"), level, F.lit("\\b"))
+    msg = F.trim(
+        F.when(level.isNotNull(), F.regexp_replace(msg, lvl_pattern, F.lit(""))).otherwise(msg)
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(ts, F.lit("NONE")).alias("ts_str"),
+        F.coalesce(level, F.lit("NONE")).alias("level"),
+        msg.alias("message"),
+    )
+
+
+def q_split_components_sql(sf: str) -> str:
+    line = (
+        "concat_ws(' ', strftime(ts, '%Y-%m-%d %H:%M:%S'), upper(event_type), "
+        "'happened for user', cast(user_id as varchar))"
+    )
+    ts_pat = r"\d{4}-\d{2}-\d{2}[T\s]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?"
+    lvl_pat = r"(?i)\b(TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL|CRITICAL)\b"
+    return f"""
+        with l as (select event_id, {line} as line from events),
+        x as (
+          select event_id, line,
+            nullif(regexp_extract(line, '{ts_pat}'), '') as ts_str,
+            nullif(upper(regexp_extract(line, '{lvl_pat}', 1)), '') as level
+          from l
+        )
+        select event_id,
+          coalesce(ts_str, 'NONE') as ts_str,
+          coalesce(level, 'NONE') as level,
+          trim(case when level is not null then
+                 regexp_replace(
+                   case when ts_str is not null then replace(line, ts_str, '') else line end,
+                   '(?i)\\b' || level || '\\b', '', 'g')
+               else case when ts_str is not null then replace(line, ts_str, '') else line end
+          end) as message
+        from x
+    """
+
+
+def q_per_sink_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink top-3 templates by count (window row_number — the
+    per-sink report shape from SURVEY §2.8)."""
+    counts = q_parse_route_agg(spark, sf_dir)
+    w = Window.partitionBy("sink_id").orderBy(F.desc("doc_count"), "template_id")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("sink_id", "template_id", "doc_count", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def q_per_sink_topk_sql(sf: str) -> str:
+    inner = q_parse_route_agg_sql(sf)
+    return f"""
+        with counts as ({inner})
+        select sink_id, template_id, doc_count, rnk from (
+          select *, row_number() over (partition by sink_id
+                    order by doc_count desc, template_id) as rnk
+          from counts
+        ) where rnk <= 3
+    """
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join rollup."""
     r = _read(spark, sf_dir, "region")
@@ -691,6 +836,9 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),
+    "variables_extract": (q_variables_extract, q_variables_extract_sql),
+    "split_components": (q_split_components, q_split_components_sql),
+    "per_sink_topk": (q_per_sink_topk, q_per_sink_topk_sql),
 }
 
 

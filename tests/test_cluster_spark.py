@@ -131,6 +131,30 @@ def test_counts_sum_to_rows(spark, log_df):
     assert got_ids <= valid_ids
 
 
+def test_extract_template_col_matches_python(spark):
+    """JVM regex-free extractor ≡ the Python reference extractor,
+    token-for-token on adversarial inputs."""
+    import pyspark.sql.functions as F
+
+    from logparser_llm_spark.operators.drain import extract_template, extract_template_col
+
+    cases = [
+        "plain words only here",
+        "error 404 on /index page",
+        "<NUM> <PATH> <*> literal tokens",
+        "hex deadbeef01 short dead ffff upper DEADBEEF99",
+        "kv a=b =x x= == a=b=c key= =",
+        "mixed srv-07.internal 10.0.0.1 3.14 007",
+        "hexish abcdef01 abcdefg1 0123456 01234567",
+        "  spaced   out   tokens  ",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r[0] for r in df.select(extract_template_col(F.col("t"))).collect()]
+    want = [extract_template(c) for c in cases]
+    assert got == want
+
+
 def test_pool_to_df_roundtrip(spark, log_df):
     pool = discover_templates(log_df, "text", TEST_CFG)
     pdf = pool_to_df(spark, pool)

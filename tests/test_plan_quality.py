@@ -1,0 +1,65 @@
+"""Plan-quality gates: the physical plans must be the ones we designed —
+broadcast joins (never sort-merge for dims), whole-stage codegen in the hot
+path, no Python workers in the default parse path, column pruning into the
+scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.cluster import (
+    assign_templates,
+    discover_templates,
+)
+from logparser_llm_spark.plans.inspect import physical_plan, plan_facts
+from logparser_llm_spark.plans.pipeline import enrich, route, sink_counts
+from logparser_llm_spark.sources.synth import generate_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 100, seed=41).cache()
+
+
+def test_assignment_is_jvm_only_broadcast_join(spark, pages):
+    pool = discover_templates(pages, "text")
+    assigned = assign_templates(pages, "text", pool)
+    assigned.collect()  # finalize THIS query's AQE plan (codegen marks appear post-exec)
+    facts = plan_facts(assigned)
+    assert facts["broadcast_hash_join"], "pattern→tid must be a broadcast join"
+    assert not facts["sort_merge_join"]
+    assert facts["whole_stage_codegen"]
+    # default path: zero Python in pass 2 (generate_pages itself is a
+    # python source, so check only the stages above the scan)
+    plan_above_scan = physical_plan(assigned).split("Scan")[0]
+    assert "EvalPython" not in plan_above_scan
+
+
+def test_enrich_joins_are_broadcast(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", F.lit("https://example.com/x")
+    )
+    out = enrich(docs)
+    facts = plan_facts(out)
+    assert facts["broadcast_hash_join"] and not facts["sort_merge_join"]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column aggregate over documents must scan only those columns."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    plan = physical_plan(out)
+    assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan, plan[-1500:]
+
+
+def test_counts_use_partial_aggregation(spark, pages):
+    pool = discover_templates(pages, "text")
+    counts = sink_counts(route(assign_templates(pages, "text", pool)))
+    assert plan_facts(counts)["partial_aggregate"], "map-side combine missing"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("lang") == "en")
+    plan = physical_plan(docs.select("doc_id"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan[-1500:]

@@ -30,6 +30,29 @@ def _canon(rows, cols):
     return sorted(out)
 
 
+def test_variables_udf_matches_canonical_functions(spark):
+    """The self-contained UDF body in q_variables_extract re-states
+    drain.extract_template/extract_variables; assert they agree on the
+    actual sf corpus rows (guards against drift)."""
+    import duckdb as _duck
+
+    from logparser_llm_spark.operators.drain import extract_template, extract_variables
+    from logparser_llm_spark.plans.queries import QUERIES, clean_sql, EVENT_LINE_SQL
+
+    con = _duck.connect()
+    con.execute(f"create view events as select * from '{SF_DIR}/events.parquet'")
+    cleaned_rows = con.execute(
+        f"select event_id, {clean_sql(EVENT_LINE_SQL)} from events limit 500"
+    ).fetchall()
+    spark_rows = {
+        r["event_id"]: (r["var_1"], r["var_2"])
+        for r in QUERIES["variables_extract"][0](spark, SF_DIR).collect()
+    }
+    for eid, cleaned in cleaned_rows:
+        v = extract_variables(cleaned, extract_template(cleaned))
+        assert spark_rows[eid] == (v.get("var_1"), v.get("var_2"))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spark_fn, sql_fn = QUERIES[name]

@@ -1,0 +1,75 @@
+"""Source readers (S1-S3) and the spark-submit entry point."""
+
+import json
+import subprocess
+import sys
+
+from logparser_llm_spark.sources.readers import (
+    read_csv_logs,
+    read_json_logs,
+    read_logs,
+    read_text_logs,
+    write_csv_results,
+)
+
+LINES = [
+    "User alice logged in from 10.0.0.1",
+    "Failed to connect to db-01 on port 5432",
+    "   ",
+    "Disk usage at 95 percent",
+]
+
+
+def test_text_reader(spark, tmp_path):
+    p = tmp_path / "logs.txt"
+    p.write_text("\n".join(LINES) + "\n")
+    got = [r["text"] for r in read_text_logs(spark, str(p)).collect()]
+    assert sorted(got) == sorted([line.strip() for line in LINES if line.strip()])
+
+
+def test_csv_reader(spark, tmp_path):
+    p = tmp_path / "logs.csv"
+    p.write_text("id,log\n" + "\n".join(f"{i},{line}" for i, line in enumerate(LINES) if line.strip()))
+    got = [r["text"] for r in read_csv_logs(spark, str(p)).collect()]
+    assert len(got) == 3
+
+
+def test_json_reader_and_dispatch(spark, tmp_path):
+    p = tmp_path / "logs.json"
+    p.write_text("\n".join(json.dumps({"log": line}) for line in LINES if line.strip()))
+    got = [r["text"] for r in read_json_logs(spark, str(p)).collect()]
+    assert len(got) == 3
+    assert read_logs(spark, str(p)).count() == 3
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    p = tmp_path / "logs.txt"
+    p.write_text("\n".join(LINES))
+    df = read_text_logs(spark, str(p))
+    out = tmp_path / "out_csv"
+    write_csv_results(df, str(out))
+    assert spark.read.option("header", True).csv(str(out)).count() == 3
+
+
+def test_main_cli_resumable(spark, tmp_path):
+    """Drive main.py as spark-submit would (python -m equivalent)."""
+    from logparser_llm_spark.sources.synth import generate_pages
+
+    src = str(tmp_path / "src")
+    generate_pages(spark, 40, seed=13).coalesce(1).write.parquet(src)
+    cmd = [
+        sys.executable, "main.py",
+        "--input", src,
+        "--output", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--cores", "4",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    res1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert res1["processed_files"] == 1 and res1["skipped_files"] == 0
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    res2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res2["processed_files"] == 0 and res2["skipped_files"] == 1
