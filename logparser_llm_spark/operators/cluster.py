@@ -290,6 +290,34 @@ def pool_to_df(spark: SparkSession, pool: list[dict]) -> DataFrame:
     )
 
 
+def pool_to_reference_json(pool: list[dict], saved_at: str = "1970-01-01T00:00:00") -> dict:
+    """Render the pool in the reference's templates.json shape
+    (template_pool.py:198-218 / models Template fields, log_entry.py:40-57)
+    so a user of the reference can load our pool with their tooling.
+    ``saved_at`` is caller-provided (deterministic exports for tests)."""
+    templates = []
+    for t in pool:
+        pattern = t["pattern"]
+        tokens = pattern.split()
+        templates.append(
+            {
+                "template_id": t["template_id"],
+                "template_pattern": pattern,
+                "static_tokens": [tok for tok in tokens if tok != "<*>"],
+                "variable_positions": [i for i, tok in enumerate(tokens) if tok == "<*>"],
+                "example_logs": t.get("examples", [])[:10],
+                "count": int(t.get("count", 0)),
+                "confidence": float(t.get("confidence", 0.9)),
+                "created_at": saved_at,
+                "updated_at": saved_at,
+            }
+        )
+    return {
+        "templates": templates,
+        "metadata": {"total_templates": len(templates), "saved_at": saved_at},
+    }
+
+
 def parse_and_count(
     df: DataFrame, text_col: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> tuple[DataFrame, list[dict]]:

@@ -88,6 +88,19 @@ def test_simhash(spark, docs):
     assert empty.select(simhash_col(F.col("text"))).collect()[0][0] == 0
 
 
+def test_simhash_udf_equals_jvm(spark, docs):
+    from logparser_llm_spark.operators.dedup import make_simhash_udf
+
+    jvm = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()}
+    fast = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", make_simhash_udf()(F.col("text")).alias("sh")).collect()}
+    assert jvm == fast
+    # real corpus too
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    jvm = {r["doc_id"]: r["sh"] for r in real.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()}
+    fast = {r["doc_id"]: r["sh"] for r in real.select("doc_id", make_simhash_udf()(F.col("text")).alias("sh")).collect()}
+    assert jvm == fast
+
+
 def test_embedding_near_dups(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),

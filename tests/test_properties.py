@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): idempotence, symmetry, and
+Python↔JVM agreement on randomized inputs."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from logparser_llm_spark.config import PreprocessingConfig
+from logparser_llm_spark.functions.cleaning import clean_text, is_valid_log
+from logparser_llm_spark.operators.drain import (
+    extract_template,
+    levenshtein,
+    token_similarity,
+)
+from logparser_llm_spark.operators.merging import merge_patterns, pattern_similarity
+
+# log-ish text: words, numbers, ips, paths, punctuation, odd spacing
+LOG_ALPHABET = string.ascii_letters + string.digits + " ./:-_=<>[]%\\"
+log_text = st.text(alphabet=LOG_ALPHABET, max_size=120)
+token = st.text(alphabet=string.ascii_lowercase + string.digits + ".-", min_size=0, max_size=24)
+
+ALL_ON = PreprocessingConfig(
+    remove_timestamps=True, remove_ip_addresses=True, lowercase=True
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(log_text)
+def test_clean_idempotent(s):
+    for cfg in (PreprocessingConfig(), ALL_ON):
+        once = clean_text(s, cfg)
+        assert clean_text(once, cfg) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(log_text)
+def test_extract_template_idempotent(s):
+    cleaned = clean_text(s)
+    once = extract_template(cleaned)
+    assert extract_template(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(token, token)
+def test_token_similarity_symmetric_and_bounded(a, b):
+    s1, s2 = token_similarity(a, b), token_similarity(b, a)
+    assert s1 == s2
+    assert 0.0 <= s1 <= 1.0
+    assert token_similarity(a, a) == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(token, token, token)
+def test_levenshtein_metric_properties(a, b, c):
+    assert levenshtein(a, b) == levenshtein(b, a)
+    assert levenshtein(a, a) == 0
+    assert levenshtein(a, b) <= levenshtein(a, c) + levenshtein(c, b)  # triangle
+
+
+PATTERN_TOKEN = st.sampled_from(["User", "<*>", "logged", "in", "disk", "at", "a", "b"])
+pattern = st.lists(PATTERN_TOKEN, min_size=1, max_size=10).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pattern, pattern)
+def test_merge_patterns_symmetric_idempotent(p1, p2):
+    m = merge_patterns(p1, p2)
+    assert merge_patterns(p2, p1) == m
+    assert merge_patterns(m, m) == m
+    assert len(m.split()) == max(len(p1.split()), len(p2.split()))
+
+
+@settings(max_examples=300, deadline=None)
+@given(pattern, pattern)
+def test_pattern_similarity_bounds(p1, p2):
+    s = pattern_similarity(p1, p2)
+    assert 0.0 <= s <= 1.0
+    assert pattern_similarity(p1, p1) == 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(log_text)
+def test_validity_agrees_with_unknown_routing(s):
+    """Invalid cleaned text must never produce a non-empty template."""
+    cleaned = clean_text(s)
+    if not is_valid_log(cleaned):
+        # tokenizing an invalid line may still work, but the pipeline
+        # gates on validity; this asserts the gate's own consistency
+        assert len(cleaned.strip()) < 10 or not any(ch.isalnum() for ch in cleaned)
+
+
+def test_jvm_matches_python_on_hypothesis_corpus(spark):
+    """One Spark job over a hypothesis-generated corpus: JVM clean_col and
+    extract_template_col must equal the Python definitions byte-for-byte."""
+    import pyspark.sql.functions as F
+
+    from logparser_llm_spark.functions.cleaning import clean_col
+    from logparser_llm_spark.operators.drain import extract_template_col
+
+    corpus: list[str] = []
+
+    @settings(max_examples=500, deadline=None)
+    @given(log_text)
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    df = spark.createDataFrame([(s,) for s in corpus], "t string")
+    rows = df.select(
+        "t",
+        clean_col(F.col("t")).alias("c"),
+        extract_template_col(clean_col(F.col("t"))).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r["c"] == clean_text(r["t"]), repr(r["t"])
+        assert r["p"] == extract_template(clean_text(r["t"])), repr(r["t"])
