@@ -140,10 +140,12 @@ def run_resumable(
         .collect()
     )
 
-    payload = routed.drop("is_valid", "html", "_src")
-    payload.write.mode("append").partitionBy("sink_id").parquet(f"{output_dir}/sinks")
+    from ..sources.sinks import read_sink_table, write_sink_table
 
-    counts = sink_counts(spark.read.parquet(f"{output_dir}/sinks"), cfg)
+    payload = routed.drop("is_valid", "html", "_src")
+    write_sink_table(payload, f"{output_dir}/sinks", mode="append")
+
+    counts = sink_counts(read_sink_table(spark, f"{output_dir}/sinks"), cfg)
     counts.write.mode("overwrite").parquet(f"{output_dir}/counts")
 
     pool_version = len(ck.pool)

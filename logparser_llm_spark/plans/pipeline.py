@@ -167,12 +167,14 @@ def run_pipeline(
     )
 
     if output_dir is not None:
-        # ONE partitioned single-pass fan-out write (not K filtered scans).
-        # Drop binary/internal cols from the routed payload.
+        # ONE partitioned single-pass fan-out write (not K filtered scans);
+        # Iceberg when a catalog is configured, parquet otherwise.
+        from ..sources.sinks import read_sink_table, write_sink_table
+
         payload = routed.drop("is_valid", "html")
-        payload.write.mode("overwrite").partitionBy("sink_id").parquet(f"{output_dir}/sinks")
+        write_sink_table(payload, f"{output_dir}/sinks", mode="overwrite")
         pool_to_df(spark, pool).write.mode("overwrite").json(f"{output_dir}/pool")
-        written = spark.read.parquet(f"{output_dir}/sinks")
+        written = read_sink_table(spark, f"{output_dir}/sinks")
         counts = sink_counts(written, cfg)
     else:
         counts = sink_counts(routed, cfg)
