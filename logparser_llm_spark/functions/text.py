@@ -102,6 +102,65 @@ def quality_score(col: Column, lang: str = "en") -> Column:
     )
 
 
+def make_text_profile_udf(lang: str = "en"):
+    """One-pass Arrow UDF computing (lang_id, quality_score, fingerprint)
+    — the fast path for the combined text-profile query. Semantics are
+    identical to the Column versions (:func:`lang_id`,
+    :func:`quality_score`, :func:`fingerprint` with k=5), including the
+    floating-point evaluation order of quality_score; equality is gated
+    by the DuckDB oracle test. Self-contained closure (executors need no
+    package import)."""
+    stopwords = {lg: set(ws) for lg, ws in STOPWORDS.items()}
+    langs = sorted(stopwords)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("lid string, quality double, fp string")
+    def _profile(text):
+        import hashlib as _hl
+        import re as _re
+
+        import pandas as _pd
+
+        non_alnum = _re.compile(r"[^A-Za-z0-9\s]")
+        rows = []
+        for t in text:
+            t = t or ""
+            toks = [x for x in t.strip().split(" ") if x]
+            n = len(toks)
+            lowered = [x.lower() for x in toks]
+            hits = {lg: sum(1 for x in lowered if x in stopwords[lg]) for lg in langs}
+            best = max(hits.values()) if hits else 0
+            lid = "und"
+            if best > 0:
+                for lg in langs:
+                    if hits[lg] == best:
+                        lid = lg
+                        break
+            nchars = len(t)
+            stripped = len(non_alnum.sub("", t))
+            punct = (nchars - stripped) / nchars if nchars > 0 else 0.0
+            stop_ratio = (hits.get(lang, 0) / n) if n > 0 else 0.0
+            mwl = (sum(len(x) for x in toks) / n) if n > 0 else 0.0
+            quality = (
+                min(1.0, nchars / 500.0) * 0.25
+                + (1.0 - min(1.0, punct * 2)) * 0.25
+                + min(1.0, stop_ratio * 4) * 0.30
+                + (1.0 if 3 <= mwl <= 10 else 0.0) * 0.20
+            )
+            if n >= 5:
+                fp = min(
+                    _hl.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+                    for i in range(n - 4)
+                )
+            else:
+                fp = _hl.md5(t.encode()).hexdigest()
+            rows.append((lid, quality, fp))
+        return _pd.DataFrame(rows, columns=["lid", "quality", "fp"])
+
+    return _profile
+
+
 def shingles(col: Column, k: int = 5) -> Column:
     """k-token shingles (array of space-joined k-grams); empty array when
     fewer than k tokens."""

@@ -94,20 +94,43 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_one(shingle_col: Column, i: int) -> Column:
-    """h_i(shingle) = int(md5('{i}:' || shingle)[:8], 16) — portable."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle_col)), 1, 8), 16, 10
-    ).cast("bigint")
+MINHASH_PRIME = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-family coefficients (aᵢ, bᵢ), derived from md5
+    so Spark / DuckDB / Python all reproduce them. hᵢ(x) = (aᵢ·x + bᵢ)
+    mod P over the base hash x = int(md5(shingle)[:8], 16) < 2³². The
+    product aᵢ·x < 2³¹·2³² < 2⁶³ never overflows a signed 64-bit int.
+    One md5 per shingle instead of ``num_hashes`` md5s — the hash family
+    is integer arithmetic, which matters at 10¹²×shingles scale."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def _base_hash(shingle_col: Column) -> Column:
+    """x = int(md5(shingle)[:8], 16) — portable across engines."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("bigint")
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """MinHash signatures: (doc_id, sig array<bigint>). Docs with no
-    shingles are dropped. One shuffle (groupBy doc)."""
-    sh = _distinct_shingles(df, id_col, text_col, n)
-    aggs = [F.min(_minhash_one(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    shingles are dropped. One md5 + ``num_hashes`` affine maps per
+    distinct shingle; one shuffle (groupBy doc, map-side combinable)."""
+    sh = _distinct_shingles(df, id_col, text_col, n).withColumn(
+        "_x", _base_hash(F.col("shingle"))
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_x") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -177,12 +200,18 @@ def make_simhash_udf(bits: int = 32):
     the two is asserted in tests."""
     @pandas_udf("bigint")
     def _simhash(text: pd.Series) -> pd.Series:
-        memo: dict[str, np.ndarray] = {}
+        # local imports: the closure ships by value (cloudpickle), so
+        # executors need no package on their PYTHONPATH
+        import hashlib as _hl
 
-        def token_bits(tok: str) -> np.ndarray:
+        import numpy as np
+
+        memo: dict[str, "np.ndarray"] = {}
+
+        def token_bits(tok: str) -> "np.ndarray":
             v = memo.get(tok)
             if v is None:
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                h = int(_hl.md5(tok.encode()).hexdigest()[:8], 16)
                 v = np.array([1 if (h >> b) & 1 else -1 for b in range(bits)], dtype=np.int32)
                 memo[tok] = v
             return v

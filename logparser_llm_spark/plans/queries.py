@@ -477,6 +477,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_sql(sf: str) -> str:
+    from ..operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    coeff_rows = ", ".join(
+        f"({i}, {a}::bigint, {b}::bigint)" for i, (a, b) in enumerate(minhash_coeffs(16))
+    )
     return f"""
         with toks as (
           select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
@@ -486,10 +491,12 @@ def q_minhash_lsh_sql(sf: str) -> str:
           from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
           where len(tk) >= 3
         ),
+        coeffs(hi, a, b) as (values {coeff_rows}),
         mh as (
           select doc_id, hi,
-            min(('0x' || substr(md5(cast(hi as varchar) || ':' || shingle), 1, 8))::bigint) as h
-          from sh, lateral (select unnest(range(16)) as hi)
+            min((a * ('0x' || substr(md5(shingle), 1, 8))::bigint + b)
+                % {MINHASH_PRIME}) as h
+          from sh, coeffs
           group by doc_id, hi
         ),
         sig as (select doc_id, list(h order by hi) as sig from mh group by doc_id),
@@ -507,8 +514,12 @@ def q_minhash_lsh_sql(sf: str) -> str:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Arrow+numpy path: measured ~20× faster than the 32 interpreted
+    # higher-order JVM aggregates (equality of the two is a test)
+    from ..operators.dedup import make_simhash_udf
+
     d = _read(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+    return d.select("doc_id", make_simhash_udf()(F.col("text")).alias("simhash"))
 
 
 def q_simhash_sql(sf: str) -> str:
@@ -574,12 +585,18 @@ def q_embedding_near_dup_sql(sf: str) -> str:
 
 
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-pass Arrow UDF (~10× the interpreted higher-order Column
+    # expressions); semantics identical to lang_id/quality_score/
+    # fingerprint — gated by the DuckDB oracle below
+    from ..functions.text import make_text_profile_udf
+
     d = _read(spark, sf_dir, "documents")
-    return d.select(
+    prof = make_text_profile_udf()(F.col("text")).alias("p")
+    return d.select("doc_id", prof).select(
         "doc_id",
-        lang_id(F.col("text")).alias("lid"),
-        e6(quality_score(F.col("text")), "quality_e6"),
-        fingerprint(F.col("text"), 5).alias("fp"),
+        F.col("p.lid").alias("lid"),
+        e6(F.col("p.quality"), "quality_e6"),
+        F.col("p.fp").alias("fp"),
     )
 
 
