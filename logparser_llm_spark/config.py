@@ -56,6 +56,9 @@ class ScaleConfig:
     # True → clean/extract run as Python-re Arrow UDFs (byte-parity mode
     # for corpora with Java/Python regex divergence); False → JVM codegen
     arrow_parity_mode: bool = False
+    # collect a min-line exemplar per template during discovery
+    # (example_logs parity); disable to cut agg-buffer string traffic
+    collect_examples: bool = True
 
 
 @dataclass(frozen=True)

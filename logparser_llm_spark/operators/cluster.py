@@ -111,44 +111,16 @@ def pattern_col(cfg: PipelineConfig = DEFAULT_CONFIG):
 def discover_templates(
     df: DataFrame, text_col: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> list[dict]:
-    """Pass 1: per-row template extraction + groupBy(pattern).count();
-    returns the merged, canonicalized global pool (small, driver-side).
+    """Pass 1: per-row template extraction + groupBy(pattern) agg
+    (count + deterministic min-line exemplar — example_logs parity,
+    template_pool.py:102-105); returns the merged, canonicalized global
+    pool (small, driver-side). Pool bounded by a top-N-by-count cap
+    (the reference's pool-bounding auto-merge analogue, parser.py:229-232;
+    the capped tail routes to 'unknown').
 
     Deterministic at any parallelism: no per-partition state.
     """
-    merge_cfg = cfg.merging
-
-    pattern_counts = (
-        cleaned_frame(df, text_col, cfg)
-        .filter(F.col("is_valid"))
-        .select(pattern_col(cfg)(F.col("cleaned")).alias("pattern"), "cleaned")
-        .groupBy("pattern")
-        .agg(F.count(F.lit(1)).alias("count"), F.min("cleaned").alias("example"))
-    )
-
-    rows = pattern_counts.collect()  # bounded: |distinct patterns|
-    templates = [
-        # example_logs parity (log_entry.py:46, capped like
-        # template_pool.py:102-105): deterministic min-line exemplar
-        {"pattern": r["pattern"], "count": r["count"], "confidence": 0.9,
-         "examples": [r["example"]]}
-        for r in rows
-    ]
-    cap = cfg.scale.broadcast_pool_max_templates
-    if len(templates) > cap:
-        # bound the broadcast pool like the reference bounds its pool via
-        # auto-merge (parser.py:229-232): keep the top-N patterns by
-        # count (deterministic tiebreak on pattern); the long tail routes
-        # to 'unknown'
-        templates = sorted(templates, key=lambda t: (-t["count"], t["pattern"]))[:cap]
-    templates = dedup_pool_exact(templates)  # sorts by pattern
-    merged = merge_pool(
-        templates,
-        enable=merge_cfg.enable_auto_merge,
-        merge_threshold=merge_cfg.merge_threshold,
-        max_edit_distance=merge_cfg.max_edit_distance,
-    )
-    return canonicalize_pool(merged)
+    return discover_templates_from_cleaned(cleaned_frame(df, text_col, cfg), cfg)
 
 
 def canonicalize_pool(templates: list[dict]) -> list[dict]:
@@ -226,6 +198,7 @@ def assign_templates(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     keep_cleaned: bool = True,
     fallback: str = "unknown",
+    pre_cleaned: bool = False,
 ) -> DataFrame:
     """Pass 2: per-row template assignment — clean (JVM) → extract
     pattern (JVM) → broadcast hash join against the driver-computed
@@ -244,7 +217,8 @@ def assign_templates(
         list(amap.items()), schema="pattern string, _tid string"
     )
 
-    base = cleaned_frame(df, text_col, cfg).withColumn(
+    cleaned = df if pre_cleaned else cleaned_frame(df, text_col, cfg)
+    base = cleaned.withColumn(
         "_pattern",
         F.when(F.col("is_valid"), pattern_col(cfg)(F.col("cleaned"))),
     )
@@ -319,9 +293,60 @@ def pool_to_reference_json(pool: list[dict], saved_at: str = "1970-01-01T00:00:0
 
 
 def parse_and_count(
-    df: DataFrame, text_col: str, cfg: PipelineConfig = DEFAULT_CONFIG
+    df: DataFrame,
+    text_col: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    persist_intermediate: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
-    """Discover + assign + per-template counts (A1 — the parity target)."""
-    pool = discover_templates(df, text_col, cfg)
-    assigned = assign_templates(df, text_col, pool, cfg)
+    """Discover + assign + per-template counts (A1 — the parity target).
+
+    The two passes each evaluate clean+extract over the input. By default
+    that work is RECOMPUTED — the right trade at 10^12 rows, where
+    materializing a cleaned copy of the corpus costs more than the CPU to
+    re-derive it. ``persist_intermediate=True`` caches the projected
+    (row, cleaned) frame between passes for memory-rich deployments;
+    caller must unpersist via the returned frame."""
+    base = df
+    if persist_intermediate:
+        base = cleaned_frame(df, text_col, cfg).persist()
+        pool = discover_templates_from_cleaned(base, cfg)
+        assigned = assign_templates(base, text_col, pool, cfg, pre_cleaned=True)
+        return assigned, pool
+    pool = discover_templates(base, text_col, cfg)
+    assigned = assign_templates(base, text_col, pool, cfg)
     return assigned, pool
+
+
+def discover_templates_from_cleaned(
+    cleaned_df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> list[dict]:
+    """Discovery over a frame that already has cleaned/is_valid columns."""
+    merge_cfg = cfg.merging
+    base = cleaned_df.filter(F.col("is_valid")).select(
+        pattern_col(cfg)(F.col("cleaned")).alias("pattern"), "cleaned"
+    )
+    if cfg.scale.collect_examples:
+        pattern_counts = base.groupBy("pattern").agg(
+            F.count(F.lit(1)).alias("count"), F.min("cleaned").alias("example")
+        )
+    else:
+        pattern_counts = base.groupBy("pattern").agg(
+            F.count(F.lit(1)).alias("count"), F.lit(None).cast("string").alias("example")
+        )
+    rows = pattern_counts.collect()
+    templates = [
+        {"pattern": r["pattern"], "count": r["count"], "confidence": 0.9,
+         "examples": [r["example"]] if r["example"] is not None else []}
+        for r in rows
+    ]
+    cap = cfg.scale.broadcast_pool_max_templates
+    if len(templates) > cap:
+        templates = sorted(templates, key=lambda t: (-t["count"], t["pattern"]))[:cap]
+    templates = dedup_pool_exact(templates)
+    merged = merge_pool(
+        templates,
+        enable=merge_cfg.enable_auto_merge,
+        merge_threshold=merge_cfg.merge_threshold,
+        max_edit_distance=merge_cfg.max_edit_distance,
+    )
+    return canonicalize_pool(merged)

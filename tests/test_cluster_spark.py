@@ -155,6 +155,19 @@ def test_extract_template_col_matches_python(spark):
     assert got == want
 
 
+def test_persist_intermediate_equals_default(spark, log_df):
+    from logparser_llm_spark.operators.cluster import parse_and_count
+
+    a1, p1 = parse_and_count(log_df, "text", TEST_CFG)
+    a2, p2 = parse_and_count(log_df, "text", TEST_CFG, persist_intermediate=True)
+    assert [(t["template_id"], t["pattern"]) for t in p1] == [
+        (t["template_id"], t["pattern"]) for t in p2
+    ]
+    k1 = {(r["url"], r["line_no"]): r["template_id"] for r in a1.collect()}
+    k2 = {(r["url"], r["line_no"]): r["template_id"] for r in a2.collect()}
+    assert k1 == k2
+
+
 def test_pool_to_df_roundtrip(spark, log_df):
     pool = discover_templates(log_df, "text", TEST_CFG)
     pdf = pool_to_df(spark, pool)
