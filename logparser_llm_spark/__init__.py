@@ -29,3 +29,25 @@ DEFAULT_FUZZY_THRESHOLD = 0.8
 DEFAULT_MERGE_THRESHOLD = 0.9
 DEFAULT_MAX_EDIT_DISTANCE = 3
 DEFAULT_NUM_SINKS = 8
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing pyspark at package import)."""
+    api = {
+        "PipelineConfig": ("logparser_llm_spark.config", "PipelineConfig"),
+        "build_session": ("logparser_llm_spark.session", "build_session"),
+        "discover_templates": ("logparser_llm_spark.operators.cluster", "discover_templates"),
+        "assign_templates": ("logparser_llm_spark.operators.cluster", "assign_templates"),
+        "parse_and_count": ("logparser_llm_spark.operators.cluster", "parse_and_count"),
+        "run_pipeline": ("logparser_llm_spark.plans.pipeline", "run_pipeline"),
+        "run_resumable": ("logparser_llm_spark.plans.checkpoint", "run_resumable"),
+        "enrich": ("logparser_llm_spark.plans.pipeline", "enrich"),
+        "route": ("logparser_llm_spark.plans.pipeline", "route"),
+        "sink_counts": ("logparser_llm_spark.plans.pipeline", "sink_counts"),
+    }
+    if name in api:
+        import importlib
+
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
