@@ -251,7 +251,8 @@ def q_enrich_lang_join_sql(sf: str) -> str:
     dim_rows = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in LANG_DIM)
     return f"""
         with dim(lang, lang_name, lang_family) as (values {dim_rows})
-        select lang_family, lang_name, count(*) as docs, sum(n_chars) as chars
+        select lang_family, lang_name, count(*) as docs,
+               cast(sum(n_chars) as bigint) as chars
         from documents left join dim using (lang)
         group by 1, 2
     """
@@ -421,7 +422,8 @@ def q_user_sessions_sql(sf: str) -> str:
                  then 1 else 0 end as session_start
           from events
         )
-        select user_id, sum(session_start) as n_sessions, count(*) as n_events
+        select user_id, cast(sum(session_start) as bigint) as n_sessions,
+               count(*) as n_events
         from g group by user_id
     """
 

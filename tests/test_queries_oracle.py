@@ -53,6 +53,26 @@ def test_variables_udf_matches_canonical_functions(spark):
         assert spark_rows[eid] == (v.get("var_1"), v.get("var_2"))
 
 
+# driver's value-hash is byte-level: DuckDB HUGEINT (un-cast sum()) vs
+# Spark BIGINT hash differently even when values stringify identically —
+# the round-1 red cells. Map both sides to arrow-ish type names and compare.
+_SPARK_TO_ARROW = {"bigint": "int64", "int": "int32", "double": "double",
+                   "float": "float", "string": "string", "boolean": "bool"}
+
+
+def _assert_dtypes_match(name, sdf, arrow_table):
+    duck_types = {f.name: str(f.type) for f in arrow_table.schema}
+    for col, styp in sdf.dtypes:
+        mapped = _SPARK_TO_ARROW.get(styp)
+        if mapped is None:
+            continue  # arrays/structs/timestamps: value compare covers them
+        dtyp = duck_types[col].replace("large_string", "string")
+        assert dtyp == mapped, (
+            f"{name}.{col}: spark {styp} vs duckdb arrow {duck_types[col]} "
+            "(driver value-hash would mismatch)"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spark_fn, sql_fn = QUERIES[name]
@@ -62,6 +82,9 @@ def test_query_matches_oracle(spark, duck, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
+    res = duck.execute(sql_fn(SF_DIR))
+    arrow = res.fetch_arrow_table()
+    _assert_dtypes_match(name, sdf, arrow)
     res = duck.execute(sql_fn(SF_DIR))
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
