@@ -4,7 +4,7 @@
 sf0.001 events log corpus. ``queries()``/``oracle_sql()`` expose the
 full operator registry from ``logparser_llm_spark.plans.queries`` —
 every implemented operator from SURVEY.md §2 plus the training-data
-ops, each with a DuckDB oracle (all 22 are SQL-expressible, including
+ops, each with a DuckDB oracle (all are SQL-expressible, including
 the clustering flagship: its corpus has exactly 5 well-separated
 templates, so pattern-rank reproduces the canonical template ids).
 """

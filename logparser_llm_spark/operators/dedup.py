@@ -48,6 +48,25 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     )
 
 
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter): shared-shingle counts via the inverted-index
+    self-join (id_a < id_b)."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def _join_sizes(pairs: DataFrame, sizes: DataFrame, col: str = "n_shingles") -> DataFrame:
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col(col).alias("size_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col(col).alias("size_b"))
+    return pairs.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -58,33 +77,71 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
-    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Output: (id_a, id_b, jaccard) with id_a < id_b. Jaccard is always the
+    TRUE n-gram Jaccard (sizes and intersections over the full shingle
+    sets), with or without the skew guard.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the self-join (skew guard: a boilerplate shingle in 10^6
-    docs would alone generate 10^12 candidate pairs).
+    ``max_shingle_df`` is the 100 TB skew guard: shingles appearing in
+    more than that many docs (boilerplate — one such shingle in 10^6 docs
+    alone generates 10^12 candidate pairs) are excluded from CANDIDATE
+    GENERATION only. The hot-shingle set is tiny by construction (each
+    one appears in > cap docs, so there are at most |rows|/cap of them)
+    and is broadcast for a map-side anti-join. Candidates are then pruned
+    with an upper bound — true_inter ≤ inter_rare + min(hot_a, hot_b) —
+    and survivors re-verified EXACTLY against the full shingle sets, so
+    every reported score is the true Jaccard. The only approximation is
+    recall: a qualifying pair sharing *no* rare shingle at all is never
+    generated (at that point the docs are boilerplate-only near-dups,
+    which exact-dedup on the dominant template catches instead).
     """
     sh = _distinct_shingles(df, id_col, text_col, n)
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df).select("shingle")
-        )
-        sh = sh.join(F.broadcast(rare), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if max_shingle_df is None:
+        inter = _pair_intersections(sh)
+        return (
+            _join_sizes(inter, sizes)
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
     )
-    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("size_b"))
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+    sh_rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    rare_sizes = sh_rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+
+    inter_rare = _pair_intersections(sh_rare)
+    cand = _join_sizes(inter_rare, sizes)
+    ra = rare_sizes.select(F.col("doc_id").alias("id_a"), F.col("n_rare").alias("rare_a"))
+    rb = rare_sizes.select(F.col("doc_id").alias("id_b"), F.col("n_rare").alias("rare_b"))
+    cand = (
+        cand.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn(
+            "_slack",
+            F.least(F.col("size_a") - F.col("rare_a"), F.col("size_b") - F.col("rare_b")),
+        )
+        .withColumn(
+            "_ub",
+            (F.col("inter") + F.col("_slack"))
+            / (F.col("size_a") + F.col("size_b") - F.col("inter") - F.col("_slack")),
+        )
+        .filter(F.col("_ub") >= threshold)
+    )
+
+    # slack-free pairs: neither doc lost a shingle to the cap → the rare
+    # intersection IS the true intersection; emit directly (when the cap
+    # doesn't bind, everything lands here and verification costs nothing)
+    final_direct = (
+        cand.filter(F.col("_slack") == 0)
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
@@ -92,6 +149,27 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+    # pairs touching hot shingles: re-verify exactly over FULL shingle sets
+    to_verify = cand.filter(F.col("_slack") > 0).select("id_a", "id_b")
+    fa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    exact_inter = (
+        to_verify.join(fa, "id_a")
+        .join(fb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    final_verified = (
+        _join_sizes(exact_inter, sizes)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return final_direct.unionByName(final_verified)
 
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
@@ -240,11 +318,63 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """EXACT near-dup pairs within Hamming distance ≤ ``max_hamming`` of
+    the 32-bit SimHash, via pigeonhole banding (the Hamming-band path the
+    module docstring promises): split the hash into ``bands`` contiguous
+    bands of bits/bands bits. Any pair differing in ≤ max_hamming bits
+    (max_hamming < bands) leaves ≥1 band untouched, so the equality
+    bucket-join on (band_idx, band_bits) generates a candidate SUPERSET —
+    no false negatives, unlike probabilistic LSH. Candidates are verified
+    with bit_count(xor) ≤ max_hamming. Output: (id_a, id_b, hamming).
+
+    Scale shape: the join keys are small integers; candidates are bounded
+    by per-band bucket sizes (docs agreeing on 8 simhash bits), not n²."""
+    assert max_hamming < bands and bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        make_simhash_udf(bits)(F.col(text_col)).alias("sh"),
+    )
+    band_arr = F.array(
+        *[F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+    banded = sigs.select("doc_id", "sh", F.posexplode(band_arr).alias("_band", "_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["_band", "_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (brute-force
-    self-join; see similarity.py for the LSH-bucketed scale path).
+    """Near-dup pairs by embedding cosine ≥ threshold — brute-force
+    all-pairs. O(n²): this is the SMALL-SCALE ORACLE / ground-truth used
+    to validate :func:`embedding_near_dup_lsh`, never the 100 TB path.
     Output: (id_a, id_b, cosine)."""
     from .similarity import cosine_expr
 
@@ -254,6 +384,84 @@ def embedding_near_dup_pairs(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def make_lsh_band_udf(dim: int, bits: int = 8, tables: int = 4, seed: int = 7):
+    """Arrow-batched signature UDF: vector → array of ``tables`` packed
+    band keys (one random-hyperplane sign signature per table). Planes
+    are the same deterministic md5-derived hyperplanes as
+    similarity._hyperplanes (equality asserted in tests); the batch is
+    one numpy GEMM — the 10-100× Arrow-vs-interpreted-lambda win this
+    repo measures elsewhere. Closure is self-contained (captures only a
+    numpy array) so executors need no package on PYTHONPATH."""
+    import numpy as np
+
+    from .similarity import _hyperplanes
+
+    planes = np.array(
+        [row for t in range(tables) for row in _hyperplanes(dim, bits, seed + 1000 * t)],
+        dtype=np.float64,
+    )  # (tables*bits, dim)
+    n_tables, n_bits = tables, bits
+
+    @pandas_udf("array<bigint>")
+    def _sig(vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        v = np.array(vec.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (v @ planes.T) >= 0  # (n, tables*bits)
+        weights = np.array([1 << b for b in range(n_bits)], dtype=np.int64)
+        keys = signs.reshape(len(v), n_tables, n_bits) @ weights  # (n, tables)
+        return pd.Series(list(keys))
+
+    return _sig
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — the scale path.
+
+    Multi-table random-hyperplane LSH: a pair meets iff it shares a full
+    ``bits``-bit sign signature in ≥1 of ``tables`` tables (miss prob
+    (1−p^bits)^tables, p = 1 − θ/π). The bucket join replaces the n²
+    cross join; candidates carry only ids through the join (vectors are
+    re-attached by id afterwards, so heavy arrays are never exploded
+    ``tables``×). Exact cosine verification keeps precision at 1.0 —
+    recall is the only approximation, validated against
+    :func:`embedding_near_dup_pairs` in tests and by the DuckDB oracle
+    at sf0.01. Output: (id_a, id_b, cosine)."""
+    from .similarity import cosine_expr
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig_udf = make_lsh_band_udf(dim, bits, tables, seed)
+    banded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_k")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["_t", "_k"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

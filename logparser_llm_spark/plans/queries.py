@@ -440,9 +440,20 @@ def q_dedup_exact_sql(sf: str) -> str:
     """
 
 
+# Skew cap for the registered n-gram query. Provably inert at test
+# scales (max shingle document-frequency is 7 at sf0.01 / 25 at sf0.1,
+# asserted in tests), so the result equals the uncapped DuckDB oracle —
+# while at corpus scale it bounds the inverted-index self-join against
+# boilerplate shingles. Scores stay TRUE Jaccard either way (the
+# operator re-verifies capped candidates against full shingle sets).
+NGRAM_MAX_SHINGLE_DF = 1000
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=NGRAM_MAX_SHINGLE_DF
+    )
     return pairs.select("id_a", "id_b", e6(F.col("jaccard"), "jaccard_e6"))
 
 
@@ -563,26 +574,109 @@ def q_ann_topk_sql(sf: str) -> str:
     """
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- embedding near-dup: planted-dup corpus + LSH bucket join ------------
+#
+# The synthetic embeddings table has no high-cosine pairs (max ≈ 0.6), so
+# a *near-dup* operator exercised on it alone either needs a threshold so
+# low (0.35) that every pair is a candidate — forcing the all-pairs cross
+# join the 100 TB design forbids — or returns nothing. Instead the query
+# derives a corpus with DETERMINISTIC planted near-dups (every 10th
+# vector re-emitted with a ±5% md5-keyed per-element perturbation, id
+# offset +1'000'000; reproducible bit-for-bit in DuckDB) and runs the LSH
+# bucket-join path at the realistic near-dup threshold 0.9. The oracle is
+# the brute-force cross join over the same derived corpus.
+
+PLANT_EVERY = 10
+PLANT_ID_OFFSET = 1_000_000
+NEAR_DUP_THRESHOLD = 0.9
+
+
+def embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", e6(F.col("cosine"), "cosine_e6"))
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
+
+    def _perturb(x: Column, i: Column) -> Column:
+        # the md5 key uses the ORIGINAL id — staged as _orig_id because an
+        # output column aliased vec_id would shadow the input vec_id
+        # inside the lambda (Spark re-resolves against the projection)
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("_orig_id").cast("string"), F.lit(":"), i.cast("string"))
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000
+        )
+        return x.cast("double") * (F.lit(1.0) + (h / F.lit(1000.0) - F.lit(0.5)) * F.lit(0.1))
+
+    pert = (
+        emb.filter(F.col("vec_id") % PLANT_EVERY == 0)
+        .select(F.col("vec_id").cast("bigint").alias("_orig_id"), "embedding")
+        .select(
+            (F.col("_orig_id") + F.lit(PLANT_ID_OFFSET)).alias("vec_id"),
+            F.transform("embedding", _perturb).alias("embedding"),
+        )
+    )
+    return base.unionByName(pert)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_near_dup_lsh
+
+    allv = embeddings_with_planted_dups(spark, sf_dir)
+    pairs = embedding_near_dup_lsh(
+        allv, "vec_id", "embedding", threshold=NEAR_DUP_THRESHOLD, bits=8, tables=4
+    )
+    return pairs.select("id_a", "id_b", e6(F.col("cosine"), "cosine_e6"))
 
 
 def q_embedding_near_dup_sql(sf: str) -> str:
-    return """
+    return f"""
+        with base as (
+          select cast(vec_id as bigint) as vec_id, embedding::DOUBLE[] as v
+          from embeddings
+        ),
+        dup as (
+          select vec_id + {PLANT_ID_OFFSET} as vec_id,
+            list_transform(v, (x, i) -> x * (1.0 +
+              ((('0x' || substr(md5(vec_id::varchar || ':' || (i-1)::varchar), 1, 4))::bigint
+                % 1000) / 1000.0 - 0.5) * 0.1)) as v
+          from base where vec_id % {PLANT_EVERY} = 0
+        ),
+        allv as (select * from base union all select * from dup)
         select a.vec_id as id_a, b.vec_id as id_b,
-          cast(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               * 1000000) as bigint) as cosine_e6
-        from embeddings a join embeddings b on a.vec_id < b.vec_id
-        where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+          cast(round(list_cosine_similarity(a.v, b.v) * 1000000) as bigint) as cosine_e6
+        from allv a join allv b on a.vec_id < b.vec_id
+        where list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_THRESHOLD}
+    """
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-band near-dup: EXACT pairs within Hamming ≤ 3 via
+    pigeonhole banding (4 bands × 8 bits) + bit_count verification."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+
+
+def q_simhash_near_dup_sql(sf: str) -> str:
+    inner = q_simhash_sql(sf)
+    return f"""
+        with s as ({inner})
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+        from s a join s b on a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
 
@@ -853,6 +947,7 @@ QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, q_simhash_sql),
     "ann_topk": (q_ann_topk, q_ann_topk_sql),
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_sql),
+    "simhash_near_dup": (q_simhash_near_dup, q_simhash_near_dup_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),
     "variables_extract": (q_variables_extract, q_variables_extract_sql),

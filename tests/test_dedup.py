@@ -115,3 +115,119 @@ def test_embedding_near_dups(spark):
     }
     assert list(pairs) == [(0, 1)]
     assert pairs[(0, 1)] > 0.99
+
+
+def test_ngram_jaccard_capped_scores_are_true_jaccard(spark):
+    """The DF cap only gates candidate generation; survivors must carry
+    the TRUE Jaccard (sizes + intersections over FULL shingle sets), and
+    any qualifying pair sharing ≥1 rare shingle must survive (ADVICE r1:
+    conditional-Jaccard under the cap is not acceptable)."""
+    # boilerplate prefix shared by ALL docs (hot shingles under cap=3)
+    # + per-pair distinctive tails (rare shingles)
+    boiler = "standard header issued by the logging framework for every record"
+    docs = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta"),
+        (1, boiler + " alpha beta gamma delta epsilon eta"),   # near dup of 0
+        (2, boiler + " one two three four five six"),
+        (3, boiler + " one two three four five seven"),        # near dup of 2
+        (4, boiler + " totally unrelated trailing words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    # every qualifying pair shares rare (tail) shingles → identical result,
+    # scores exact to the uncapped truth
+    assert capped == uncapped
+    assert (0, 1) in capped and (2, 3) in capped
+
+
+def test_registered_ngram_cap_is_inert_at_test_scale(spark):
+    """NGRAM_MAX_SHINGLE_DF must not change the sf0.01 result (the DuckDB
+    oracle is uncapped); guard: max shingle DF at sf0.01/0.1 ≪ cap."""
+    from logparser_llm_spark.operators.dedup import _distinct_shingles
+    from logparser_llm_spark.plans.queries import NGRAM_MAX_SHINGLE_DF
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    max_df = (
+        _distinct_shingles(d, "doc_id", "text", 3)
+        .groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df < NGRAM_MAX_SHINGLE_DF
+
+
+def test_lsh_band_udf_matches_jvm_signature_expr(spark):
+    """make_lsh_band_udf (numpy GEMM) must pack the same per-table keys
+    as similarity.lsh_signature_expr over the same md5 hyperplanes."""
+    from logparser_llm_spark.operators.dedup import make_lsh_band_udf
+    from logparser_llm_spark.operators.similarity import _hyperplanes, lsh_signature_expr
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    dim = len(emb.select("embedding").first()[0])
+    bits, tables, seed = 8, 4, 7
+    fast = {
+        r["vec_id"]: list(r["keys"])
+        for r in emb.select(
+            "vec_id", make_lsh_band_udf(dim, bits, tables, seed)(F.col("embedding")).alias("keys")
+        ).collect()
+    }
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        jvm = {
+            r["vec_id"]: r["k"]
+            for r in emb.select(
+                "vec_id", lsh_signature_expr(F.col("embedding"), planes).alias("k")
+            ).collect()
+        }
+        assert all(fast[v][t] == jvm[v] for v in jvm)
+
+
+def test_embedding_lsh_matches_brute_force_on_planted_dups(spark):
+    """The LSH scale path must reproduce the brute-force ground truth on
+    the planted-dup corpus (100% recall at the 0.9 threshold with 8 bits
+    × 4 tables; precision is exact by construction)."""
+    from logparser_llm_spark.operators.dedup import embedding_near_dup_lsh
+    from logparser_llm_spark.plans.queries import embeddings_with_planted_dups
+
+    allv = embeddings_with_planted_dups(spark, "/root/testdata/sf0.01").cache()
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(allv, "vec_id", "embedding", 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_lsh(allv, "vec_id", "embedding", 0.9).collect()
+    }
+    assert lsh == brute
+    assert len(brute) == 50  # every 10th of 500 vectors planted
+    allv.unpersist()
+
+
+def test_simhash_hamming_band_pairs_are_exact(spark, docs):
+    """Pigeonhole banding is exact: band-join + verify must equal the
+    brute-force Hamming-≤k pair set (no false negatives, unlike LSH)."""
+    from logparser_llm_spark.operators.dedup import make_simhash_udf, simhash_near_dup_pairs
+
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", make_simhash_udf()(F.col("text")).alias("sh")).collect()
+    }
+    for k in (1, 3):
+        want = {
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for a in sh for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=k).collect()
+        }
+        assert got == want
+        assert any(p[0] == 0 and p[1] == 1 for p in got)  # exact dups at distance 0

@@ -63,3 +63,21 @@ def test_filter_pushdown_to_parquet(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("lang") == "en")
     plan = physical_plan(docs.select("doc_id"))
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan[-1500:]
+
+def test_embedding_near_dup_has_no_cartesian_product(spark):
+    """The registered near-dup query must candidate-generate via the LSH
+    bucket join — never an all-pairs cross join (VERDICT r1 item 2)."""
+    from logparser_llm_spark.plans.queries import q_embedding_near_dup
+
+    plan = physical_plan(q_embedding_near_dup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_query_is_skew_capped(spark):
+    """The registered query must pass the document-frequency skew cap
+    (VERDICT r1 item 3) — visible as the left_anti hot-shingle join."""
+    from logparser_llm_spark.plans.queries import q_ngram_jaccard
+
+    plan = physical_plan(q_ngram_jaccard(spark, SF))
+    assert "LeftAnti" in plan, "hot-shingle anti-join missing from plan"
