@@ -349,23 +349,18 @@ def simhash_near_dup_pairs(
     )
     banded = sigs.select("doc_id", "sh", F.posexplode(band_arr).alias("_band", "_key"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # verify BEFORE dedup: bit_count is map-side and cheap, so only true
+    # near-dup pairs (not every band collision) enter the distinct shuffle
+    return (
         a.join(b, ["_band", "_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
-            F.col("a.sh").alias("sh_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
