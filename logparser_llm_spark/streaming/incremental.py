@@ -31,10 +31,16 @@ from ..plans.pipeline import route
 class StreamingParser:
     """Stateful micro-batch parser for ``foreachBatch``.
 
-    >>> parser = StreamingParser(cfg)
+    >>> parser = StreamingParser(out, checkpoint_dir=ckpt_dir)
     >>> (stream.writeStream.foreachBatch(parser.process_batch)
     ...        .option("checkpointLocation", ckpt).start())
-    """
+
+    The template pool is the only cross-batch state; with
+    ``checkpoint_dir`` set it is RELOADED on construction and persisted
+    after every micro-batch (the batch Checkpoint's pool.json), so a
+    stream restarted from its checkpointLocation keeps the stable-id
+    contract — identical patterns get identical template ids across
+    restarts (ADVICE r1: a driver-memory-only pool reset on restart)."""
 
     def __init__(
         self,
@@ -42,11 +48,20 @@ class StreamingParser:
         text_col: str = "text",
         cfg: PipelineConfig = DEFAULT_CONFIG,
         pool: list[dict] | None = None,
+        checkpoint_dir: str | None = None,
     ):
+        from ..plans.checkpoint import Checkpoint
+
         self.output_dir = output_dir
         self.text_col = text_col
         self.cfg = cfg
-        self.pool: list[dict] = pool or []
+        self.checkpoint = Checkpoint.load(checkpoint_dir) if checkpoint_dir else None
+        if pool is not None:
+            self.pool: list[dict] = pool
+        elif self.checkpoint is not None:
+            self.pool = self.checkpoint.pool
+        else:
+            self.pool = []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -58,6 +73,9 @@ class StreamingParser:
         routed.drop("is_valid").write.mode("append").partitionBy("sink_id").parquet(
             f"{self.output_dir}/sinks"
         )
+        if self.checkpoint is not None:
+            self.checkpoint.pool = self.pool
+            self.checkpoint.save()
 
 
 def windowed_template_counts(

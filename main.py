@@ -35,6 +35,30 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def explode_incrementally(spark, input_path: str, exploded_root: str, text_col: str) -> str:
+    """Pre-explode multi-line pages into a derived table, ONE SOURCE FILE
+    AT A TIME into a deterministic ``src=<md5(source)>`` subdirectory.
+
+    A blanket ``mode('overwrite')`` of the whole derived table (the old
+    behavior) regenerated part files with fresh UUID names on every run,
+    so checkpoint-manifest keys never matched and every rerun re-appended
+    all rows (ADVICE r1, high). Per-source subdirs make the derived
+    layout stable: already-exploded sources (subdir has _SUCCESS) are
+    skipped, new sources land in new subdirs, and a crashed explode
+    (no _SUCCESS) is idempotently rewritten with overwrite."""
+    import hashlib
+
+    from logparser_llm_spark.plans.checkpoint import list_input_files, path_exists
+    from logparser_llm_spark.plans.pipeline import explode_lines
+
+    for source in list_input_files(spark, input_path):
+        dest = f"{exploded_root}/src={hashlib.md5(source.encode()).hexdigest()[:16]}"
+        if path_exists(spark, f"{dest}/_SUCCESS"):
+            continue
+        explode_lines(spark.read.parquet(source), text_col).write.mode("overwrite").parquet(dest)
+    return exploded_root
+
+
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -48,13 +72,7 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.time()
     if args.explode_lines:
-        # pre-explode into a derived table so the manifest units stay file-granular
-        from logparser_llm_spark.plans.pipeline import explode_lines
-
-        src = f"{args.output}/_exploded"
-        explode_lines(spark.read.parquet(args.input), args.text_col).write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = explode_incrementally(spark, args.input, f"{args.output}/_exploded", args.text_col)
     else:
         src = args.input
 

@@ -125,3 +125,76 @@ def test_resume_processes_only_new_files(spark, tmp_path):
     ck2 = Checkpoint.load(ck)
     ids = [t["template_id"] for t in ck2.pool]
     assert ids == [f"tmpl_{i:04d}" for i in range(len(ids))]
+
+
+def test_list_input_files_is_metadata_only(spark, tmp_path):
+    """Enumerating resume units must launch NO Spark job (VERDICT r1
+    item 5: the old input_file_name().distinct() was a full scan)."""
+    from logparser_llm_spark.plans.checkpoint import list_input_files
+
+    src = str(tmp_path / "src")
+    generate_pages(spark, 50, seed=8).repartition(3).write.parquet(src)
+
+    group = "metadata-only-probe"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "list_input_files must not run jobs")
+    try:
+        files = list_input_files(spark, src)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(files) == 3
+    assert all(f.startswith("file://") and f.endswith(".parquet") for f in files)
+    assert not any(f.rsplit("/", 1)[-1].startswith("_") for f in files)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
+def test_manifest_keys_match_input_file_name(spark, tmp_path):
+    """Hadoop-FS listing and Spark's input_file_name() must normalize to
+    the same manifest keys, or resume reprocesses everything."""
+    from pyspark.sql import functions as F
+
+    from logparser_llm_spark.plans.checkpoint import list_input_files, norm_file_uri
+
+    src = str(tmp_path / "src")
+    generate_pages(spark, 20, seed=9).coalesce(1).write.parquet(src)
+    listed = set(list_input_files(spark, src))
+    scanned = {
+        norm_file_uri(r[0])
+        for r in spark.read.parquet(src).select(F.input_file_name()).distinct().collect()
+    }
+    assert listed == scanned
+
+
+def test_crashed_sink_append_is_idempotent(spark, tmp_path):
+    """A run that died between the sink write and the manifest save must
+    not duplicate rows on retry (ADVICE r1): the journaled pending_run
+    directory is dropped before reprocessing."""
+    import hashlib
+
+    from logparser_llm_spark.plans.checkpoint import list_input_files
+
+    src = str(tmp_path / "src")
+    ck_dir = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 80, seed=10).coalesce(1).write.parquet(src)
+    run_resumable(spark, src, ck_dir, out)
+    assert spark.read.parquet(f"{out}/sinks").drop("run").count() == 80
+
+    # new data arrives; simulate a crashed attempt at processing it:
+    # the run dir was (partially) written, pending_run journaled, but the
+    # manifest never recorded completion
+    generate_pages(spark, 40, seed=11).coalesce(1).write.mode("append").parquet(src)
+    ck = Checkpoint.load(ck_dir)
+    todo = [f for f in list_input_files(spark, src) if f not in ck.completed]
+    run_key = hashlib.md5("\n".join(todo).encode()).hexdigest()[:16]
+    # fake partial output: duplicate rows under the pending run key
+    spark.read.parquet(f"{out}/sinks").drop("run", "sink_id").limit(25).write.parquet(
+        f"{out}/sinks/run={run_key}/sink_id=0"
+    )
+    ck.pending_run = run_key
+    ck.save()
+
+    r = run_resumable(spark, src, ck_dir, out)
+    assert len(r["processed"]) == 1
+    assert spark.read.parquet(f"{out}/sinks").drop("run").count() == 120  # no dups
+    assert Checkpoint.load(ck_dir).pending_run is None

@@ -73,3 +73,44 @@ def test_main_cli_resumable(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     res2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert res2["processed_files"] == 0 and res2["skipped_files"] == 1
+
+
+def test_main_cli_explode_lines_resumable(spark, tmp_path):
+    """--explode-lines must keep checkpoint-manifest keys stable across
+    reruns (ADVICE r1, high: blanket overwrite of the derived table
+    regenerated part-file names and silently doubled sink rows)."""
+    from logparser_llm_spark.sources.synth import generate_pages
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 30, seed=21, lines_per_doc=3).coalesce(1).write.parquet(src)
+    cmd = [
+        sys.executable, "main.py",
+        "--input", src, "--output", out,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--explode-lines", "--cores", "4",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    exploded1 = spark.read.parquet(f"{out}/_exploded").count()  # blanks dropped (S3)
+    total1 = spark.read.parquet(f"{out}/sinks").drop("run").count()
+    assert total1 == exploded1 > 0
+
+    # rerun with no new input: nothing reprocessed, counts unchanged
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    res2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res2["processed_files"] == 0
+    assert spark.read.parquet(f"{out}/sinks").drop("run").count() == total1
+
+    # a new source file: only its exploded lines are appended
+    generate_pages(spark, 10, seed=22, lines_per_doc=3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    r3 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    res3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert res3["processed_files"] >= 1
+    exploded3 = spark.read.parquet(f"{out}/_exploded").count()
+    assert exploded3 > exploded1
+    assert spark.read.parquet(f"{out}/sinks").drop("run").count() == exploded3

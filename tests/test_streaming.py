@@ -59,3 +59,43 @@ def test_windowed_counts_batch_semantics(spark):
     assert total == ev.count()
     for r in rows:
         assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_stream_restart_keeps_template_ids_stable(spark, tmp_path):
+    """Pool persisted per micro-batch + reloaded on construction: a
+    restarted stream must assign the SAME template ids to patterns it
+    already knows (ADVICE r1: memory-only pool broke the contract)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    pool_ck = str(tmp_path / "pool_ck")
+
+    def run_wave(stream_ckpt: str):
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, html binary, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        parser = StreamingParser(out, checkpoint_dir=pool_ck)
+        q = (
+            stream.writeStream.foreachBatch(parser.process_batch)
+            .option("checkpointLocation", stream_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return parser.pool
+
+    generate_pages(spark, 50, seed=33).coalesce(1).write.parquet(src)
+    pool1 = run_wave(str(tmp_path / "sck"))
+    ids1 = {t["pattern"]: t["template_id"] for t in pool1}
+    assert ids1
+
+    # "restart": fresh parser instance + same checkpoints, new data wave
+    generate_pages(spark, 30, seed=34).coalesce(1).write.mode("append").parquet(src)
+    pool2 = run_wave(str(tmp_path / "sck"))
+    ids2 = {t["pattern"]: t["template_id"] for t in pool2}
+    for pattern, tid in ids1.items():
+        assert ids2[pattern] == tid  # stable across restart
+    assert len(ids2) >= len(ids1)
