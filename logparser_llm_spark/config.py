@@ -59,6 +59,10 @@ class ScaleConfig:
     # collect a min-line exemplar per template during discovery
     # (example_logs parity); disable to cut agg-buffer string traffic
     collect_examples: bool = True
+    # emit the per-row ParsedLog variables map (reference parser.py:285-297)
+    # — the one Arrow/Python stage in the pipeline; disable at 10^12 rows
+    # if the variable map isn't consumed downstream
+    include_variables: bool = True
 
 
 @dataclass(frozen=True)

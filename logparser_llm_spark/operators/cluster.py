@@ -213,8 +213,10 @@ def assign_templates(
     nothing but transfer)."""
     amap = assignment_map(pool, cfg)
     spark = df.sparkSession
+    # map-side column aliased _map_pattern: a bare 'pattern' would make
+    # drop('pattern') also take out an input column of that name
     map_df = spark.createDataFrame(
-        list(amap.items()), schema="pattern string, _tid string"
+        list(amap.items()), schema="_map_pattern string, _tid string"
     )
 
     cleaned = df if pre_cleaned else cleaned_frame(df, text_col, cfg)
@@ -222,9 +224,9 @@ def assign_templates(
         "_pattern",
         F.when(F.col("is_valid"), pattern_col(cfg)(F.col("cleaned"))),
     )
-    joined = base.join(F.broadcast(map_df), base["_pattern"] == map_df["pattern"], "left").drop(
-        "pattern"
-    )
+    joined = base.join(
+        F.broadcast(map_df), base["_pattern"] == map_df["_map_pattern"], "left"
+    ).drop("_map_pattern")
 
     if fallback == "tree":
         matcher = make_matcher(pool, cfg)

@@ -234,4 +234,17 @@ def run_resumable(
         }
     ck.pending_run = None
     ck.save()
-    return {"processed": todo, "skipped": skipped, "pool_size": len(ck.pool)}
+
+    from .pipeline import parsing_statistics
+
+    run_lineage = {
+        "rows_total": sum(r["rows_total"] for r in lineage_rows),
+        "rows_valid": sum(int(r["rows_valid"] or 0) for r in lineage_rows),
+        "rows_unknown": sum(int(r["rows_unknown"] or 0) for r in lineage_rows),
+    }
+    return {
+        "processed": todo,
+        "skipped": skipped,
+        "pool_size": len(ck.pool),
+        "statistics": parsing_statistics(run_lineage, ck.pool),
+    }

@@ -26,12 +26,14 @@ Scale design notes (explicit partitioning / shuffle / skew handling):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..functions.hashing import sink_id_col
 from ..operators.cluster import assign_templates, discover_templates, pool_to_df
+from ..operators.drain import UNKNOWN_ID
 
 # Small built-in dimension tables for enrichment (J5). Deterministic
 # literals — in production these would be Iceberg dim tables.
@@ -101,6 +103,102 @@ def enrich(
     return out
 
 
+def make_variables_udf():
+    """Arrow-batched (cleaned, template_pattern) → map<string,string> of
+    extracted variables, re-stating drain.extract_variables with the
+    reference's exact quirks (parser.py:400-416: escaped template,
+    ``<*>`` → lazy ``(.+?)``, re.match with an UNanchored end). The body
+    is self-contained (cloudpickle ships it by value — executors need no
+    package on PYTHONPATH); equality with the canonical function is a
+    test. Compiled patterns are memoized per template — the pool is
+    small, so each Python worker compiles each template once."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,string>")
+    def _vars(cleaned: pd.Series, template: pd.Series) -> pd.Series:
+        import re
+
+        memo: dict[str, "re.Pattern | None"] = {}
+
+        def compiled(tmpl: str):
+            p = memo.get(tmpl, False)
+            if p is False:
+                try:
+                    p = re.compile(re.escape(tmpl).replace(re.escape("<*>"), "(.+?)"))
+                except re.error:
+                    p = None
+                memo[tmpl] = p
+            return p
+
+        out = []
+        for log, tmpl in zip(cleaned, template):
+            if log is None or tmpl is None:
+                out.append({})
+                continue
+            p = compiled(tmpl)
+            m = p.match(log) if p is not None else None
+            out.append(
+                {f"var_{i}": v for i, v in enumerate(m.groups(), 1)} if m else {}
+            )
+        return pd.Series(out)
+
+    return _vars
+
+
+def parsed_projection(
+    assigned: DataFrame,
+    pool: list[dict],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    include_variables: bool | None = None,
+) -> DataFrame:
+    """P1 complete: append the ParsedLog fields the reference's result
+    rows carry (parser.py:285-297, log_entry.py:80-125) to an assigned
+    frame: ``template_pattern``, ``confidence``, ``cache_hit``,
+    ``used_llm`` and (optionally) the per-row ``variables`` map.
+
+    - pattern/confidence come from a BROADCAST join against the (small)
+      pool dim — no shuffle of the fact side;
+    - unknown rows get the reference's fallback shape
+      (_create_fallback_result: pattern = the log itself, confidence 0.0);
+    - ``cache_hit`` mirrors the reference's cached-template fast path:
+      true iff the row matched the broadcast pool; ``used_llm`` is
+      constant False (the LLM is replaced by the deterministic extractor);
+    - ``variables`` is the one Python (Arrow-batched) stage in the
+      pipeline; at 10^12 rows disable it via
+      ``cfg.scale.include_variables=False`` unless the per-row variable
+      map is actually consumed downstream.
+    """
+    if include_variables is None:
+        include_variables = cfg.scale.include_variables
+    spark = assigned.sparkSession
+    pool_dim = pool_to_df(spark, pool).select(
+        "template_id",
+        F.col("pattern").alias("_pool_pattern"),
+        F.col("confidence").alias("_pool_confidence"),
+    )
+    unknown = F.col("template_id") == UNKNOWN_ID
+    out = (
+        assigned.join(F.broadcast(pool_dim), "template_id", "left")
+        .withColumn(
+            "template_pattern",
+            F.when(unknown, F.col("cleaned")).otherwise(F.col("_pool_pattern")),
+        )
+        .withColumn(
+            "confidence",
+            F.when(unknown, F.lit(0.0)).otherwise(F.col("_pool_confidence")),
+        )
+        .withColumn("cache_hit", ~unknown)
+        .withColumn("used_llm", F.lit(False))
+        .drop("_pool_pattern", "_pool_confidence")
+    )
+    if include_variables:
+        out = out.withColumn(
+            "variables",
+            make_variables_udf()(F.col("cleaned"), F.col("template_pattern")),
+        )
+    return out
+
+
 def route(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Fan-out bucket: ``sink_id = int(md5(template_id)[:8],16) % K``.
 
@@ -136,12 +234,54 @@ def parse_enrich_route(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     pool: list[dict] | None = None,
 ) -> tuple[DataFrame, list[dict]]:
-    """parse (discover+assign) → enrich → route. Returns (routed, pool)."""
+    """parse (discover+assign) → ParsedLog projection → enrich → route.
+    Returns (routed, pool)."""
     if pool is None:
         pool = discover_templates(df, text_col, cfg)
     assigned = assign_templates(df, text_col, pool, cfg)
-    enriched = enrich(assigned)
+    parsed = parsed_projection(assigned, pool, cfg)
+    enriched = enrich(parsed)
     return route(enriched, cfg), pool
+
+
+def parsing_statistics(
+    lineage: dict, pool: list[dict], elapsed_sec: float = 0.0
+) -> dict:
+    """A3: the reference's derived-rate statistics
+    (models/log_entry.py:141-170 ParsingStatistics.to_dict +
+    core/parser.py:418-430 get_statistics), computed from the pipeline's
+    Observation lineage instead of per-row mutation:
+
+    - successfully_parsed = rows assigned a real template (the reference
+      increments on non-fallback parse); failed = the 'unknown' rows;
+    - cache_hits = the broadcast-map fast-path rows — the analogue of the
+      reference's cached-template hit (every successful row here, since
+      the deterministic extractor replaces the LLM);
+    - llm_calls = 0, so llm_efficiency = inf (get_llm_efficiency's
+      explicit zero-call branch) and cost_usd = 0.0;
+    - average_confidence is count-weighted over the pool (unknown rows
+      contribute 0.0, matching the fallback result's confidence).
+    """
+    total = int(lineage.get("rows_total") or 0)
+    unknown = int(lineage.get("rows_unknown") or 0)
+    ok = total - unknown
+    pool_rows = sum(int(t.get("count", 0)) for t in pool)
+    conf_mass = sum(int(t.get("count", 0)) * float(t.get("confidence", 0.0)) for t in pool)
+    return {
+        "total_logs": total,
+        "successfully_parsed": ok,
+        "failed": unknown,
+        "unique_templates": len(pool),
+        "llm_calls": 0,
+        "cache_hits": ok,
+        "total_processing_time_ms": elapsed_sec * 1000.0,
+        "average_confidence": (conf_mass / pool_rows) if pool_rows else 0.0,
+        "cost_usd": 0.0,
+        "cache_hit_rate": (ok / total) if total else 0.0,
+        "success_rate": (ok / total) if total else 0.0,
+        "llm_efficiency": float("inf"),
+        "avg_time_per_log_ms": (elapsed_sec * 1000.0 / total) if total else 0.0,
+    }
 
 
 def run_pipeline(
@@ -153,9 +293,13 @@ def run_pipeline(
 ) -> dict:
     """Full job: parse → enrich → route → (optionally) fan-out write →
     per-sink aggregate counts. Returns a result dict with the counts
-    DataFrame, the pool, and lineage metrics observed in-flight."""
+    DataFrame, the pool, lineage metrics observed in-flight, and the
+    reference-shaped derived statistics (A3)."""
+    import time as _time
+
     from pyspark.sql import Observation
 
+    t0 = _time.perf_counter()
     routed, pool = parse_enrich_route(df, text_col, cfg)
 
     obs = Observation("lineage")
@@ -180,9 +324,11 @@ def run_pipeline(
         counts = sink_counts(routed, cfg)
 
     counts_rows = counts.collect()
+    lineage = dict(obs.get)  # the collect/write above ran the observed plan
     return {
         "counts": counts_rows,
         "pool": pool,
-        "lineage": dict(obs.get) if output_dir is not None else None,
+        "lineage": lineage,
+        "statistics": parsing_statistics(lineage, pool, _time.perf_counter() - t0),
         "num_sinks": cfg.scale.num_sinks,
     }

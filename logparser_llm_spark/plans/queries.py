@@ -814,6 +814,57 @@ def q_variables_extract_sql(sf: str) -> str:
     """
 
 
+def q_parsed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 complete: the ParsedLog-shaped per-row output of the full
+    pipeline (reference parser.py:285-297 / log_entry.py:80-125) —
+    template_id + template_pattern + confidence + extracted variables +
+    cache_hit, over the constructed event corpus."""
+    from ..operators.cluster import parse_and_count
+    from .pipeline import parsed_projection
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select("event_id", event_log_line_col().alias("text"))
+    assigned, pool = parse_and_count(lines, "text")
+    parsed = parsed_projection(assigned, pool, include_variables=True)
+    return parsed.select(
+        "event_id",
+        "template_id",
+        "template_pattern",
+        e6(F.col("confidence"), "confidence_e6"),
+        F.element_at("variables", "var_1").alias("var_1"),
+        F.element_at("variables", "var_2").alias("var_2"),
+        F.col("cache_hit").cast("bigint").alias("cache_hit"),
+    )
+
+
+def q_parsed_projection_sql(sf: str) -> str:
+    # every constructed event line is valid and matches its own pattern:
+    # template_pattern = the row's extracted pattern, confidence = the
+    # discovery default 0.9, cache_hit = 1, vars from the lazy-group
+    # unanchored-end regex (the reference's extract_variables quirks)
+    cleaned = clean_sql(EVENT_LINE_SQL)
+    return f"""
+        with c as (select event_id, event_type, {cleaned} as cleaned from events),
+        pat as (
+          select event_id, event_type, cleaned,
+                 case when {VALID_SQL.format(c='cleaned')}
+                      then {PATTERN_SQL_BODY.format(c='cleaned')} else null end as pattern
+          from c
+        ),
+        ids as (select pattern, printf('tmpl_%04d',
+                   cast(dense_rank() over (order by pattern) as int) - 1) as tid
+                from (select distinct pattern from pat where pattern is not null))
+        select event_id,
+          coalesce(ids.tid, 'unknown') as template_id,
+          coalesce(pat.pattern, cleaned) as template_pattern,
+          cast(case when ids.tid is not null then 900000 else 0 end as bigint) as confidence_e6,
+          regexp_extract(cleaned, '^' || event_type || ' value (.+?) from user (.+?)', 1) as var_1,
+          regexp_extract(cleaned, '^' || event_type || ' value (.+?) from user (.+?)', 2) as var_2,
+          cast(case when ids.tid is not null then 1 else 0 end as bigint) as cache_hit
+        from pat left join ids on pat.pattern = ids.pattern
+    """
+
+
 def q_split_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 (cleaner.py:128-148): split line into (timestamp, level,
     message-with-both-removed) — replace-all of the found timestamp, then
@@ -951,6 +1002,7 @@ QUERIES: dict[str, tuple] = {
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),
     "variables_extract": (q_variables_extract, q_variables_extract_sql),
+    "parsed_projection": (q_parsed_projection, q_parsed_projection_sql),
     "split_components": (q_split_components, q_split_components_sql),
     "per_sink_topk": (q_per_sink_topk, q_per_sink_topk_sql),
 }

@@ -198,3 +198,59 @@ def test_crashed_sink_append_is_idempotent(spark, tmp_path):
     assert len(r["processed"]) == 1
     assert spark.read.parquet(f"{out}/sinks").drop("run").count() == 120  # no dups
     assert Checkpoint.load(ck_dir).pending_run is None
+
+
+def test_parsed_projection_matches_reference_shapes(spark):
+    """P1: ParsedLog fields (parser.py:285-297) — pattern/confidence from
+    the pool, fallback shape for invalid rows, variables equal to the
+    canonical drain.extract_variables on every row."""
+    from logparser_llm_spark.operators.cluster import parse_and_count
+    from logparser_llm_spark.operators.drain import extract_variables
+    from logparser_llm_spark.plans.pipeline import parsed_projection
+
+    rows = [
+        ("login failed for user 4242 from 10.0.0.1",),
+        ("login failed for user 7 from 10.9.9.9",),
+        ("cache flush completed in 93 ms",),
+        ("???",),  # invalid (< 10 chars) → unknown fallback
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    assigned, pool = parse_and_count(df, "text")
+    out = parsed_projection(assigned, pool).collect()
+    by_text = {r["text"]: r for r in out}
+
+    pool_by_id = {t["template_id"]: t for t in pool}
+    for r in out:
+        if r["template_id"] == "unknown":
+            assert r["template_pattern"] == r["cleaned"]  # fallback: log itself
+            assert r["confidence"] == 0.0 and not r["cache_hit"]
+            assert r["variables"] == {}
+        else:
+            assert r["template_pattern"] == pool_by_id[r["template_id"]]["pattern"]
+            assert r["confidence"] == pytest.approx(0.9) and r["cache_hit"]
+            want = extract_variables(r["cleaned"], r["template_pattern"])
+            assert dict(r["variables"]) == want
+        assert r["used_llm"] is False
+    # 2-digit numbers survive the default clean (normalize_numbers only
+    # hits \d{4,} and decimals) → extracted verbatim as a variable
+    flush = by_text["cache flush completed in 93 ms"]
+    assert "93" in flush["variables"].values()
+
+
+def test_parsing_statistics_derived_rates(spark):
+    """A3: reference log_entry.py:141-170 derived rates materialized from
+    the Observation lineage."""
+    from logparser_llm_spark.plans.pipeline import run_pipeline
+
+    rows = [("alpha beta gamma delta 111",)] * 8 + [("??",)] * 2
+    df = spark.createDataFrame(rows, "text string")
+    res = run_pipeline(spark, df)
+    st = res["statistics"]
+    assert st["total_logs"] == 10
+    assert st["successfully_parsed"] == 8 and st["failed"] == 2
+    assert st["success_rate"] == pytest.approx(0.8)
+    assert st["cache_hit_rate"] == pytest.approx(0.8)
+    assert st["llm_calls"] == 0 and st["llm_efficiency"] == float("inf")
+    assert st["unique_templates"] == len(res["pool"])
+    assert st["average_confidence"] == pytest.approx(0.9)
+    assert st["cost_usd"] == 0.0
