@@ -44,6 +44,14 @@ def __getattr__(name):
         "enrich": ("logparser_llm_spark.plans.pipeline", "enrich"),
         "route": ("logparser_llm_spark.plans.pipeline", "route"),
         "sink_counts": ("logparser_llm_spark.plans.pipeline", "sink_counts"),
+        "parsed_projection": ("logparser_llm_spark.plans.pipeline", "parsed_projection"),
+        "parsing_statistics": ("logparser_llm_spark.plans.pipeline", "parsing_statistics"),
+        "load_config": ("logparser_llm_spark.config", "load_config"),
+        "config_from_yaml": ("logparser_llm_spark.config", "from_yaml"),
+        "pool_merge_templates": ("logparser_llm_spark.operators.merging", "pool_merge_templates"),
+        "pool_remove_template": ("logparser_llm_spark.operators.merging", "pool_remove_template"),
+        "embedding_near_dup_lsh": ("logparser_llm_spark.operators.dedup", "embedding_near_dup_lsh"),
+        "simhash_near_dup_pairs": ("logparser_llm_spark.operators.dedup", "simhash_near_dup_pairs"),
     }
     if name in api:
         import importlib

@@ -106,6 +106,60 @@ def merge_pool(
     return merged
 
 
+def merge_patterns_zip(p1: str, p2: str) -> str:
+    """The POOL's pattern merge (template_pool.py:281-293) — ``zip``
+    TRUNCATES to the shorter pattern, unlike merger.py's max-length
+    padding variant above (the divergence SURVEY §2.7 documents)."""
+    return " ".join(a if a == b else WILDCARD for a, b in zip(p1.split(), p2.split()))
+
+
+def pool_merge_templates(
+    pool: list[dict], template_id1: str, template_id2: str
+) -> tuple[list[dict], str | None]:
+    """The reference pool-mutation API ``merge_templates``
+    (template_pool.py:128-166), for the online-learning workflow of
+    merging two templates BETWEEN runs: merged keeps ``template_id1``,
+    pattern = zip-truncating merge, count sum, examples concatenated,
+    confidence = plain min (no 0.95 decay — that is merger.py's batch
+    path), ``template_id2`` removed. ``sources`` accumulate so the
+    broadcast assignment map keeps routing both original patterns (the
+    analogue of the reference's log_to_template re-pointing,
+    template_pool.py:160-163). Pure function: returns (new_pool,
+    merged_id) — (pool, None) when either id is missing."""
+    by_id = {t["template_id"]: t for t in pool}
+    t1, t2 = by_id.get(template_id1), by_id.get(template_id2)
+    if t1 is None or t2 is None:
+        return pool, None
+    merged = {
+        "template_id": template_id1,
+        "pattern": merge_patterns_zip(t1["pattern"], t2["pattern"]),
+        "count": t1.get("count", 0) + t2.get("count", 0),
+        "examples": t1.get("examples", []) + t2.get("examples", []),
+        "confidence": min(t1.get("confidence", 1.0), t2.get("confidence", 1.0)),
+        "sources": (
+            t1.get("sources", [t1["pattern"]]) + t2.get("sources", [t2["pattern"]])
+        ),
+    }
+    out = []
+    for t in pool:
+        if t["template_id"] == template_id1:
+            out.append(merged)
+        elif t["template_id"] == template_id2:
+            continue
+        else:
+            out.append(t)
+    return out, template_id1
+
+
+def pool_remove_template(pool: list[dict], template_id: str) -> tuple[list[dict], bool]:
+    """``remove_template`` (template_pool.py:168-196): retire a template;
+    rows whose pattern only matched it route to 'unknown' on the next
+    run (the log-association cleanup analogue). Returns (new_pool,
+    removed?)."""
+    out = [t for t in pool if t["template_id"] != template_id]
+    return out, len(out) != len(pool)
+
+
 def dedup_pool_exact(templates: list[dict]) -> list[dict]:
     """Exact-pattern dedup (the pool's insert-if-absent semantics,
     template_pool.py:27-59 + :270-279): same pattern → counts sum,

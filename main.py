@@ -30,7 +30,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--checkpoint", required=True, help="checkpoint dir (manifest + pool)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--explode-lines", action="store_true", help="split multi-line page text")
-    p.add_argument("--num-sinks", type=int, default=8)
+    p.add_argument(
+        "--config",
+        default=None,
+        help="YAML config (reference config.yaml shape, ${VAR} env interpolation); "
+        "defaults to ./config/config.yaml or ./config.yaml when present",
+    )
+    p.add_argument("--num-sinks", type=int, default=None, help="overrides config scale.num_sinks")
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under a real master)")
     return p.parse_args(argv)
 
@@ -62,11 +68,15 @@ def explode_incrementally(spark, input_path: str, exploded_root: str, text_col: 
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
-    from logparser_llm_spark.config import PipelineConfig, ScaleConfig
+    from dataclasses import replace
+
+    from logparser_llm_spark.config import load_config
     from logparser_llm_spark.plans.checkpoint import run_resumable
     from logparser_llm_spark.session import build_session
 
-    cfg = PipelineConfig(scale=ScaleConfig(num_sinks=args.num_sinks))
+    cfg = load_config(args.config)
+    if args.num_sinks is not None:
+        cfg = replace(cfg, scale=replace(cfg.scale, num_sinks=args.num_sinks))
     spark = build_session("logparser-llm-spark", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 

@@ -86,3 +86,11 @@ def ref_merger():
 
 def ref_metrics():
     return _ref_package_module("logparser_llm.utils.metrics", f"{REF}/utils/metrics.py")
+
+
+def ref_template_pool():
+    ref_config()
+    ref_models()
+    return _ref_package_module(
+        "logparser_llm.storage.template_pool", f"{REF}/storage/template_pool.py"
+    )
