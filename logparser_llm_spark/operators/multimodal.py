@@ -1,18 +1,29 @@
-"""Multimodal binary-column plumbing: decode / feature / resize / sample.
+"""Multimodal binary-column operators: decode / feature / resize / sample.
 
 Images, audio and video ride as opaque ``binary`` columns with typed
-metadata structs. The Spark-side machinery here is REAL and tested —
-schemas, Arrow batch shapes, ``mapInPandas`` partitioning, deterministic
-fake features — while the actual codec calls are STUBBED (this container
-ships no image/audio libraries): each ``_decode_*`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic md5-derived stand-in so the distributed plumbing can be
-exercised end-to-end.
+metadata structs; every operator is Arrow-batched ``mapInPandas`` over a
+pruned (id, binary) projection, so the parquet scan never reads anything
+else — the 100 TB shape regardless of codec.
+
+Codecs: this container ships no PIL/opencv/ffmpeg, so the simple
+uncompressed formats are decoded FOR REAL in pure numpy/struct —
+
+- **WAV** (RIFF, PCM 8/16-bit): chunk walk + frombuffer;
+- **BMP** (BITMAPINFOHEADER, 24bpp BI_RGB, bottom-up, 4-byte row pad);
+- **PPM** (P6 binary);
+- **video** as a concatenated-BMP stream (each BMP header declares its
+  byte size, so frames can be walked without an index — the MJPEG idea).
+
+Compressed formats (JPEG/PNG/MP3/MP4) dispatch to PIL/ffmpeg behind an
+import-try and raise ``NotImplementedError`` when the libraries are
+absent — honestly stubbed, never silently faked. The legacy
+``fake=True`` path keeps the md5-derived stand-ins for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -24,23 +35,194 @@ IMAGE_META_SCHEMA = "width int, height int, format string"
 IMAGE_FEATURES_SCHEMA = (
     "doc_id bigint, width int, height int, format string, feature array<float>"
 )
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_ms double, rms double, peak double"
+)
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_no int, frame binary"
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, image binary"
 
 
-def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, str]:
-    """Stub: real impl would use PIL/opencv. ``fake`` derives deterministic
-    metadata from the payload hash."""
-    if not fake:
-        raise NotImplementedError("image decoding requires PIL/opencv (not in container)")
+# --------------------------------------------------------------------------
+# real pure-numpy codecs (no external libraries)
+# --------------------------------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → 24bpp BI_RGB BMP (bottom-up, padded rows)."""
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = []
+    bgr = arr[:, :, ::-1]  # BMP stores BGR
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24bpp BI_RGB BMP → HxWx3 uint8 (RGB). Raises ValueError on other
+    BMP flavors (compressed / paletted)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def bmp_declared_size(payload: bytes, offset: int = 0) -> int:
+    """Byte size a BMP at ``offset`` declares in its file header — lets a
+    concatenated-BMP stream be walked frame by frame."""
+    if payload[offset : offset + 2] != b"BM":
+        raise ValueError("not a BMP frame")
+    return struct.unpack_from("<I", payload, offset + 2)[0]
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 binary PPM (maxval ≤ 255) → HxWx3 uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> single-whitespace, '#' comments allowed
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(
+        h, w, 3
+    ).copy()
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Sniff + decode → (HxWx3 uint8 RGB, format). BMP/PPM are native;
+    JPEG/PNG dispatch to PIL when available, else NotImplementedError."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload), "bmp"
+    if payload[:2] == b"P6":
+        return decode_ppm(payload), "ppm"
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "compressed image formats need PIL (not in this container); "
+            "BMP/PPM decode natively"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img), (img.format or "unknown").lower()
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index maps (no interpolation
+    libs needed; deterministic)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def image_stat_feature(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real, deterministic feature: per-channel means + a grayscale
+    thumbnail (nearest-neighbor) flattened and L2-normalized to ``dim``."""
+    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    side = max(1, int(np.sqrt(max(dim - 3, 1))))
+    gray = arr.mean(axis=2)
+    thumb = resize_nearest(gray[:, :, None], side, side)[:, :, 0].ravel() / 255.0
+    out = np.zeros(dim, dtype=np.float32)
+    out[:3] = means
+    n = min(dim - 3, thumb.size)
+    out[3 : 3 + n] = thumb[:n]
+    norm = float(np.linalg.norm(out))
+    return out / norm if norm else out
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float [-1,1] (n,) or (n, channels) → 16-bit PCM RIFF WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    n_channels = pcm.shape[1]
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", 4 + len(body) - 4 + 4) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM (8- or 16-bit) → (sample_rate, n_channels,
+    float64 samples in [-1,1], shape (n, channels))."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    sample_rate = n_channels = bits = None
+    data = None
+    while i + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, i)
+        i += 8
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", payload, i)
+            bits = struct.unpack_from("<H", payload, i + 14)[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    "compressed WAV needs an audio library; PCM decodes natively"
+                )
+        elif cid == b"data":
+            data = payload[i : i + size]
+        i += size + (size & 1)  # chunks are 2-byte aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    elif bits == 8:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 127.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    return sample_rate, n_channels, arr.reshape(-1, n_channels)
+
+
+# --------------------------------------------------------------------------
+# legacy deterministic fakes (plumbing tests / payloads with no codec)
+# --------------------------------------------------------------------------
+
+def _fake_image_meta(payload: bytes) -> tuple[int, int, str]:
     h = hashlib.md5(payload).digest()
     return 64 + h[0] % 1920, 64 + h[1] % 1080, ["jpeg", "png", "webp"][h[2] % 3]
 
 
-def _image_feature(payload: bytes, dim: int, fake: bool) -> np.ndarray:
-    """Stub embedding: real impl would run a vision encoder. ``fake``
-    produces a deterministic unit vector from md5 expansion."""
-    if not fake:
-        raise NotImplementedError("feature extraction requires a vision model")
+def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     out = np.empty(dim, dtype=np.float32)
     for i in range(0, dim, 4):
         h = hashlib.md5(payload + i.to_bytes(4, "big")).digest()
@@ -50,24 +232,33 @@ def _image_feature(payload: bytes, dim: int, fake: bool) -> np.ndarray:
     return out / n if n else out
 
 
+# --------------------------------------------------------------------------
+# distributed operators
+# --------------------------------------------------------------------------
+
 def image_features(
     df: DataFrame,
     id_col: str = "doc_id",
     binary_col: str = "html",
     dim: int = 16,
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
     """binary column → (metadata, feature vector) via Arrow-batched
-    ``mapInPandas``. Column pruning matters at scale: only (id, binary)
-    are selected, so the parquet scan never reads anything else."""
+    ``mapInPandas``. BMP/PPM decode natively; ``fake=True`` substitutes
+    md5-derived stand-ins (plumbing tests / unknown payloads)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch[id_col], batch[binary_col]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, fmt = _decode_image(payload, fake)
-                feat = _image_feature(payload, dim, fake)
+                if fake:
+                    w, h, fmt = _fake_image_meta(payload)
+                    feat = _fake_feature(payload, dim)
+                else:
+                    arr, fmt = decode_image(payload)
+                    h, w = arr.shape[:2]
+                    feat = image_stat_feature(arr, dim)
                 rows.append((int(doc_id), w, h, fmt, feat.tolist()))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "format", "feature"]
@@ -78,30 +269,113 @@ def image_features(
     )
 
 
+def image_resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    binary_col: str = "html",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode BMP. Real end-to-end
+    for BMP/PPM inputs."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch[id_col], batch[binary_col]):
+                arr, _ = decode_image(bytes(payload))
+                out = resize_nearest(arr, width, height)
+                rows.append((int(doc_id), width, height, encode_bmp(out)))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "image"])
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "html",
+) -> DataFrame:
+    """WAV binary column → (sample_rate, channels, duration, rms, peak) —
+    real PCM decode, one numpy pass per payload."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch[id_col], batch[binary_col]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                n = samples.shape[0]
+                rows.append(
+                    (
+                        int(doc_id), rate, ch, n,
+                        n * 1000.0 / rate,
+                        float(np.sqrt((samples**2).mean())) if n else 0.0,
+                        float(np.abs(samples).max()) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        _extract, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",
     binary_col: str = "html",
     every_n: int = 4,
     max_frames: int = 3,
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling stub: emits every_n-th "frame" (deterministic
-    slices of the payload when ``fake``). Output is exploded one row per
-    frame — the 1→N ``mapInPandas`` batch shape."""
+    """Sample every ``every_n``-th frame from a concatenated-BMP video
+    stream (each frame header declares its size, so the stream walks
+    without an index). Container formats (mp4/webm) would need ffmpeg —
+    NotImplementedError, honestly. ``fake=True`` keeps the fixed-64-byte
+    slicing stand-in for plumbing tests. Output explodes 1→N rows."""
+
+    def _frames(payload: bytes) -> list[tuple[int, bytes]]:
+        if fake:
+            n_frames = max(1, len(payload) // 64)
+            return [
+                (fi, payload[fi * 64 : (fi + 1) * 64])
+                for fi in range(0, min(n_frames, every_n * max_frames), every_n)
+            ]
+        if payload[:2] != b"BM":
+            raise NotImplementedError(
+                "container video formats need ffmpeg; concatenated-BMP streams "
+                "decode natively"
+            )
+        offsets = []
+        pos = 0
+        while pos + 6 <= len(payload) and payload[pos : pos + 2] == b"BM":
+            size = bmp_declared_size(payload, pos)
+            offsets.append((pos, size))
+            pos += size
+        picked = []
+        for idx in range(0, len(offsets), every_n):
+            if len(picked) >= max_frames:
+                break
+            off, size = offsets[idx]
+            picked.append((idx, payload[off : off + size]))
+        return picked
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, frame_nos, frames = [], [], []
             for doc_id, payload in zip(batch[id_col], batch[binary_col]):
-                if not fake:
-                    raise NotImplementedError("video decoding requires ffmpeg")
-                payload = bytes(payload) if payload is not None else b""
-                n_frames = max(1, len(payload) // 64)
-                for fi in range(0, min(n_frames, every_n * max_frames), every_n):
+                for fi, frame in _frames(bytes(payload) if payload is not None else b""):
                     ids.append(int(doc_id))
                     frame_nos.append(fi)
-                    frames.append(payload[fi * 64 : (fi + 1) * 64])
+                    frames.append(frame)
             yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "frame": frames})
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(

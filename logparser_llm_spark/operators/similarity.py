@@ -80,6 +80,68 @@ def knn_join_topk(
     )
 
 
+def knn_join_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact k-NN join, shuffle-bounded — the scale variant of
+    :func:`knn_join_topk` (which windows the full |Q|×|C| scored set
+    through one shuffle).
+
+    Each Arrow batch of the corpus scores against the (small, collected)
+    query matrix with one numpy GEMM and emits only its LOCAL top-k per
+    query, so the shuffle into the final global rank carries at most
+    batches × |Q| × k rows instead of |C| × |Q|. Scores are IEEE-double
+    dot products; ties broken by id, matching the exact variant (equality
+    asserted in tests). Queries must be driver-collectable (the same
+    smallness contract the broadcast in knn_join_topk already assumes)."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = np.inf  # zero query vector → cosine 0 everywhere
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
+            vnorm = np.linalg.norm(v, axis=1)
+            vnorm[vnorm == 0] = np.inf
+            cos = (v @ qmat.T) / vnorm[:, None] / qnorm[None, :]  # (n, |Q|)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                top = min(k, len(col))
+                # top-k by (-cosine, id): lexsort is stable, keys reversed
+                order = np.lexsort((ids, -col))[:top]
+                out_q.extend([qid] * top)
+                out_id.extend(ids[order])
+                out_c.extend(col[order])
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_id, "cosine": out_c})
+
+    reduced = corpus.select(id_col, vec_col).mapInPandas(_score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 bits (no RNG state
     — reproducible across any runtime)."""

@@ -1,14 +1,35 @@
-"""Multimodal plumbing tests: binary columns through mapInPandas with the
-deterministic fake codecs (real codecs are stubbed — no image libs here)."""
+"""Multimodal operators: REAL pure-numpy codecs (WAV PCM, BMP, PPM,
+concatenated-BMP video) through the mapInPandas plumbing, plus the
+deterministic fake path for payloads no native codec covers."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from logparser_llm_spark.operators.multimodal import (
+    audio_features,
+    bmp_declared_size,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     frame_sample,
     image_features,
+    image_resize,
+    resize_nearest,
 )
 from logparser_llm_spark.sources.synth import generate_pages
+
+
+def _test_image(w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _ppm_bytes(arr):
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
 @pytest.fixture(scope="module")
@@ -16,44 +37,140 @@ def pages(spark):
     return generate_pages(spark, 50, seed=9).cache()
 
 
-def test_image_features_schema_and_determinism(spark, pages):
-    feats = image_features(pages.withColumn("doc_id", F.monotonically_increasing_id()),
-                           id_col="doc_id", binary_col="html", dim=16)
+# --- codec round-trips (driver-side, no Spark) ---------------------------
+
+def test_bmp_roundtrip():
+    for w, h in [(5, 3), (64, 33), (1, 1)]:  # odd widths exercise row padding
+        arr = _test_image(w, h, seed=w)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+def test_ppm_decode_with_comment():
+    arr = _test_image(4, 2, seed=3)
+    payload = b"P6\n# a comment\n4 2\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(payload), arr)
+
+
+def test_wav_roundtrip():
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    rate, ch, samples = decode_wav(encode_wav(mono, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert samples.shape == (16000, 1)
+    assert np.abs(samples[:, 0] - mono).max() < 1e-3  # 16-bit quantization
+
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, ch, samples = decode_wav(encode_wav(stereo, 8000))
+    assert (rate, ch) == (8000, 2)
+    assert np.abs(samples - stereo).max() < 1e-3
+
+
+def test_resize_nearest_shapes_and_identity():
+    arr = _test_image(8, 6)
+    assert resize_nearest(arr, 4, 3).shape == (3, 4, 3)
+    assert np.array_equal(resize_nearest(arr, 8, 6), arr)
+
+
+# --- distributed operators on real payloads ------------------------------
+
+def test_image_features_real_bmp_ppm(spark):
+    imgs = [
+        (1, bytearray(encode_bmp(_test_image(16, 9, seed=1)))),
+        (2, bytearray(_ppm_bytes(_test_image(7, 5, seed=2)))),
+    ]
+    df = spark.createDataFrame(imgs, "doc_id bigint, html binary")
+    rows = {r["doc_id"]: r for r in image_features(df, dim=16).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["format"]) == (16, 9, "bmp")
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["format"]) == (7, 5, "ppm")
+    for r in rows.values():
+        assert len(r["feature"]) == 16
+        assert sum(v * v for v in r["feature"]) ** 0.5 == pytest.approx(1.0, abs=1e-3)
+    # feature means are the real channel means
+    arr = _test_image(16, 9, seed=1)
+    feat = np.array(rows[1]["feature"])
+    want = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feat[:3] / np.linalg.norm(feat[:3]),
+                       want / np.linalg.norm(want), atol=1e-3)
+
+
+def test_image_resize_real(spark):
+    arr = _test_image(32, 20, seed=4)
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(arr)))], "doc_id bigint, html binary")
+    row = image_resize(df, width=8, height=5).collect()[0]
+    assert (row["width"], row["height"]) == (8, 5)
+    out = decode_bmp(bytes(row["image"]))
+    assert np.array_equal(out, resize_nearest(arr, 8, 5))
+
+
+def test_audio_features_real_wav(spark):
+    t = np.linspace(0, 0.5, 8000, endpoint=False)
+    wavs = [
+        (1, bytearray(encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), 16000))),
+        (2, bytearray(encode_wav(np.zeros(100), 8000))),
+    ]
+    df = spark.createDataFrame(wavs, "doc_id bigint, html binary")
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert rows[1]["sample_rate"] == 16000 and rows[1]["n_samples"] == 8000
+    assert rows[1]["duration_ms"] == pytest.approx(500.0)
+    assert rows[1]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)
+    assert rows[1]["peak"] == pytest.approx(0.5, rel=1e-2)
+    assert rows[2]["rms"] == 0.0 and rows[2]["duration_ms"] == pytest.approx(12.5)
+
+
+def test_frame_sample_concatenated_bmp_stream(spark):
+    frames = [_test_image(6, 4, seed=s) for s in range(10)]
+    stream = b"".join(encode_bmp(f) for f in frames)
+    assert bmp_declared_size(stream) == len(encode_bmp(frames[0]))
+    df = spark.createDataFrame([(1, bytearray(stream))], "doc_id bigint, html binary")
+    rows = frame_sample(df, every_n=3, max_frames=3).collect()
+    assert [r["frame_no"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        assert np.array_equal(decode_bmp(bytes(r["frame"])), frames[r["frame_no"]])
+
+
+# --- honest stubs + legacy fake plumbing ----------------------------------
+
+def test_compressed_formats_are_honestly_stubbed(spark):
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"0" * 64
+    df = spark.createDataFrame([(1, bytearray(jpeg_magic))], "doc_id bigint, html binary")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: compressed path would dispatch for real")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as exc_info:
+        image_features(df).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    with pytest.raises(Exception):
+        frame_sample(df).collect()  # mp4-ish: needs ffmpeg
+
+
+def test_fake_plumbing_schema_and_determinism(spark, pages):
+    feats = image_features(
+        pages.withColumn("doc_id", F.monotonically_increasing_id()),
+        id_col="doc_id", binary_col="html", dim=16, fake=True,
+    )
     rows = feats.collect()
     assert len(rows) == 50
     for r in rows:
         assert len(r["feature"]) == 16
-        assert r["width"] >= 64 and r["height"] >= 64
         assert r["format"] in ("jpeg", "png", "webp")
-        norm = sum(v * v for v in r["feature"]) ** 0.5
-        assert norm == pytest.approx(1.0, abs=1e-3)
-    # determinism across partitionings
     again = image_features(
         pages.withColumn("doc_id", F.monotonically_increasing_id()).repartition(7),
-        id_col="doc_id", binary_col="html", dim=16,
+        id_col="doc_id", binary_col="html", dim=16, fake=True,
     ).collect()
-    assert {r["doc_id"]: r["feature"] for r in rows} == {r["doc_id"]: r["feature"] for r in again}
+    assert {r["doc_id"]: r["feature"] for r in rows} == {
+        r["doc_id"]: r["feature"] for r in again
+    }
 
 
-def test_image_features_null_binary(spark):
-    df = spark.createDataFrame([(1, None), (2, b"abc")], "doc_id bigint, html binary")
-    rows = image_features(df, dim=8).collect()
-    assert len(rows) == 2  # nulls don't crash; deterministic fallback
-
-
-def test_real_decoder_is_clearly_stubbed(spark):
-    df = spark.createDataFrame([(1, b"xyz")], "doc_id bigint, html binary")
-    with pytest.raises(Exception) as exc_info:
-        image_features(df, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
-
-
-def test_frame_sampling(spark, pages):
+def test_fake_frame_sampling_shape(spark, pages):
     frames = frame_sample(
         pages.withColumn("doc_id", F.monotonically_increasing_id()),
-        id_col="doc_id", binary_col="html", every_n=2, max_frames=3,
+        id_col="doc_id", binary_col="html", every_n=2, max_frames=3, fake=True,
     )
     rows = frames.collect()
     assert len(rows) > 50  # 1→N explode shape
@@ -61,6 +178,5 @@ def test_frame_sampling(spark, pages):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
     for nos in by_doc.values():
-        assert nos == sorted(nos) or sorted(nos) == nos
         assert all(n % 2 == 0 for n in nos)
         assert len(nos) <= 3

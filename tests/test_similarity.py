@@ -139,3 +139,32 @@ def test_lsh_recall_on_clusters(spark):
         if r["c_cluster"] == r["q_cluster"]:
             per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v >= 6 for v in per_q.values()), per_q
+
+
+def test_knn_blocked_matches_exact_window_variant(spark):
+    """The shuffle-bounded GEMM kNN must reproduce the exact window
+    variant: same neighbors, same ranks, cosines equal to 1e-9."""
+    from logparser_llm_spark.operators.similarity import (
+        knn_join_topk,
+        knn_join_topk_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(6)
+    queries = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter("vec_id < 5")
+        .selectExpr("vec_id as query_id", "embedding")
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in knn_join_topk(emb, queries, "vec_id", "embedding", k=7).collect()
+    }
+    blocked = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in knn_join_topk_blocked(emb, queries, "vec_id", "embedding", k=7).collect()
+    }
+    assert set(exact) == set(blocked)
+    for key, (vid, cos) in exact.items():
+        bvid, bcos = blocked[key]
+        assert bvid == vid
+        assert abs(bcos - cos) < 1e-9
