@@ -335,15 +335,19 @@ def discover_templates_from_cleaned(
         pattern_counts = base.groupBy("pattern").agg(
             F.count(F.lit(1)).alias("count"), F.lit(None).cast("string").alias("example")
         )
-    rows = pattern_counts.collect()
+    # apply the top-N-by-count pool cap DISTRIBUTED (TakeOrderedAndProject)
+    # so the driver only ever receives ≤ cap rows — a web corpus can have
+    # more distinct patterns than driver memory; same deterministic
+    # (-count, pattern) order the Python-side cap used
+    cap = cfg.scale.broadcast_pool_max_templates
+    rows = (
+        pattern_counts.orderBy(F.desc("count"), "pattern").limit(cap).collect()
+    )
     templates = [
         {"pattern": r["pattern"], "count": r["count"], "confidence": 0.9,
          "examples": [r["example"]] if r["example"] is not None else []}
         for r in rows
     ]
-    cap = cfg.scale.broadcast_pool_max_templates
-    if len(templates) > cap:
-        templates = sorted(templates, key=lambda t: (-t["count"], t["pattern"]))[:cap]
     templates = dedup_pool_exact(templates)
     merged = merge_pool(
         templates,

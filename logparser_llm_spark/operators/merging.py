@@ -36,7 +36,14 @@ def should_merge(
     merge_threshold: float = 0.9,
     max_edit_distance: int = 3,
 ) -> bool:
-    """similarity ≥ threshold AND edit distance ≤ max (merger.py:21-53)."""
+    """similarity ≥ threshold AND edit distance ≤ max (merger.py:21-53).
+
+    The length-difference short-circuit is exact (|len(p1)−len(p2)| is a
+    lower bound on levenshtein) and makes the greedy all-pairs pool merge
+    O(1) for the vast majority of pairs — the constant that matters when
+    a web corpus pushes the pool toward the broadcast cap."""
+    if max_edit_distance > 0 and abs(len(p1) - len(p2)) > max_edit_distance:
+        return False
     if pattern_similarity(p1, p2) < merge_threshold:
         return False
     if max_edit_distance > 0 and levenshtein(p1, p2) > max_edit_distance:

@@ -44,7 +44,8 @@ def _main() -> None:
     sf = "/root/testdata/sf0.01"
     lines = ["# Physical plans (sf0.01)\n"]
     for name in ["parse_route_agg", "enrich_lang_join", "pricing_summary",
-                 "ngram_jaccard", "ann_topk", "user_sessions"]:
+                 "ngram_jaccard", "ann_topk", "user_sessions",
+                 "embedding_near_dup", "simhash_near_dup", "parsed_projection"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")
