@@ -52,6 +52,9 @@ def __getattr__(name):
         "pool_remove_template": ("logparser_llm_spark.operators.merging", "pool_remove_template"),
         "embedding_near_dup_lsh": ("logparser_llm_spark.operators.dedup", "embedding_near_dup_lsh"),
         "simhash_near_dup_pairs": ("logparser_llm_spark.operators.dedup", "simhash_near_dup_pairs"),
+        "connected_components": ("logparser_llm_spark.operators.components", "connected_components"),
+        "running_template_counts": ("logparser_llm_spark.streaming.stateful", "running_template_counts"),
+        "expiring_user_sessions": ("logparser_llm_spark.streaming.stateful", "expiring_user_sessions"),
     }
     if name in api:
         import importlib

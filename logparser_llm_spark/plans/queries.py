@@ -680,6 +680,42 @@ def q_simhash_near_dup_sql(sf: str) -> str:
     """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group formation: connected components (min-label) over the
+    SimHash Hamming-≤3 near-dup pair set — every near-dup family labeled
+    by its minimum member id."""
+    from ..operators.components import connected_components
+
+    pairs = q_simhash_near_dup(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
+    )
+
+
+def q_dedup_components_sql(sf: str) -> str:
+    simhash_inner = q_simhash_sql(sf)
+    return f"""
+        with recursive
+        s as ({simhash_inner}),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b
+          from s a join s b on a.doc_id < b.doc_id
+          where bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+        reach(node, r) as (
+          select a, a from (select distinct a from edges)
+          union
+          select e.b, reach.r from reach join edges e on e.a = reach.node
+        )
+        select cast(node as bigint) as doc_id,
+               cast(min(r) as bigint) as component_id
+        from reach group by node
+    """
+
+
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-pass Arrow UDF (~10× the interpreted higher-order Column
     # expressions); semantics identical to lang_id/quality_score/
@@ -999,6 +1035,7 @@ QUERIES: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, q_ann_topk_sql),
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_sql),
     "simhash_near_dup": (q_simhash_near_dup, q_simhash_near_dup_sql),
+    "dedup_components": (q_dedup_components, q_dedup_components_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),
     "variables_extract": (q_variables_extract, q_variables_extract_sql),

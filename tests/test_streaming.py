@@ -99,3 +99,100 @@ def test_stream_restart_keeps_template_ids_stable(spark, tmp_path):
     for pattern, tid in ids1.items():
         assert ids2[pattern] == tid  # stable across restart
     assert len(ids2) >= len(ids1)
+
+
+def test_stateful_running_template_counts(spark, tmp_path):
+    """applyInPandasWithState: per-template totals accumulate across
+    micro-batches in engine-managed state (not driver memory)."""
+    from logparser_llm_spark.operators.cluster import assign_templates, discover_templates
+    from logparser_llm_spark.streaming.stateful import running_template_counts
+
+    src = str(tmp_path / "src")
+    # two waves → two micro-batches with overlapping templates
+    generate_pages(spark, 40, seed=35).coalesce(1).write.parquet(src)
+    generate_pages(spark, 25, seed=36).coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    pool = discover_templates(static, "text")
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    assigned = assign_templates(stream, "text", pool)
+    counts = running_template_counts(assigned)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    rows = spark.sql("select * from running_counts").collect()
+    # last emitted total per template == the batch ground truth
+    latest: dict = {}
+    for r in rows:
+        cur = latest.get(r["template_id"])
+        if cur is None or r["total_count"] > cur:
+            latest[r["template_id"]] = r["total_count"]
+    truth = {
+        r["template_id"]: r["cnt"]
+        for r in assign_templates(static, "text", pool)
+        .groupBy("template_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert latest == truth
+    # state accumulated ACROSS batches: some template must have been
+    # emitted twice with growing totals
+    assert any(
+        sum(1 for r in rows if r["template_id"] == tid) > 1 for tid in latest
+    )
+
+
+def test_stateful_session_expiry(spark, tmp_path):
+    """EventTimeTimeout sessionization: sessions close when the watermark
+    passes last_seen + gap, and state is removed."""
+    import datetime as dt
+
+    from logparser_llm_spark.streaming.stateful import expiring_user_sessions
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    wave1 = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=5)),
+        (2, t0 + dt.timedelta(minutes=1)),
+    ]
+    # wave 2 advances event time far past gap+watermark → sessions close
+    wave2 = [(3, t0 + dt.timedelta(hours=6))]
+    spark.createDataFrame(wave1, "user_id bigint, ts timestamp").coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, "user_id bigint, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = expiring_user_sessions(stream, gap_seconds=1800, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = {r["user_id"]: r for r in spark.sql("select * from closed_sessions").collect()}
+    assert 1 in rows and rows[1]["n_events"] == 2
+    assert rows[1]["session_start"] == t0
+    assert rows[1]["session_end"] == t0 + dt.timedelta(minutes=5)
+    assert 2 in rows and rows[2]["n_events"] == 1
