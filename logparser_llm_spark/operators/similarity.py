@@ -142,6 +142,121 @@ def knn_join_topk_blocked(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    max_sample: int = 4096,
+    sample_mod: int = 1,
+):
+    """Deterministic spherical k-means centroids for IVF, trained on a
+    bounded driver-side sample (the FAISS recipe: train on a sample,
+    assign the full corpus distributed). ``sample_mod`` hash-filters the
+    corpus before the bounded take so the sample stays representative at
+    any scale without a full sort; everything is seed-free and
+    deterministic (init = first vectors of the id-ordered sample)."""
+    import numpy as np
+
+    s = corpus.select(id_col, vec_col)
+    if sample_mod > 1:
+        s = s.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = s.orderBy(id_col).limit(max_sample).collect()
+    v = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    v = v / norms
+    k = min(n_centroids, len(v))
+    centroids = v[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(v @ centroids.T, axis=1)
+        for c in range(k):
+            members = v[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+) -> DataFrame:
+    """Approximate k-NN via an IVF (inverted-file) index — the other
+    standard ANN scale path next to :func:`lsh_bucket_topk`:
+
+    1. train ``n_centroids`` spherical-k-means centroids on a bounded
+       sample (driver, deterministic);
+    2. assign every corpus row to its nearest centroid (one numpy GEMM
+       per Arrow batch — a map-side column, no shuffle);
+    3. each query probes its ``n_probe`` nearest cells; the equality
+       join on cell id bounds candidates to ~n_probe/n_centroids of the
+       corpus — the scan-replacement at 10^12 rows;
+    4. exact cosine + per-query top-k over the candidates.
+
+    Recall tunes via n_probe/n_centroids (n_probe = n_centroids is exact
+    brute force); validated against brute force in tests."""
+    import numpy as np
+
+    centroids = train_ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    cmat = centroids  # captured by value in the closures below
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _cell(vec):
+        import numpy as np
+        import pandas as pd
+
+        v = np.array(vec.tolist(), dtype=np.float64)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((v / n) @ cmat.T, axis=1).astype("int32"))
+
+    n_probe_eff = min(n_probe, len(cmat))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vec):
+        import numpy as np
+        import pandas as pd
+
+        v = np.array(vec.tolist(), dtype=np.float64)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (v / n) @ cmat.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe_eff].astype("int32")
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"), _cell(F.col(vec_col)).alias("_cell")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 bits (no RNG state
     — reproducible across any runtime)."""

@@ -168,3 +168,45 @@ def test_knn_blocked_matches_exact_window_variant(spark):
         bvid, bcos = blocked[key]
         assert bvid == vid
         assert abs(bcos - cos) < 1e-9
+
+
+def test_ivf_topk_recall_and_exact_mode(spark):
+    """IVF ANN: probing all cells is exact brute force; probing a subset
+    keeps high recall on the sf corpus."""
+    from logparser_llm_spark.operators.similarity import ivf_topk, knn_join_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 8").selectExpr("vec_id as query_id", "embedding")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    # n_probe == n_centroids → every cell probed → exact
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            emb, queries, "vec_id", "embedding", k=10, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert exact == truth
+    # partial probe: recall@10 ≥ 0.8 on this corpus
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            emb, queries, "vec_id", "embedding", k=10, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    from logparser_llm_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    c2 = train_ivf_centroids(emb.repartition(9), "vec_id", "embedding", n_centroids=8)
+    assert np.array_equal(c1, c2)  # partitioning-invariant
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
