@@ -979,6 +979,99 @@ def q_per_sink_topk_sql(sf: str) -> str:
     """
 
 
+# --- PII redaction over deterministically augmented text ------------------
+# (the synthetic documents carry no PII, so — like the planted embedding
+# dups — every 5th doc gets a deterministic email + IP + phone appended
+# in BOTH engines; the redaction chain is then verified byte-for-byte
+# via md5 of the redacted text)
+
+PII_AUG_SQL = (
+    "text || case when doc_id % 5 = 0 then ' contact user' || doc_id::varchar "
+    "|| '@mail.example.com from 10.' || (doc_id % 256)::varchar "
+    "|| '.0.1 or call 555-123-4567' else '' end"
+)
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    extra = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 or call 555-123-4567"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.when(F.col("doc_id") % 5 == 0, extra).otherwise(F.lit(""))
+        ).alias("aug"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): chained email/IP/phone
+    redaction, RE2-compatible patterns identical across engines; output
+    anchored by the md5 of the redacted text + per-kind match counts."""
+    from ..functions.quality import pii_count_col, redact_pii_col
+
+    aug = _pii_augmented(spark, sf_dir)
+    return aug.select(
+        "doc_id",
+        F.md5(redact_pii_col(F.col("aug"))).alias("redacted_hash"),
+        pii_count_col(F.col("aug"), "email").alias("n_emails"),
+        pii_count_col(F.col("aug"), "ip").alias("n_ips"),
+        pii_count_col(F.col("aug"), "phone").alias("n_phones"),
+    )
+
+
+def q_pii_redact_sql(sf: str) -> str:
+    from ..functions.quality import pii_count_sql, pii_redact_sql
+
+    return f"""
+        with aug as (select doc_id, {PII_AUG_SQL} as aug from documents)
+        select doc_id,
+          md5({pii_redact_sql('aug')}) as redacted_hash,
+          {pii_count_sql('aug', 'email')} as n_emails,
+          {pii_count_sql('aug', 'ip')} as n_ips,
+          {pii_count_sql('aug', 'phone')} as n_phones
+        from aug
+    """
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and
+    top-token frequency share."""
+    from ..functions.quality import dup_token_fraction, top_token_fraction
+    from ..functions.text import ws_tokens
+
+    d = _read(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        e6(dup_token_fraction(toks), "dup_frac_e6"),
+        e6(top_token_fraction(toks), "top_frac_e6"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_repetition_signals_sql(sf: str) -> str:
+    tk = TOKENS_SQL.format(c="text")
+    return f"""
+        with t as (select doc_id, {tk} as tk from documents)
+        select doc_id,
+          cast(round(case when len(tk) > 0
+            then (1.0 - len(list_distinct(tk))::double / len(tk)) * 1000000
+            else 0.0 end) as bigint) as dup_frac_e6,
+          cast(round(case when len(tk) > 0
+            then list_max(list_transform(list_distinct(tk),
+                   u -> len(list_filter(tk, x -> x = u))))::double / len(tk) * 1000000
+            else 0.0 end) as bigint) as top_frac_e6,
+          cast(len(tk) as bigint) as n_tokens
+        from t
+    """
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join rollup."""
     r = _read(spark, sf_dir, "region")
@@ -1037,6 +1130,8 @@ QUERIES: dict[str, tuple] = {
     "simhash_near_dup": (q_simhash_near_dup, q_simhash_near_dup_sql),
     "dedup_components": (q_dedup_components, q_dedup_components_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
+    "pii_redact": (q_pii_redact, q_pii_redact_sql),
+    "repetition_signals": (q_repetition_signals, q_repetition_signals_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),
     "variables_extract": (q_variables_extract, q_variables_extract_sql),
     "parsed_projection": (q_parsed_projection, q_parsed_projection_sql),
