@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..operators.cluster import assign_templates, discover_templates
 from ..operators.merging import merge_pool, dedup_pool_exact
-from .pipeline import enrich, route, sink_counts
+from .pipeline import enrich, parsed_projection, route, sink_counts
 
 MANIFEST_NAME = "manifest.json"
 POOL_NAME = "pool.json"
@@ -192,7 +192,8 @@ def run_resumable(
     )
 
     assigned = assign_templates(df, text_col, ck.pool, cfg)
-    routed = route(enrich(assigned), cfg).withColumn("_src", F.input_file_name())
+    parsed = parsed_projection(assigned, ck.pool, cfg)
+    routed = route(enrich(parsed), cfg).withColumn("_src", F.input_file_name())
 
     # per-partition (per-file) lineage counters — one distributed agg
     lineage_rows = (
