@@ -979,6 +979,70 @@ def q_per_sink_topk_sql(sf: str) -> str:
     """
 
 
+# --- grok parse over constructed syslog-ish lines --------------------------
+
+GROK_EXPR = (
+    "%{TIMESTAMP_ISO8601:g_ts} %{LOGLEVEL:g_level} user=%{INT:g_user} "
+    "%{WORD:g_action} value=%{NUMBER:g_val} from %{IP:g_ip}"
+)
+
+_LEVELS = ["INFO", "WARN", "ERROR", "DEBUG"]
+
+
+def _grok_line_col() -> Column:
+    level = F.element_at(
+        F.array(*[F.lit(x) for x in _LEVELS]),
+        ((F.col("event_id") % 4) + 1).cast("int"),
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint").cast("string")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    return F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        level,
+        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        F.col("event_type"),
+        F.concat(F.lit("value="), cents),
+        F.lit("from"),
+        ip,
+    )
+
+
+GROK_LINE_SQL = (
+    "concat_ws(' ', strftime(ts, '%Y-%m-%d %H:%M:%S'), "
+    "(['INFO','WARN','ERROR','DEBUG'])[(event_id % 4) + 1], "
+    "'user=' || user_id::varchar, event_type, "
+    "'value=' || cast(round(value * 100) as bigint)::varchar, 'from', "
+    "'10.' || (user_id % 256)::varchar || '.0.' || (event_id % 256)::varchar)"
+)
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-pattern parsing (the north rule's 'grok/regex parse'): one
+    compiled regex, per-field JVM regexp_extract, RE2-compatible so the
+    DuckDB oracle extracts with the identical pattern + group indexes."""
+    from ..functions.grok import grok_columns
+
+    ev = _read(spark, sf_dir, "events")
+    return ev.select("event_id", _grok_line_col().alias("_line")).select(
+        "event_id", *grok_columns(F.col("_line"), GROK_EXPR)
+    )
+
+
+def q_grok_parse_sql(sf: str) -> str:
+    from ..functions.grok import grok_sql
+
+    return f"""
+        with l as (select event_id, {GROK_LINE_SQL} as line from events)
+        select event_id, {grok_sql(GROK_EXPR, 'line')} from l
+    """
+
+
 # --- PII redaction over deterministically augmented text ------------------
 # (the synthetic documents carry no PII, so — like the planted embedding
 # dups — every 5th doc gets a deterministic email + IP + phone appended
@@ -1131,6 +1195,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, q_dedup_components_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "pii_redact": (q_pii_redact, q_pii_redact_sql),
+    "grok_parse": (q_grok_parse, q_grok_parse_sql),
     "repetition_signals": (q_repetition_signals, q_repetition_signals_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),
     "variables_extract": (q_variables_extract, q_variables_extract_sql),
