@@ -221,6 +221,30 @@ def salted_counts(
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("doc_count"))
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equality join (inner/left, ``skewed`` as left): the
+    hot side gets a per-row salt, the other side is replicated once per
+    salt value, and the join key becomes (key, salt) — a hot key's rows
+    spread over ``salt_buckets`` reducers instead of one. Semantically
+    identical to ``skewed.join(other, on, how)`` (each skewed row matches
+    exactly its own salt replica; equality is a test). AQE's skew-join
+    split is the runtime backstop; this is the explicit form for when the
+    skew is known ahead of time (e.g. joining routed rows back against a
+    dimension keyed by a boilerplate-heavy template_id)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, [*on, "_salt"], how).drop("_salt")
+
+
 def sink_counts(routed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Per-sink per-template counts (A1 — the parity target)."""
     return salted_counts(routed, ["sink_id", "template_id"], cfg.scale.salt_buckets).orderBy(

@@ -395,6 +395,67 @@ def q_events_by_hour_sql(sf: str) -> str:
     """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per event_type (Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition — parity
+    verified to 1e-6). The telemetry-rollup shape: p50/p95/p99 latency-
+    style stats per key. (At 10^12 rows swap for approx_percentile — the
+    t-digest sketch is mergeable/map-side; exact percentile needs a full
+    sort per group.)"""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0] * 1_000_000).cast("bigint").alias("p50_e6"),
+            F.round(F.col("p")[1] * 1_000_000).cast("bigint").alias("p95_e6"),
+            F.round(F.col("p")[2] * 1_000_000).cast("bigint").alias("p99_e6"),
+        )
+    )
+
+
+def q_value_percentiles_sql(sf: str) -> str:
+    return """
+        select event_type,
+          cast(round(quantile_cont(value, 0.5) * 1000000) as bigint) as p50_e6,
+          cast(round(quantile_cont(value, 0.95) * 1000000) as bigint) as p95_e6,
+          cast(round(quantile_cont(value, 0.99) * 1000000) as bigint) as p99_e6
+        from events group by event_type
+    """
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (event_type, hour-of-day): every grouping-set
+    subtotal in one pass (partial-aggregatable)."""
+    ev = _read(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("bigint").alias("hour_of_day")
+    return (
+        ev.select(F.col("event_type"), hour, F.col("value"))
+        .cube("event_type", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("cnt"), e2(F.sum("value"), "value_e2"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("hour_of_day"), F.lit(-1)).alias("hour_of_day"),
+            "cnt",
+            "value_e2",
+        )
+    )
+
+
+def q_events_cube_sql(sf: str) -> str:
+    return """
+        select coalesce(event_type, '<all>') as event_type,
+               cast(coalesce(hour_of_day, -1) as bigint) as hour_of_day,
+               count(*) as cnt,
+               cast(round(sum(value) * 100) as bigint) as value_e2
+        from (select event_type, cast(extract(hour from ts) as bigint) as hour_of_day,
+                     value
+              from events)
+        group by cube(event_type, hour_of_day)
+    """
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: sessionization by 30-min gaps per user."""
     ev = _read(spark, sf_dir, "events")
@@ -1184,6 +1245,8 @@ QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, q_pricing_summary_sql),
     "top_customers": (q_top_customers, q_top_customers_sql),
     "events_by_hour": (q_events_by_hour, q_events_by_hour_sql),
+    "value_percentiles": (q_value_percentiles, q_value_percentiles_sql),
+    "events_cube": (q_events_cube, q_events_cube_sql),
     "user_sessions": (q_user_sessions, q_user_sessions_sql),
     "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),

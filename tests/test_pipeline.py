@@ -254,3 +254,24 @@ def test_parsing_statistics_derived_rates(spark):
     assert st["unique_templates"] == len(res["pool"])
     assert st["average_confidence"] == pytest.approx(0.9)
     assert st["cost_usd"] == 0.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-multiset-identical to the plain join on a
+    skewed key distribution, for inner and left."""
+    import random
+
+    from logparser_llm_spark.plans.pipeline import salted_join
+
+    rng = random.Random(7)
+    # 90% of fact rows share one hot key; some keys miss the dim
+    fact = [(("hot" if rng.random() < 0.9 else f"k{rng.randint(0, 20)}"), i)
+            for i in range(2000)]
+    dim = [(f"k{i}", f"v{i}") for i in range(15)] + [("hot", "vhot")]
+    f = spark.createDataFrame(fact, "key string, fid bigint")
+    d = spark.createDataFrame(dim, "key string, val string")
+
+    for how in ("inner", "left"):
+        plain = sorted(tuple(r) for r in f.join(d, ["key"], how).collect())
+        salted = sorted(tuple(r) for r in salted_join(f, d, ["key"], 8, how).collect())
+        assert salted == plain, how

@@ -81,3 +81,36 @@ def test_ngram_jaccard_query_is_skew_capped(spark):
 
     plan = physical_plan(q_ngram_jaccard(spark, SF))
     assert "LeftAnti" in plan, "hot-shingle anti-join missing from plan"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join WITHOUT a shuffle (the pre-shuffled-on-disk co-location layout)."""
+    from logparser_llm_spark.sources.bucketed import (
+        bucketed_join,
+        create_location_db,
+        write_bucketed,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    db = create_location_db(spark, "bktdb", str(tmp_path / "warehouse"))
+    try:
+        write_bucketed(c, f"{db}.cust_b", "c_custkey", n_buckets=4)
+        write_bucketed(o, f"{db}.ord_b", "c_custkey", n_buckets=4)
+        joined = bucketed_join(spark, f"{db}.cust_b", f"{db}.ord_b", "c_custkey")
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = physical_plan(joined)
+            assert "Exchange" not in plan, plan[:2000]
+            assert "SortMergeJoin" in plan
+            n = joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # sanity: same rows as the plain join
+        assert n == c.join(o, "c_custkey").count()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
