@@ -40,11 +40,19 @@ HEADLINE = [
     "lang_quality",
     "enrich_lang_join",
     "region_rollup",
+    "grok_parse",
+    "pii_redact",
+    "repetition_signals",
+    "value_percentiles",
+    "events_cube",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
 # instead of collect so the driver isn't the bottleneck
-LARGE_RESULT = {"clean_extract", "template_extract", "simhash", "lang_quality"}
+LARGE_RESULT = {
+    "clean_extract", "template_extract", "simhash", "lang_quality",
+    "grok_parse", "pii_redact", "repetition_signals",
+}
 
 
 # Per-query passes: first pass is the cold (JIT/codegen/broadcast) run,
