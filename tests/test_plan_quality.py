@@ -114,3 +114,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert n == c.join(o, "c_custkey").count()
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_sink_read_prunes_partitions(spark, tmp_path):
+    """A sink_id-filtered read of the fan-out table must scan only that
+    partition directory (PartitionFilters in the scan, not a post-filter)."""
+    import os
+
+    from logparser_llm_spark.plans.pipeline import run_pipeline
+    from logparser_llm_spark.sources.synth import generate_pages
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, generate_pages(spark, 120, seed=44), output_dir=out)
+    sink_dirs = [d for d in os.listdir(f"{out}/sinks") if d.startswith("sink_id=")]
+    assert len(sink_dirs) >= 2
+    one = int(sink_dirs[0].split("=")[1])
+    df = spark.read.parquet(f"{out}/sinks").filter(F.col("sink_id") == one)
+    plan = physical_plan(df)
+    import re as _re
+
+    assert _re.search(rf"PartitionFilters: \[[^\]]*sink_id#\d+ = {one}", plan), plan[-1500:]
