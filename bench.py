@@ -72,19 +72,20 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
-def _timed(fn) -> tuple[float, float]:
+def _timed(fn, cores: int = CPUS) -> tuple[float, float]:
     """(wall sec, hypervisor steal share during the run)."""
     st0, t0 = _steal_jiffies(), time.perf_counter()
     fn()
     dt = time.perf_counter() - t0
-    steal_share = (_steal_jiffies() - st0) / os.sysconf("SC_CLK_TCK") / (dt * CPUS)
+    steal_share = (_steal_jiffies() - st0) / os.sysconf("SC_CLK_TCK") / (dt * cores)
     return dt, steal_share
 
 
-def _best_clean(runs: list[tuple[float, float]]) -> tuple[float, bool]:
+def _best_clean(runs: list[tuple[float, float]]) -> tuple[tuple[float, float], bool]:
+    """(best clean (sec, steal) — best overall if none clean, tainted?)."""
     clean = [r for r in runs if r[1] < STEAL_CLEAN]
     tainted = not clean
-    return min(clean or runs)[0], tainted
+    return min(clean or runs), tainted
 
 
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
@@ -103,7 +104,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
                 df.collect()
 
         runs = [_timed(exec_once) for _ in range(PASSES)]
-        best, is_tainted = _best_clean(runs)
+        (best, _), is_tainted = _best_clean(runs)
         times[name] = round(best, 3)
         if is_tainted:
             tainted.append(name)
@@ -117,7 +118,7 @@ def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int]:
     runs = [
         _timed(lambda: q_parse_route_agg(spark, sf_dir).collect()) for _ in range(PASSES)
     ]
-    best, _ = _best_clean(runs)
+    (best, _), _tainted = _best_clean(runs)
     return n / best, n
 
 
@@ -167,30 +168,19 @@ def _scaling_child(cores: int) -> None:
     )
     n = df.count()
 
-    def steal_jiffies() -> int:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8])
-
-    def one_run() -> tuple[float, float]:
-        """(wall sec, hypervisor steal share during the run). This host
-        shows bursty CPU steal; a stolen-CPU run measures the neighbor's
-        workload, not ours, so runs are taint-tagged and filtered."""
-        st0, t0 = steal_jiffies(), time.perf_counter()
+    def one_body() -> None:
         assigned, _pool = parse_and_count(df, "text")
         sink_counts(route(assigned)).collect()
-        dt = time.perf_counter() - t0
-        steal_share = (steal_jiffies() - st0) / os.sysconf("SC_CLK_TCK") / (dt * cores)
-        return dt, steal_share
 
-    one_run()  # warmup
-    runs = [one_run() for _ in range(3)]
-    clean_runs = [r for r in runs if r[1] < 0.02]
-    tainted = not clean_runs
-    best = min(clean_runs or runs)
+    # same steal-tagging/best-clean methodology as the headline suite
+    # (shared helpers — the two measurements must stay comparable)
+    _timed(one_body, cores)  # warmup
+    runs = [_timed(one_body, cores) for _ in range(3)]
+    (best_sec, best_steal), tainted = _best_clean(runs)
     print(json.dumps({
-        "cores": cores, "lines": n, "sec": best[0],
-        "lines_per_sec": round(n / best[0], 1),
-        "steal_share": round(best[1], 4), "steal_tainted": tainted,
+        "cores": cores, "lines": n, "sec": best_sec,
+        "lines_per_sec": round(n / best_sec, 1),
+        "steal_share": round(best_steal, 4), "steal_tainted": tainted,
     }))
 
 

@@ -36,11 +36,16 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(id_a, id_b) undirected pair set → (node, component_id) where
     component_id = min node id reachable from ``node``. Nodes appearing
-    in no pair are absent (callers union isolated ids if needed)."""
+    in no pair are absent (callers union isolated ids if needed).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iter`` rounds (graph diameter > max_iter) — wrong-but-silent
+    labels are never returned; raise ``max_iter`` or switch to the
+    log-rounds star contraction for pathological chains."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -54,7 +59,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = prev_sum is None  # empty graph is trivially converged
     for _ in range(max_iter):
+        if converged:
+            break
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
@@ -72,8 +80,13 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease → fixpoint
-            break
+            converged = True
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
 
 

@@ -178,7 +178,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         sample_rate * n_channels * 2, n_channels * 2, 16,
     )
     body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
-    return struct.pack("<4sI", b"RIFF", 4 + len(body) - 4 + 4) + body
+    # RIFF chunk size = total file bytes − 8 (the RIFF id + size fields)
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -358,6 +359,8 @@ def frame_sample(
         pos = 0
         while pos + 6 <= len(payload) and payload[pos : pos + 2] == b"BM":
             size = bmp_declared_size(payload, pos)
+            if size < 54:  # smaller than its own headers → corrupt; stop
+                break      # (also guards the size=0 infinite-loop case)
             offsets.append((pos, size))
             pos += size
         picked = []

@@ -148,9 +148,7 @@ def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
         status = it.next()
         name = status.getPath().getName()
         if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, _metadata, hidden/tmp files
-        if not name.endswith(".parquet"):
-            continue
+            continue  # _SUCCESS, _metadata, hidden/tmp/.crc files
         out.append(norm_file_uri(status.getPath().toString()))
     return sorted(out)
 
@@ -233,6 +231,18 @@ def run_resumable(
             "pool_version": pool_version,
             "completed_at": time.time(),
         }
+    # zero-row inputs never appear in the lineage groupBy — record them
+    # too, or they would be re-listed as todo on every subsequent run
+    seen = {norm_file_uri(r["_src"]) for r in lineage_rows}
+    for f in todo:
+        if f not in seen:
+            ck.completed[f] = {
+                "rows_total": 0,
+                "rows_valid": 0,
+                "rows_unknown": 0,
+                "pool_version": pool_version,
+                "completed_at": time.time(),
+            }
     ck.pending_run = None
     ck.save()
 

@@ -114,11 +114,14 @@ def make_variables_udf():
     small, so each Python worker compiles each template once."""
     from pyspark.sql.functions import pandas_udf
 
+    # worker-level memo: rides in the closure, so each Python worker
+    # compiles each template once across ALL its Arrow batches (a
+    # per-batch dict would recompile the whole pool every ~10k rows)
+    memo: dict = {}
+
     @pandas_udf("map<string,string>")
     def _vars(cleaned: pd.Series, template: pd.Series) -> pd.Series:
         import re
-
-        memo: dict[str, "re.Pattern | None"] = {}
 
         def compiled(tmpl: str):
             p = memo.get(tmpl, False)
@@ -283,14 +286,17 @@ def parsing_statistics(
       the deterministic extractor replaces the LLM);
     - llm_calls = 0, so llm_efficiency = inf (get_llm_efficiency's
       explicit zero-call branch) and cost_usd = 0.0;
-    - average_confidence is count-weighted over the pool (unknown rows
-      contribute 0.0, matching the fallback result's confidence).
+    - average_confidence is the per-row mean over ALL rows — matched rows
+      weighted by the pool's count-weighted confidence, unknown rows
+      contributing 0.0 (the fallback result's confidence), like the
+      reference's running mean over every ParsedLog.
     """
     total = int(lineage.get("rows_total") or 0)
     unknown = int(lineage.get("rows_unknown") or 0)
     ok = total - unknown
     pool_rows = sum(int(t.get("count", 0)) for t in pool)
     conf_mass = sum(int(t.get("count", 0)) * float(t.get("confidence", 0.0)) for t in pool)
+    matched_mean = (conf_mass / pool_rows) if pool_rows else 0.0
     return {
         "total_logs": total,
         "successfully_parsed": ok,
@@ -299,7 +305,7 @@ def parsing_statistics(
         "llm_calls": 0,
         "cache_hits": ok,
         "total_processing_time_ms": elapsed_sec * 1000.0,
-        "average_confidence": (conf_mass / pool_rows) if pool_rows else 0.0,
+        "average_confidence": (matched_mean * ok / total) if total else 0.0,
         "cost_usd": 0.0,
         "cache_hit_rate": (ok / total) if total else 0.0,
         "success_rate": (ok / total) if total else 0.0,

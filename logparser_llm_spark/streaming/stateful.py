@@ -67,46 +67,55 @@ def expiring_user_sessions(
     )
     state_schema = "start_us bigint, last_us bigint, n bigint"
 
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(sessions):
+        return pd.DataFrame(
+            {
+                user_col: pd.Series([s_key for s_key, *_ in sessions], dtype="int64"),
+                "session_start": pd.Series(
+                    [pd.Timestamp(s, unit="us") for _, s, _, _ in sessions],
+                    dtype="datetime64[ns]",
+                ),
+                "session_end": pd.Series(
+                    [pd.Timestamp(e, unit="us") for _, _, e, _ in sessions],
+                    dtype="datetime64[ns]",
+                ),
+                "n_events": pd.Series([n for *_, n in sessions], dtype="int64"),
+            }
+        )
+
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    user_col: [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            yield _emit([(key[0], start_us, last_us, n)])
             return
-        batch_min = batch_max = None
-        n_new = 0
+        # gather + sort this trigger's event times so gaps INSIDE a batch
+        # (or across triggers) split sessions exactly like the batch
+        # 30-min-gap sessionization; only the trailing open session stays
+        # in state (late data beyond the watermark is dropped upstream)
+        times: list[int] = []
         for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts = pd.to_datetime(pdf[ts_col])
-            lo, hi = ts.min().value // 1000, ts.max().value // 1000
-            batch_min = lo if batch_min is None else min(batch_min, lo)
-            batch_max = hi if batch_max is None else max(batch_max, hi)
-            n_new += len(pdf)
-        if n_new:
-            if state.exists:
-                start_us, last_us, n = state.get
-                state.update((min(start_us, batch_min), max(last_us, batch_max), n + n_new))
+            if len(pdf):
+                times.extend(int(v) // 1000 for v in pd.to_datetime(pdf[ts_col]).astype("int64"))
+        times.sort()
+        closed: list[tuple] = []
+        cur = list(state.get) if state.exists else None  # [start, last, n]
+        for t in times:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_us:
+                closed.append((key[0], cur[0], cur[1], cur[2]))
+                cur = [t, t, 1]
             else:
-                state.update((batch_min, batch_max, n_new))
-        if state.exists:
-            _, last_us, _ = state.get
-            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
-        yield pd.DataFrame(
-            {
-                user_col: pd.Series([], dtype="int64"),
-                "session_start": pd.Series([], dtype="datetime64[ns]"),
-                "session_end": pd.Series([], dtype="datetime64[ns]"),
-                "n_events": pd.Series([], dtype="int64"),
-            }
-        )
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2]))
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        yield _emit(closed)
 
     return (
         events.withWatermark(ts_col, watermark)

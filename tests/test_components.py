@@ -40,3 +40,11 @@ def test_representatives(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (9, 10)], "id_a bigint, id_b bigint")
     rows = {r["component_id"]: r["n_members"] for r in dedup_representatives(df).collect()}
     assert rows == {1: 3, 9: 2}
+
+
+def test_non_convergence_raises(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)

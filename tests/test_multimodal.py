@@ -180,3 +180,26 @@ def test_fake_frame_sampling_shape(spark, pages):
     for nos in by_doc.values():
         assert all(n % 2 == 0 for n in nos)
         assert len(nos) <= 3
+
+
+def test_wav_riff_size_field_is_strict():
+    payload = encode_wav(np.zeros(50), 8000)
+    import struct as _s
+
+    assert _s.unpack_from("<I", payload, 4)[0] == len(payload) - 8
+
+
+def test_frame_sample_corrupt_stream_terminates(spark):
+    # declared size 0 must not loop forever; declared size < headers stops
+    corrupt = b"BM" + (0).to_bytes(4, "little") + b"\x00" * 60
+    good = encode_bmp(_test_image(4, 3, seed=9))
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt)), (2, bytearray(good + corrupt))],
+        "doc_id bigint, html binary",
+    )
+    rows = frame_sample(df, every_n=1, max_frames=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc                  # nothing decodable
+    assert len(by_doc[2]) == 1              # the good leading frame only

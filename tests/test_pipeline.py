@@ -252,7 +252,8 @@ def test_parsing_statistics_derived_rates(spark):
     assert st["cache_hit_rate"] == pytest.approx(0.8)
     assert st["llm_calls"] == 0 and st["llm_efficiency"] == float("inf")
     assert st["unique_templates"] == len(res["pool"])
-    assert st["average_confidence"] == pytest.approx(0.9)
+    # per-row mean over ALL rows: 8 matched at 0.9, 2 unknown at 0.0
+    assert st["average_confidence"] == pytest.approx(0.72)
     assert st["cost_usd"] == 0.0
 
 

@@ -168,6 +168,9 @@ def test_stateful_session_expiry(spark, tmp_path):
     wave1 = [
         (1, t0), (1, t0 + dt.timedelta(minutes=5)),
         (2, t0 + dt.timedelta(minutes=1)),
+        # user 4: two events in ONE batch separated by > gap → must split
+        # into two sessions (in-batch gap handling, not just timeouts)
+        (4, t0), (4, t0 + dt.timedelta(hours=2)),
     ]
     # wave 2 advances event time far past gap+watermark → sessions close
     wave2 = [(3, t0 + dt.timedelta(hours=6))]
@@ -191,8 +194,17 @@ def test_stateful_session_expiry(spark, tmp_path):
         .start()
     )
     q.awaitTermination(240)
-    rows = {r["user_id"]: r for r in spark.sql("select * from closed_sessions").collect()}
-    assert 1 in rows and rows[1]["n_events"] == 2
-    assert rows[1]["session_start"] == t0
-    assert rows[1]["session_end"] == t0 + dt.timedelta(minutes=5)
-    assert 2 in rows and rows[2]["n_events"] == 1
+    rows: dict = {}
+    for r in spark.sql("select * from closed_sessions").collect():
+        rows.setdefault(r["user_id"], []).append(r)
+    (s1,) = rows[1]
+    assert s1["n_events"] == 2
+    assert s1["session_start"] == t0
+    assert s1["session_end"] == t0 + dt.timedelta(minutes=5)
+    assert rows[2][0]["n_events"] == 1
+    # the in-batch gap split: user 4 closed two single-event sessions
+    u4 = sorted(rows[4], key=lambda r: r["session_start"])
+    assert len(u4) == 2
+    assert [s["n_events"] for s in u4] == [1, 1]
+    assert u4[0]["session_start"] == t0
+    assert u4[1]["session_start"] == t0 + dt.timedelta(hours=2)
