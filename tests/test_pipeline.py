@@ -276,3 +276,21 @@ def test_salted_join_equals_plain_join(spark):
         plain = sorted(tuple(r) for r in f.join(d, ["key"], how).collect())
         salted = sorted(tuple(r) for r in salted_join(f, d, ["key"], 8, how).collect())
         assert salted == plain, how
+
+
+def test_zero_row_input_file_is_marked_complete(spark, tmp_path):
+    """Empty parquet files never appear in the lineage groupBy; they must
+    still be recorded in the manifest or every later run reprocesses."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 30, seed=12).coalesce(1).write.parquet(src)
+    # an upstream-filtered empty file (0 rows, valid schema)
+    spark.read.parquet(src).limit(0).coalesce(1).write.mode("append").parquet(src)
+
+    r1 = run_resumable(spark, src, ck, out)
+    assert len(r1["processed"]) == 2
+    r2 = run_resumable(spark, src, ck, out)
+    assert r2["processed"] == [] and len(r2["skipped"]) == 2
+    manifest = Checkpoint.load(ck)
+    assert any(e["rows_total"] == 0 for e in manifest.completed.values())
