@@ -297,7 +297,10 @@ def make_simhash_udf(bits: int = 32):
         out = np.zeros(len(text), dtype=np.int64)
         weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
         for i, t in enumerate(text):
-            toks = [x for x in (t or "").strip().split(" ") if x]
+            # strip SPACES only: JVM ws_tokens uses F.trim, which removes
+            # ASCII spaces but not tabs/newlines — Python's bare strip()
+            # would diverge on whitespace-varied text
+            toks = [x for x in (t or "").strip(" ").split(" ") if x]
             if not toks:
                 continue
             votes = np.zeros(bits, dtype=np.int64)
@@ -439,7 +442,13 @@ def embedding_near_dup_lsh(
     from .similarity import cosine_expr
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if probe is None:  # empty input → empty pair set, not a crash
+            id_type = dict(df.dtypes)[id_col]
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, cosine double"
+            )
+        dim = len(probe[0])
     sig_udf = make_lsh_band_udf(dim, bits, tables, seed)
     banded = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_k")

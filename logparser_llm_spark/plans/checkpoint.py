@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..operators.cluster import assign_templates, discover_templates
-from ..operators.merging import merge_pool, dedup_pool_exact
+from ..operators.merging import dedup_pool_exact
 from .pipeline import enrich, parsed_projection, route, sink_counts
 
 MANIFEST_NAME = "manifest.json"
@@ -87,7 +87,7 @@ class Checkpoint:
         os.replace(tmp, os.path.join(self.directory, POOL_NAME))
 
 
-def _merge_into_pool(existing: list[dict], discovered: list[dict], cfg: PipelineConfig) -> list[dict]:
+def _merge_into_pool(existing: list[dict], discovered: list[dict]) -> list[dict]:
     """Grow the pool keeping existing ids stable; new patterns get the
     next sequential ids (sorted for determinism)."""
     known = {t["pattern"] for t in existing}
@@ -133,6 +133,12 @@ def delete_path(spark: SparkSession, path: str) -> None:
         fs.delete(jpath, True)
 
 
+def rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    fs, jsrc = _hadoop_fs(spark, src)
+    jvm = spark.sparkContext._jvm
+    fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst))
+
+
 def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
     """Enumerate parquet data files (the resume units) via Hadoop FS
     METADATA ONLY — a recursive directory listing, same as an Iceberg
@@ -142,15 +148,49 @@ def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
     at the 10^12-row target is itself a large job (VERDICT r1 item 5).
     A pytest asserts this launches zero Spark jobs."""
     fs, jpath = _hadoop_fs(spark, input_path)
+    root = norm_file_uri(jpath.toString()).rstrip("/")
     out = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         status = it.next()
-        name = status.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, _metadata, hidden/tmp/.crc files
-        out.append(norm_file_uri(status.getPath().toString()))
+        uri = norm_file_uri(status.getPath().toString())
+        # Spark/Hadoop PathFilters hide any path SEGMENT starting with
+        # _ or . (e.g. _temporary/0/part-*.parquet from a crashed writer,
+        # .spark-staging-*/...), not just the basename — mirror that, but
+        # only for segments below the input root (a job may legitimately
+        # live under a _work-style parent directory)
+        rel = uri[len(root):].lstrip("/") if uri.startswith(root) else uri
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append(uri)
     return sorted(out)
+
+
+def refresh_global_counts(spark: SparkSession, output_dir: str) -> None:
+    """Rebuild <output>/counts by summing the per-run count tables —
+    cost grows with runs × templates, never with accumulated sink rows.
+    Written via tmp + rename so readers never see a half-written dir;
+    always derivable from the live run_counts dirs, so a crash here just
+    means the next run rewrites it."""
+    fs, jroot = _hadoop_fs(spark, f"{output_dir}/run_counts")
+    if not fs.exists(jroot):
+        return
+    paths = [
+        norm_file_uri(s.getPath().toString())
+        for s in fs.listStatus(jroot)
+        if s.isDirectory() and s.getPath().getName().startswith("run=")
+    ]
+    if not paths:
+        return
+    merged = (
+        spark.read.parquet(*paths)
+        .groupBy("sink_id", "template_id")
+        .agg(F.sum("doc_count").alias("doc_count"))
+    )
+    tmp = f"{output_dir}/_counts_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    delete_path(spark, f"{output_dir}/counts")
+    rename_path(spark, tmp, f"{output_dir}/counts")
 
 
 def run_resumable(
@@ -170,9 +210,11 @@ def run_resumable(
 
     # a pending_run marker with no completion means the previous attempt
     # died between the sink write and the manifest save — drop its
-    # (possibly partial) run directory so the retry is idempotent
+    # (possibly partial) run directory + its per-run counts so the retry
+    # is idempotent
     if ck.pending_run:
         delete_path(spark, f"{output_dir}/sinks/run={ck.pending_run}")
+        delete_path(spark, f"{output_dir}/run_counts/run={ck.pending_run}")
         ck.pending_run = None
 
     all_files = list_input_files(spark, input_path)
@@ -186,12 +228,18 @@ def run_resumable(
     # discover on the new slice only; merge into the stable pool
     discovered = discover_templates(df, text_col, cfg)
     ck.pool = (
-        _merge_into_pool(ck.pool, discovered, cfg) if ck.pool else discovered
+        _merge_into_pool(ck.pool, discovered) if ck.pool else discovered
     )
 
     assigned = assign_templates(df, text_col, ck.pool, cfg)
     parsed = parsed_projection(assigned, ck.pool, cfg)
     routed = route(enrich(parsed), cfg).withColumn("_src", F.input_file_name())
+    # three consumers below (lineage agg, sink write, per-run counts) —
+    # persist the NEW-SLICE frame so the parse pipeline runs once, not
+    # three times (the slice is the incremental delta, not the corpus)
+    from pyspark import StorageLevel
+
+    routed.persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-partition (per-file) lineage counters — one distributed agg
     lineage_rows = (
@@ -204,23 +252,33 @@ def run_resumable(
         .collect()
     )
 
-    from ..sources.sinks import read_sink_table, write_sink_table
-
     # idempotent append: each run lands in its own run=<key> directory
     # (key = hash of the work set) written with OVERWRITE, and the key is
     # journaled as pending_run BEFORE the write. A failure anywhere
     # between write and manifest completion leaves either nothing or a
     # run dir that the next attempt deletes (above) / overwrites — never
     # duplicate sink rows (ADVICE r1: append-then-save was not retryable).
+    # NOTE: the run=<key> protocol is a parquet-layout protocol (direct
+    # partitioned writes); an Iceberg deployment would instead append with
+    # a run_key column and make retries idempotent via
+    # overwritePartitions/replace-where on that key — directory deletes
+    # don't undo Iceberg commits.
     run_key = hashlib.md5("\n".join(todo).encode()).hexdigest()[:16]
     ck.pending_run = run_key
     ck.save()
 
     payload = routed.drop("is_valid", "html", "_src")
-    write_sink_table(payload, f"{output_dir}/sinks/run={run_key}", mode="overwrite")
-
-    counts = sink_counts(read_sink_table(spark, f"{output_dir}/sinks").drop("run"), cfg)
-    counts.write.mode("overwrite").parquet(f"{output_dir}/counts")
+    payload.write.mode("overwrite").partitionBy("sink_id").parquet(
+        f"{output_dir}/sinks/run={run_key}"
+    )
+    # per-run counts colocated (same lifecycle as the run dir): the
+    # global counts refresh below aggregates THESE — O(runs × templates)
+    # — instead of re-scanning every historical sink row each run
+    sink_counts(payload, cfg).write.mode("overwrite").parquet(
+        f"{output_dir}/run_counts/run={run_key}"
+    )
+    routed.unpersist()
+    refresh_global_counts(spark, output_dir)
 
     pool_version = len(ck.pool)
     for r in lineage_rows:

@@ -67,7 +67,7 @@ class StreamingParser:
         if batch_df.isEmpty():
             return
         discovered = discover_templates(batch_df, self.text_col, self.cfg)
-        self.pool = _merge_into_pool(self.pool, discovered, self.cfg) if self.pool else discovered
+        self.pool = _merge_into_pool(self.pool, discovered) if self.pool else discovered
         assigned = assign_templates(batch_df, self.text_col, self.pool, self.cfg)
         routed = route(assigned, self.cfg).withColumn("_batch_id", F.lit(batch_id))
         routed.drop("is_valid").write.mode("append").partitionBy("sink_id").parquet(

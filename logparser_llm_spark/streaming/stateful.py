@@ -68,18 +68,28 @@ def expiring_user_sessions(
     state_schema = "start_us bigint, last_us bigint, n bigint"
 
     gap_us = gap_seconds * 1_000_000
+    # Arrow hands the UDF tz-NAIVE timestamps rendered in the session
+    # timezone, while setTimeoutTimestamp compares against the true-UTC
+    # event-time watermark — localize with the session tz (captured on
+    # the driver) so expiry math is correct for any session timezone.
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
 
     def _emit(sessions):
+        # emit naive timestamps back in the session tz (the inverse of
+        # the localization above, so round-trips are identity)
+        def _naive(us: int):
+            return (
+                pd.Timestamp(us, unit="us", tz="UTC").tz_convert(session_tz).tz_localize(None)
+            )
+
         return pd.DataFrame(
             {
                 user_col: pd.Series([s_key for s_key, *_ in sessions], dtype="int64"),
                 "session_start": pd.Series(
-                    [pd.Timestamp(s, unit="us") for _, s, _, _ in sessions],
-                    dtype="datetime64[ns]",
+                    [_naive(s) for _, s, _, _ in sessions], dtype="datetime64[ns]"
                 ),
                 "session_end": pd.Series(
-                    [pd.Timestamp(e, unit="us") for _, _, e, _ in sessions],
-                    dtype="datetime64[ns]",
+                    [_naive(e) for _, _, e, _ in sessions], dtype="datetime64[ns]"
                 ),
                 "n_events": pd.Series([n for *_, n in sessions], dtype="int64"),
             }
@@ -98,7 +108,10 @@ def expiring_user_sessions(
         times: list[int] = []
         for pdf in pdfs:
             if len(pdf):
-                times.extend(int(v) // 1000 for v in pd.to_datetime(pdf[ts_col]).astype("int64"))
+                ts = pd.to_datetime(pdf[ts_col])
+                if ts.dt.tz is None:
+                    ts = ts.dt.tz_localize(session_tz)
+                times.extend(int(v) // 1000 for v in ts.astype("int64"))
         times.sort()
         closed: list[tuple] = []
         cur = list(state.get) if state.exists else None  # [start, last, n]

@@ -231,3 +231,26 @@ def test_simhash_hamming_band_pairs_are_exact(spark, docs):
         }
         assert got == want
         assert any(p[0] == 0 and p[1] == 1 for p in got)  # exact dups at distance 0
+
+
+def test_simhash_udf_whitespace_parity_with_jvm(spark):
+    """Python strip must mirror F.trim (spaces only): tabs/newlines in
+    tokens must hash identically on both paths."""
+    from logparser_llm_spark.operators.dedup import make_simhash_udf
+
+    docs = spark.createDataFrame(
+        [(1, "\tfoo bar"), (2, " foo bar "), (3, "foo\nbar baz")],
+        "doc_id bigint, text string",
+    )
+    jvm = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()}
+    fast = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", make_simhash_udf()(F.col("text")).alias("sh")).collect()}
+    assert jvm == fast
+
+
+def test_embedding_lsh_empty_input(spark):
+    from logparser_llm_spark.operators.dedup import embedding_near_dup_lsh
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = embedding_near_dup_lsh(empty, "vec_id", "embedding")
+    assert out.collect() == []
+    assert out.columns == ["id_a", "id_b", "cosine"]

@@ -294,3 +294,29 @@ def test_zero_row_input_file_is_marked_complete(spark, tmp_path):
     assert r2["processed"] == [] and len(r2["skipped"]) == 2
     manifest = Checkpoint.load(ck)
     assert any(e["rows_total"] == 0 for e in manifest.completed.values())
+
+
+def test_incremental_counts_match_full_reaggregation(spark, tmp_path):
+    """Global counts are merged from per-run count tables; they must
+    equal a full re-aggregation of all accumulated sink rows."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 60, seed=15).coalesce(1).write.parquet(src)
+    run_resumable(spark, src, ck, out)
+    generate_pages(spark, 30, seed=16).coalesce(1).write.mode("append").parquet(src)
+    run_resumable(spark, src, ck, out)
+
+    counts = {
+        (r["sink_id"], r["template_id"]): r["doc_count"]
+        for r in spark.read.parquet(f"{out}/counts").collect()
+    }
+    full = {
+        (r["sink_id"], r["template_id"]): r["cnt"]
+        for r in spark.read.parquet(f"{out}/sinks")
+        .groupBy("sink_id", "template_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert counts == full
+    assert sum(counts.values()) == 90
