@@ -387,6 +387,37 @@ def embedding_near_dup_pairs(
     )
 
 
+def dedup_corpus_keep_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """The end-to-end dedup materialization: which rows SURVIVE — the
+    step after pair mining that an actual training-data pipeline ships.
+
+    1. exact dedup: one representative (min id) per distinct text;
+    2. near-dup grouping: SimHash Hamming-band pairs → connected
+       components (each near-dup family labeled by its min member id);
+    3. keep = exact representatives minus near-dup non-representatives.
+
+    Output: (doc_id) of kept rows. Each stage is the already-tested
+    operator; this is their composition (broadcast-free, all bounded
+    joins)."""
+    from .components import connected_components
+
+    exact_reps = dedup_exact(df, id_col, text_col).select(
+        F.col("rep_id").alias("doc_id")
+    )
+    pairs = simhash_near_dup_pairs(df, id_col, text_col, max_hamming, bands)
+    comp = connected_components(pairs)
+    drop_near = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return exact_reps.join(drop_near, "doc_id", "left_anti")
+
+
 def make_lsh_band_udf(dim: int, bits: int = 8, tables: int = 4, seed: int = 7):
     """Arrow-batched signature UDF: vector → array of ``tables`` packed
     band keys (one random-hyperplane sign signature per table). Planes

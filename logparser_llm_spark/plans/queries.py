@@ -777,6 +777,41 @@ def q_dedup_components_sql(sf: str) -> str:
     """
 
 
+def q_dedup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: rows surviving exact dedup + SimHash
+    near-dup group collapse (keep each family's min-id representative)."""
+    from ..operators.dedup import dedup_corpus_keep_ids
+
+    d = _read(spark, sf_dir, "documents")
+    return dedup_corpus_keep_ids(d, "doc_id", "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+def q_dedup_filtered_sql(sf: str) -> str:
+    simhash_inner = q_simhash_sql(sf)
+    return f"""
+        with recursive
+        s as ({simhash_inner}),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b
+          from s a join s b on a.doc_id < b.doc_id
+          where bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+        reach(node, r) as (
+          select a, a from (select distinct a from edges)
+          union
+          select e.b, reach.r from reach join edges e on e.a = reach.node
+        ),
+        comp as (select node, min(r) as cid from reach group by node),
+        exact_reps as (select min(doc_id) as doc_id from documents group by md5(text))
+        select cast(doc_id as bigint) as doc_id from exact_reps
+        where doc_id not in (select node from comp where node <> cid)
+    """
+
+
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-pass Arrow UDF (~10× the interpreted higher-order Column
     # expressions); semantics identical to lang_id/quality_score/
@@ -1256,6 +1291,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_sql),
     "simhash_near_dup": (q_simhash_near_dup, q_simhash_near_dup_sql),
     "dedup_components": (q_dedup_components, q_dedup_components_sql),
+    "dedup_filtered": (q_dedup_filtered, q_dedup_filtered_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "pii_redact": (q_pii_redact, q_pii_redact_sql),
     "grok_parse": (q_grok_parse, q_grok_parse_sql),

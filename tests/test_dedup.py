@@ -254,3 +254,28 @@ def test_embedding_lsh_empty_input(spark):
     out = embedding_near_dup_lsh(empty, "vec_id", "embedding")
     assert out.collect() == []
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_dedup_corpus_keep_ids(spark):
+    """Composition: exact dup non-reps AND near-dup family non-reps are
+    dropped; unique docs survive."""
+    from logparser_llm_spark.operators.dedup import dedup_corpus_keep_ids
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup → drop
+        (2, "the quick brown fox jumps over the lazy cat near the river bank"),  # near dup of 0 → drop
+        (3, "completely different content about database query optimization plans"),
+        (4, "another unrelated text mentioning spark partitions and shuffle behavior"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # doc 2's simhash sits within hamming 8 of doc 0 (one word changed);
+    # widen the near-dup threshold accordingly (bands > max_hamming)
+    kept = {
+        r["doc_id"]
+        for r in dedup_corpus_keep_ids(df, "doc_id", "text", max_hamming=8, bands=16).collect()
+    }
+    assert 0 in kept            # representative of the family
+    assert 1 not in kept        # exact dup
+    assert 2 not in kept        # near dup (hamming-close simhash)
+    assert {3, 4} <= kept       # unique docs survive
