@@ -99,8 +99,19 @@ def grok_parse(
     keep: list[str] | None = None,
 ) -> DataFrame:
     """Append the grok captures of ``expr`` over ``text_col``. ``keep``
-    restricts the carried-through input columns (default: all)."""
+    restricts the carried-through input columns (default: all).
+
+    Raises on a grok field name colliding with a carried input column —
+    otherwise the frame would silently gain duplicate column names and
+    later by-name references become ambiguous (ADVICE r2)."""
     base = df.select(*(keep or df.columns))
+    _, fields = compile_grok(expr, extra_patterns)
+    clash = sorted(set(fields) & set(base.columns))
+    if clash:
+        raise ValueError(
+            f"grok field(s) {clash} collide with input column(s); rename the "
+            f"grok capture or drop the input column via keep="
+        )
     return base.select("*", *grok_columns(F.col(text_col), expr, extra_patterns))
 
 

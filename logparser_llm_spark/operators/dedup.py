@@ -225,7 +225,8 @@ def minhash_lsh_pairs(
     signature. Output: (id_a, id_b, shared_bands). The band bucket-join
     replaces the all-pairs comparison — candidates meet only inside
     equal (band_idx, band_key) buckets."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     band_cols = [
@@ -340,7 +341,15 @@ def simhash_near_dup_pairs(
 
     Scale shape: the join keys are small integers; candidates are bounded
     by per-band bucket sizes (docs agreeing on 8 simhash bits), not n²."""
-    assert max_hamming < bands and bits % bands == 0
+    # hard errors, not asserts: under ``python -O`` a stripped assert
+    # would silently void the pigeonhole no-false-negative guarantee
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): a pair "
+            "differing in >= bands bits can touch every band and be missed"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
     width = bits // bands
     mask = (1 << width) - 1
     sigs = df.select(

@@ -39,6 +39,18 @@ from .pipeline import enrich, parsed_projection, route, sink_counts
 
 MANIFEST_NAME = "manifest.json"
 POOL_NAME = "pool.json"
+STATS_NAME = "statistics.json"
+
+
+def _json_safe_stats(stats: dict) -> dict:
+    """float('inf') is not valid JSON — serialize like the reference's
+    json.dump(default=str) would NOT (it crashes); we map inf <-> the
+    string 'inf' explicitly so round-trips are lossless."""
+    return {k: ("inf" if v == float("inf") else v) for k, v in stats.items()}
+
+
+def _stats_from_json(stats: dict) -> dict:
+    return {k: (float("inf") if v == "inf" else v) for k, v in stats.items()}
 
 
 @dataclass
@@ -47,12 +59,18 @@ class Checkpoint:
     pool: list[dict] = field(default_factory=list)
     completed: dict[str, dict] = field(default_factory=dict)  # file -> lineage
     pending_run: str | None = None  # write-ahead marker for the sink append
+    # cumulative A3 statistics across every completed run — the sidecar
+    # the reference's save_state persists next to the templates
+    # (reference core/parser.py:432-455: statistics.json); reloaded on
+    # resume so a restarted operator keeps the lifetime stats view
+    statistics: dict = field(default_factory=dict)
 
     @classmethod
     def load(cls, directory: str) -> "Checkpoint":
         ck = cls(directory)
         mpath = os.path.join(directory, MANIFEST_NAME)
         ppath = os.path.join(directory, POOL_NAME)
+        spath = os.path.join(directory, STATS_NAME)
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
@@ -61,6 +79,9 @@ class Checkpoint:
         if os.path.exists(ppath):
             with open(ppath) as f:
                 ck.pool = json.load(f)["templates"]
+        if os.path.exists(spath):
+            with open(spath) as f:
+                ck.statistics = _stats_from_json(json.load(f))
         return ck
 
     def save(self) -> None:
@@ -85,6 +106,11 @@ class Checkpoint:
                 indent=1,
             )
         os.replace(tmp, os.path.join(self.directory, POOL_NAME))
+        if self.statistics:
+            tmp = os.path.join(self.directory, STATS_NAME + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(_json_safe_stats(self.statistics), f, indent=1)
+            os.replace(tmp, os.path.join(self.directory, STATS_NAME))
 
 
 def _merge_into_pool(existing: list[dict], discovered: list[dict]) -> list[dict]:
@@ -169,9 +195,16 @@ def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
 def refresh_global_counts(spark: SparkSession, output_dir: str) -> None:
     """Rebuild <output>/counts by summing the per-run count tables —
     cost grows with runs × templates, never with accumulated sink rows.
-    Written via tmp + rename so readers never see a half-written dir;
-    always derivable from the live run_counts dirs, so a crash here just
-    means the next run rewrites it."""
+
+    Publish protocol: write to a tmp dir, park the previous counts dir
+    aside (counts → _counts_old), rename tmp into place, drop the old
+    copy. Readers never observe a HALF-WRITTEN dir (renames are atomic
+    per path); they can observe a brief ABSENCE between the two renames
+    — and a crash inside the window leaves _counts_old as the recovery
+    copy until the next run republishes. The table is always derivable
+    from the live run_counts dirs, so any crash here is repaired by the
+    next run. (An Iceberg deployment gets true atomic replace from the
+    catalog commit instead — see the note in run_resumable.)"""
     fs, jroot = _hadoop_fs(spark, f"{output_dir}/run_counts")
     if not fs.exists(jroot):
         return
@@ -188,9 +221,14 @@ def refresh_global_counts(spark: SparkSession, output_dir: str) -> None:
         .agg(F.sum("doc_count").alias("doc_count"))
     )
     tmp = f"{output_dir}/_counts_tmp"
+    counts = f"{output_dir}/counts"
+    old = f"{output_dir}/_counts_old"
     merged.write.mode("overwrite").parquet(tmp)
-    delete_path(spark, f"{output_dir}/counts")
-    rename_path(spark, tmp, f"{output_dir}/counts")
+    delete_path(spark, old)  # leftover from a previous crash, if any
+    if path_exists(spark, counts):
+        rename_path(spark, counts, old)
+    rename_path(spark, tmp, counts)
+    delete_path(spark, old)
 
 
 def run_resumable(
@@ -206,6 +244,7 @@ def run_resumable(
 
     Returns {"processed": [files], "skipped": [files], "pool_size": n}.
     """
+    run_t0 = time.monotonic()
     ck = Checkpoint.load(checkpoint_dir)
 
     # a pending_run marker with no completion means the previous attempt
@@ -221,7 +260,12 @@ def run_resumable(
     todo = [f for f in all_files if f not in ck.completed]
     skipped = [f for f in all_files if f in ck.completed]
     if not todo:
-        return {"processed": [], "skipped": skipped, "pool_size": len(ck.pool)}
+        return {
+            "processed": [],
+            "skipped": skipped,
+            "pool_size": len(ck.pool),
+            "statistics": ck.statistics,
+        }
 
     df = spark.read.parquet(*todo)
 
@@ -301,19 +345,34 @@ def run_resumable(
                 "pool_version": pool_version,
                 "completed_at": time.time(),
             }
+    from .pipeline import parsing_statistics
+
+    # cumulative statistics sidecar (S7 parity — parser.py:432-455):
+    # totals are re-derived from the manifest's per-file counters (the
+    # durable source of truth), so they survive restarts AND stay exact
+    # if a run crashes between sink write and manifest save; processing
+    # time accumulates across runs from the previous sidecar.
+    cum_lineage = {
+        "rows_total": sum(v["rows_total"] for v in ck.completed.values()),
+        "rows_valid": sum(v["rows_valid"] for v in ck.completed.values()),
+        "rows_unknown": sum(v["rows_unknown"] for v in ck.completed.values()),
+    }
+    prev_ms = float(ck.statistics.get("total_processing_time_ms", 0.0) or 0.0)
+    elapsed = time.monotonic() - run_t0
+    stats = parsing_statistics(cum_lineage, ck.pool, elapsed_sec=elapsed)
+    stats["total_processing_time_ms"] = prev_ms + elapsed * 1000.0
+    stats["avg_time_per_log_ms"] = (
+        stats["total_processing_time_ms"] / stats["total_logs"]
+        if stats["total_logs"]
+        else 0.0
+    )
+    ck.statistics = stats
     ck.pending_run = None
     ck.save()
 
-    from .pipeline import parsing_statistics
-
-    run_lineage = {
-        "rows_total": sum(r["rows_total"] for r in lineage_rows),
-        "rows_valid": sum(int(r["rows_valid"] or 0) for r in lineage_rows),
-        "rows_unknown": sum(int(r["rows_unknown"] or 0) for r in lineage_rows),
-    }
     return {
         "processed": todo,
         "skipped": skipped,
         "pool_size": len(ck.pool),
-        "statistics": parsing_statistics(run_lineage, ck.pool),
+        "statistics": ck.statistics,
     }

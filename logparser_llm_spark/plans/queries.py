@@ -44,14 +44,14 @@ from ..functions.text import (
     token_count_ws,
     STOPWORDS,
 )
-from ..operators.cluster import extract_pattern_udf, parse_and_count
+from ..operators.cluster import parse_and_count, pattern_col
 from ..operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_col,
 )
-from ..operators.similarity import brute_force_topk, cosine_expr
+from ..operators.similarity import cosine_expr
 from .pipeline import LANG_DIM, enrich, route
 
 NUM_SINKS = 8
@@ -167,11 +167,17 @@ def q_tokenize_stats_sql(sf: str) -> str:
 
 
 def q_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic extractor (LLM replacement) per event line."""
+    """The deterministic extractor (LLM replacement) per event line.
+
+    Registered path is the JVM ``extract_template_col`` (whole-stage
+    codegen; token-for-token equality with the Python extractor is
+    asserted in tests). ``scale.arrow_parity_mode`` flips to the
+    Arrow/Python-``re`` UDF via :func:`~..operators.cluster.pattern_col`.
+    """
     ev = _read(spark, sf_dir, "events")
     cleaned = clean_col(event_log_line_col(), DEFAULT_CONFIG.preprocessing)
     return ev.select(
-        "event_id", extract_pattern_udf()(cleaned).alias("pattern")
+        "event_id", pattern_col()(cleaned).alias("pattern")
     )
 
 
@@ -617,10 +623,17 @@ def q_simhash_sql(sf: str) -> str:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the query vector stays on the cluster (broadcast one-row frame) —
+    # no driver-side .first() probe job before the scoring scan
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    top = brute_force_topk(emb, "vec_id", "embedding", qvec, k=10)
-    return top.select("vec_id", e6(F.col("cosine"), "cosine_e6"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_expr(F.col("embedding"), F.col("_qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select("vec_id", e6(F.col("cosine"), "cosine_e6"))
+    )
 
 
 def q_ann_topk_sql(sf: str) -> str:
@@ -650,6 +663,7 @@ def q_ann_topk_sql(sf: str) -> str:
 PLANT_EVERY = 10
 PLANT_ID_OFFSET = 1_000_000
 NEAR_DUP_THRESHOLD = 0.9
+EMB_DIM = 64  # dimensionality of testdata embeddings.parquet (all SFs)
 
 
 def embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,11 +705,20 @@ def embeddings_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORACLE COUPLING (ADVICE r2): the LSH path has recall < 1 by
+    # construction while the DuckDB oracle is brute force; parity holds
+    # because the planted dups sit at cosine ≈ 0.99 where the 4-table,
+    # 8-bit miss probability is ≈ 0 (measured recall 1.0 at sf0.01/0.1 in
+    # tests). Changing PLANT_* / NEAR_DUP_THRESHOLD / bits / tables, or
+    # regenerating the testdata, can legitimately drop a qualifying pair
+    # here without any code bug — re-check recall in
+    # tests/test_similarity.py before blaming the operator.
     from ..operators.dedup import embedding_near_dup_lsh
 
     allv = embeddings_with_planted_dups(spark, sf_dir)
     pairs = embedding_near_dup_lsh(
-        allv, "vec_id", "embedding", threshold=NEAR_DUP_THRESHOLD, bits=8, tables=4
+        allv, "vec_id", "embedding", threshold=NEAR_DUP_THRESHOLD,
+        bits=8, tables=4, dim=EMB_DIM,  # explicit dim → no .first() probe job
     )
     return pairs.select("id_a", "id_b", e6(F.col("cosine"), "cosine_e6"))
 

@@ -61,11 +61,21 @@ def expiring_user_sessions(
     session is emitted. State is bounded by the set of users active
     within the watermark horizon — the churn-safe shape for unbounded
     key spaces."""
+    # derive the key column's type from the input (same convention as
+    # knn_join_topk_blocked) — hardcoding bigint would miscast or fail on
+    # string/int32 user ids (ADVICE r2)
+    user_type = dict(events.dtypes)[user_col]
     out_schema = (
-        f"{user_col} bigint, session_start timestamp, session_end timestamp, "
+        f"{user_col} {user_type}, session_start timestamp, session_end timestamp, "
         "n_events bigint"
     )
     state_schema = "start_us bigint, last_us bigint, n bigint"
+    # pandas dtype for emitting the key column with a stable type even in
+    # empty frames (Arrow casts exact-width ints; object works for strings)
+    _pd_key_dtype = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "string": "object",
+    }.get(user_type, "object")
 
     gap_us = gap_seconds * 1_000_000
     # Arrow hands the UDF tz-NAIVE timestamps rendered in the session
@@ -84,7 +94,7 @@ def expiring_user_sessions(
 
         return pd.DataFrame(
             {
-                user_col: pd.Series([s_key for s_key, *_ in sessions], dtype="int64"),
+                user_col: pd.Series([s_key for s_key, *_ in sessions], dtype=_pd_key_dtype),
                 "session_start": pd.Series(
                     [_naive(s) for _, s, _, _ in sessions], dtype="datetime64[ns]"
                 ),

@@ -279,3 +279,22 @@ def test_dedup_corpus_keep_ids(spark):
     assert 1 not in kept        # exact dup
     assert 2 not in kept        # near dup (hamming-close simhash)
     assert {3, 4} <= kept       # unique docs survive
+
+
+def test_band_config_raises_value_error(spark):
+    """Invalid band configs must raise even under python -O (ADVICE r2:
+    a stripped assert would silently void the pigeonhole guarantee)."""
+    import pytest
+
+    from logparser_llm_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=2, bands=5)
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=5)

@@ -68,3 +68,20 @@ def test_grok_base_is_re2_safe():
     for name, body in GROK_BASE.items():
         assert "(?=" not in body and "(?!" not in body and "(?<" not in body, name
         assert not re.search(r"\\[1-9]", body), name
+
+
+def test_grok_field_collision_raises(spark):
+    """A grok field name colliding with an input column must raise, not
+    silently produce duplicate column names (ADVICE r2)."""
+    import pytest
+
+    from logparser_llm_spark.functions.grok import grok_parse
+
+    df = spark.createDataFrame([("INFO boot", "x")], "line string, level string")
+    with pytest.raises(ValueError, match="collide"):
+        grok_parse(df, "line", "%{LOGLEVEL:level} %{GREEDYDATA:msg}")
+    # dropping the clashing input column via keep= succeeds
+    out = grok_parse(df, "line", "%{LOGLEVEL:level} %{GREEDYDATA:msg}", keep=["line"])
+    assert out.columns == ["line", "level", "msg"]
+    row = out.collect()[0]
+    assert row["level"] == "INFO" and row["msg"] == "boot"

@@ -127,6 +127,46 @@ def test_resume_processes_only_new_files(spark, tmp_path):
     assert ids == [f"tmpl_{i:04d}" for i in range(len(ids))]
 
 
+def test_statistics_sidecar_accumulates_across_restarts(spark, tmp_path):
+    """S7 parity (reference parser.py:432-455): the A3 statistics dict is
+    persisted to statistics.json next to the pool, accumulates across
+    runs, and a RESTARTED operator (fresh Checkpoint.load) sees the
+    cumulative lifetime view — not just the last run's slice."""
+    import json
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    generate_pages(spark, 80, seed=6).coalesce(1).write.mode("overwrite").parquet(src)
+    r1 = run_resumable(spark, src, ck, out)
+    s1 = r1["statistics"]
+    assert s1["total_logs"] == 80
+    assert s1["successfully_parsed"] + s1["failed"] == 80
+    assert s1["llm_efficiency"] == float("inf")
+
+    # the sidecar file exists and round-trips (inf included)
+    spath = os.path.join(ck, "statistics.json")
+    assert os.path.exists(spath)
+    with open(spath) as f:
+        on_disk = json.load(f)
+    assert on_disk["total_logs"] == 80 and on_disk["llm_efficiency"] == "inf"
+
+    # "restart": new data + a fresh load must ACCUMULATE, not reset
+    generate_pages(spark, 40, seed=7).coalesce(1).write.mode("append").parquet(src)
+    r2 = run_resumable(spark, src, ck, out)
+    s2 = r2["statistics"]
+    assert s2["total_logs"] == 120
+    assert s2["total_processing_time_ms"] > s1["total_processing_time_ms"]
+
+    reloaded = Checkpoint.load(ck)
+    assert reloaded.statistics["total_logs"] == 120
+    assert reloaded.statistics["llm_efficiency"] == float("inf")
+
+    # a no-op run (nothing new) reports the same cumulative view
+    r3 = run_resumable(spark, src, ck, out)
+    assert r3["processed"] == [] and r3["statistics"]["total_logs"] == 120
+
+
 def test_list_input_files_is_metadata_only(spark, tmp_path):
     """Enumerating resume units must launch NO Spark job (VERDICT r1
     item 5: the old input_file_name().distinct() was a full scan)."""

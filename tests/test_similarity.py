@@ -200,6 +200,39 @@ def test_ivf_topk_recall_and_exact_mode(spark):
     assert recall >= 0.8, recall
 
 
+def test_explicit_dim_builds_plan_without_probe_job(spark):
+    """With ``dim`` passed explicitly, the LSH entry points must BUILD
+    their plan without launching any Spark job (VERDICT r2 item 5: the
+    dim=None fallback runs a .first() probe job per call)."""
+    from logparser_llm_spark.operators.dedup import embedding_near_dup_lsh
+    from logparser_llm_spark.operators.similarity import lsh_bucket_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = df.limit(3).selectExpr("vec_id as query_id", "embedding")
+
+    group = "no-probe-job"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan construction must not run jobs")
+    try:
+        plan1 = embedding_near_dup_lsh(df, "vec_id", "embedding", dim=4)
+        plan2 = lsh_bucket_topk(df, queries, "vec_id", "embedding", dim=4)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    # the plans are real (executable) — just not executed during build
+    assert {c for c in plan1.columns} == {"id_a", "id_b", "cosine"}
+    assert plan2.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_knn_join_default_is_blocked():
+    from logparser_llm_spark.operators import similarity
+
+    assert similarity.knn_join is similarity.knn_join_topk_blocked
+
+
 def test_ivf_centroids_deterministic(spark):
     import numpy as np
 

@@ -208,3 +208,44 @@ def test_stateful_session_expiry(spark, tmp_path):
     assert [s["n_events"] for s in u4] == [1, 1]
     assert u4[0]["session_start"] == t0
     assert u4[1]["session_start"] == t0 + dt.timedelta(hours=2)
+
+
+def test_stateful_sessions_string_user_id(spark, tmp_path):
+    """The session key type is derived from the input schema — string
+    user ids must flow through unchanged (ADVICE r2: the schema was
+    hardcoded bigint)."""
+    import datetime as dt
+
+    from logparser_llm_spark.streaming.stateful import expiring_user_sessions
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    wave1 = [("alice", t0), ("alice", t0 + dt.timedelta(minutes=5)), ("bob", t0)]
+    wave2 = [("carol", t0 + dt.timedelta(hours=6))]
+    spark.createDataFrame(wave1, "user_id string, ts timestamp").coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, "user_id string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = expiring_user_sessions(stream, gap_seconds=1800, watermark="10 minutes")
+    assert dict(sessions.dtypes)["user_id"] == "string"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions_str")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = {
+        r["user_id"]: r for r in spark.sql("select * from closed_sessions_str").collect()
+    }
+    assert rows["alice"]["n_events"] == 2
+    assert rows["alice"]["session_end"] == t0 + dt.timedelta(minutes=5)
+    assert rows["bob"]["n_events"] == 1
