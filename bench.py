@@ -111,15 +111,57 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
     return times, tainted
 
 
-def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int]:
-    from logparser_llm_spark.plans.queries import q_parse_route_agg, _read
+FLAGSHIP_SPLITS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_SPLITS", "16"))
 
-    n = _read(spark, sf_dir, "events").count()
-    runs = [
-        _timed(lambda: q_parse_route_agg(spark, sf_dir).collect()) for _ in range(PASSES)
-    ]
+
+def ensure_flagship_corpus(spark, sf_dir: str) -> str:
+    """Materialize the flagship input (the constructed event log lines)
+    as ``FLAGSHIP_SPLITS`` parquet files. The raw sf0.1 events table is a
+    single ~2 MB file = ONE input split = one task — it measures the
+    single-task path, not the parallel plan the scaling harness proves
+    (VERDICT r2 item 2). Same rows, same logical work; ≥8 splits."""
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}:{FLAGSHIP_SPLITS}".encode()).hexdigest()[:8]
+    dest = f"/tmp/spark_graft_flagship_{tag}"
+    if not (os.path.isdir(dest) and os.path.exists(f"{dest}/_SUCCESS")):
+        from logparser_llm_spark.plans.queries import _read, event_log_line_col
+
+        (
+            _read(spark, sf_dir, "events")
+            .select(event_log_line_col().alias("text"))
+            .repartition(FLAGSHIP_SPLITS)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    return dest
+
+
+def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int, int]:
+    """(docs/sec, rows, input files): the full parse→route→aggregate
+    pipeline over the multi-file flagship corpus."""
+    from pyspark.sql import functions as F
+
+    from logparser_llm_spark.operators.cluster import parse_and_count
+    from logparser_llm_spark.plans.pipeline import route
+
+    corpus = ensure_flagship_corpus(spark, sf_dir)
+    n_files = sum(1 for f in os.listdir(corpus) if f.endswith(".parquet"))
+    df = spark.read.parquet(corpus)
+    n = df.count()
+
+    def one_body() -> None:
+        assigned, _pool = parse_and_count(df, "text")
+        (
+            route(assigned)
+            .groupBy("sink_id", "template_id")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .collect()
+        )
+
+    runs = [_timed(one_body) for _ in range(PASSES)]
     (best, _), _tainted = _best_clean(runs)
-    return n / best, n
+    return n / best, n, n_files
 
 
 SCALING_CORPUS = os.environ.get("SPARK_GRAFT_SCALING_CORPUS", "/tmp/spark_graft_scaling_corpus")
@@ -232,7 +274,7 @@ def main() -> None:
     # suite value = sum of per-query best clean runs (steady-state
     # capability, not wall time of the measurement loop)
     total = round(sum(times.values()), 3)
-    dps, n_docs = flagship_docs_per_sec(spark, SF_DIR)
+    dps, n_docs, n_files = flagship_docs_per_sec(spark, SF_DIR)
 
     result = {
         "metric": "end-to-end docs/sec (parse->route->aggregate) + headline suite",
@@ -243,6 +285,7 @@ def main() -> None:
         "cpus": CPUS,
         "docs_per_sec": round(dps, 1),
         "flagship_rows": n_docs,
+        "flagship_input_files": n_files,
         "passes_per_query": PASSES,
         "steal_tainted_queries": tainted,
     }

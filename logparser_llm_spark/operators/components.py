@@ -19,11 +19,12 @@ Scale notes:
 - convergence is detected by the monotone invariant Σlabels: labels only
   ever decrease, so an unchanged sum IS the fixpoint — one cheap action
   per round, no change-count join;
-- for graphs with adversarial diameter (10^6-link chains) swap the
-  per-round neighbor-min for the large-star/small-star contraction
-  (Kiveris et al., "Connected Components in MapReduce"), which converges
-  in O(log n) rounds on the same (node, label) frame shape. Near-dup
-  dedup does not need it.
+- for graphs with adversarial diameter (10^6-link chains)
+  :func:`connected_components_star` implements the large-star/small-star
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14), which converges in O(log² n) rounds independent of
+  diameter. Near-dup dedup rarely needs it — property tests assert the
+  two algorithms agree on random graphs.
 """
 
 from __future__ import annotations
@@ -88,6 +89,110 @@ def connected_components(
             "(graph diameter exceeds max_iter) — raise max_iter"
         )
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its STRICTLY LARGER neighbors to
+    the minimum of its neighborhood (incl. itself). Output edge set =
+    ⋃_u {(v, m(u)) : v ∈ Γ(u), v > u}, m(u) = min(Γ(u) ∪ {u})."""
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("u"), F.col("_mn")).alias("_m"))
+    )
+    return (
+        bidir.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: direct each edge high→low, then every node connects
+    its smaller neighbors AND itself to the minimum of them. Output =
+    ⋃_u {(v, m) : v ∈ N(u) ∪ {u} − {m}}, N(u) = smaller neighbors."""
+    directed = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("_m"))
+    others = (
+        directed.join(m, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    center = m.select(F.col("u"), F.col("_m").alias("v"))
+    return others.unionByName(center).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. SoCC'14) —
+    the adversarial-diameter fallback for :func:`connected_components`:
+    O(log² n) rounds regardless of graph diameter, so a 10^6-link chain
+    converges in ~20 rounds instead of 10^6.
+
+    Same contract as :func:`connected_components`: (id_a, id_b) pairs →
+    (node, component_id = min reachable id); isolated nodes absent;
+    RuntimeError if ``max_iter`` rounds don't reach the fixpoint.
+    Equality with min-label propagation is property-tested on random
+    graphs.
+
+    Fixpoint detection is EXACT set equality: both star operations emit
+    distinct edge sets, so new == old ⟺ |new| == |old| and
+    new − old == ∅ (one count + one isEmpty per round)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # remember every participating node: star rounds contract edges, so
+    # interior nodes of a chain vanish from the final star edge set
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = edges.count()
+    converged = prev_count == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_count = new.count()
+        if new_count == prev_count and new.exceptAll(edges).isEmpty():
+            converged = True
+        edges, prev_count = new, new_count
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds "
+            "— raise max_iter"
+        )
+    # fixpoint edges are stars (node → component min); nodes contracted
+    # away mid-run are recovered by joining the full node set and taking
+    # the min over incident star edges (the center labels itself)
+    bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = bidir.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        nodes.join(labels, nodes["node"] == labels["u"], "left")
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce(F.col("_mn"), F.col("node"))).alias(
+                "component_id"
+            ),
+        )
+    )
 
 
 def dedup_representatives(

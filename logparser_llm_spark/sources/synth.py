@@ -123,7 +123,11 @@ def _fill_template(template: str, ints: list[int], k: int) -> tuple[str, int]:
     return "".join(out), k
 
 
-def make_row(seed: int, row_id: int, lines_per_doc: int = 4) -> tuple:
+def make_labeled_row(seed: int, row_id: int, lines_per_doc: int = 4) -> tuple:
+    """(url, warc_ts, html, text, lang, labels): same deterministic
+    generation as :func:`make_row`, additionally returning the
+    template-bank index of each line — the seeded GROUND TRUTH for the
+    accuracy scorecard (which bank template produced which line)."""
     ints = _rng_ints(seed, row_id, 8 + 4 * lines_per_doc)
     domain = DOMAINS[ints[0] % len(DOMAINS)]
     url = f"https://{domain}/page/{row_id}"
@@ -131,6 +135,7 @@ def make_row(seed: int, row_id: int, lines_per_doc: int = 4) -> tuple:
     lang = LANGS[ints[2] % len(LANGS)]
     k = 3
     lines = []
+    labels: list[int] = []
     n_lines = 1 + ints[k] % lines_per_doc
     k += 1
     for _ in range(n_lines):
@@ -139,9 +144,14 @@ def make_row(seed: int, row_id: int, lines_per_doc: int = 4) -> tuple:
         idx = next(i for i, cw in enumerate(_CUM_WEIGHTS) if pick < cw)
         line, k = _fill_template(TEMPLATE_BANK[idx][1], ints, k)
         lines.append(line)
+        labels.append(idx)
     text = "\n".join(lines)
     html = f"<html><body><pre>{text}</pre></body></html>".encode()
-    return (url, warc_ts, html, text, lang)
+    return (url, warc_ts, html, text, lang, labels)
+
+
+def make_row(seed: int, row_id: int, lines_per_doc: int = 4) -> tuple:
+    return make_labeled_row(seed, row_id, lines_per_doc)[:5]
 
 
 def generate_pages(
@@ -171,4 +181,45 @@ def generate_log_lines(
     return pages.select(
         "url",
         F.posexplode(F.split("text", "\n")).alias("line_no", "text"),
+    )
+
+
+def gt_template(idx: int) -> str:
+    """Ground-truth template of bank entry ``idx`` in extractor space:
+    every variable slot becomes the ``<*>`` wildcard — the Loghub-style
+    target a parser's extracted template is scored against (PA)."""
+    import re as _re
+
+    return _re.sub(r"\{\w+\}", "<*>", TEMPLATE_BANK[idx][1])
+
+
+def generate_labeled_lines(
+    spark: SparkSession, n_rows: int, seed: int = 42, lines_per_doc: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Labeled Loghub-style fixture: one line per row with its seeded
+    ground truth — (url, line_no, text, gt_id, gt_template). ``gt_id`` is
+    the template-bank index that generated the line; ``gt_template`` the
+    slot-wildcarded target template. Distributed and per-row
+    deterministic like :func:`generate_pages`."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"url": [], "line_no": [], "text": [], "gt_id": [], "gt_template": []}
+            for i in batch["id"]:
+                url, _ts, _html, text, _lang, labels = make_labeled_row(
+                    seed, int(i), lines_per_doc
+                )
+                for line_no, (line, idx) in enumerate(zip(text.split("\n"), labels)):
+                    out["url"].append(url)
+                    out["line_no"].append(line_no)
+                    out["text"].append(line)
+                    out["gt_id"].append(f"gt_{idx:02d}")
+                    out["gt_template"].append(gt_template(idx))
+            yield pd.DataFrame(out)
+
+    rng = spark.range(n_rows, numPartitions=partitions)
+    return rng.mapInPandas(
+        _gen,
+        schema="url string, line_no int, text string, gt_id string, gt_template string",
     )
