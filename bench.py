@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash_near_dup",
     "embedding_near_dup",
     "ann_topk",
+    "knn_join",
     "lang_quality",
     "enrich_lang_join",
     "region_rollup",

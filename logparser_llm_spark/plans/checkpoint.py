@@ -249,11 +249,13 @@ def run_resumable(
 
     # a pending_run marker with no completion means the previous attempt
     # died between the sink write and the manifest save — drop its
-    # (possibly partial) run directory + its per-run counts so the retry
-    # is idempotent
+    # (possibly partial) run so the retry is idempotent (parquet: delete
+    # the run dirs; an Iceberg deployment: DELETE WHERE run_key)
+    from ..sources.sinks import abort_run, write_run_idempotent
+
     if ck.pending_run:
-        delete_path(spark, f"{output_dir}/sinks/run={ck.pending_run}")
-        delete_path(spark, f"{output_dir}/run_counts/run={ck.pending_run}")
+        abort_run(spark, f"{output_dir}/sinks", ck.pending_run, catalog=None)
+        abort_run(spark, f"{output_dir}/run_counts", ck.pending_run, catalog=None)
         ck.pending_run = None
 
     all_files = list_input_files(spark, input_path)
@@ -296,30 +298,30 @@ def run_resumable(
         .collect()
     )
 
-    # idempotent append: each run lands in its own run=<key> directory
-    # (key = hash of the work set) written with OVERWRITE, and the key is
-    # journaled as pending_run BEFORE the write. A failure anywhere
-    # between write and manifest completion leaves either nothing or a
-    # run dir that the next attempt deletes (above) / overwrites — never
-    # duplicate sink rows (ADVICE r1: append-then-save was not retryable).
-    # NOTE: the run=<key> protocol is a parquet-layout protocol (direct
-    # partitioned writes); an Iceberg deployment would instead append with
-    # a run_key column and make retries idempotent via
-    # overwritePartitions/replace-where on that key — directory deletes
-    # don't undo Iceberg commits.
+    # idempotent append via sources.sinks.write_run_idempotent: each run
+    # lands under its run=<key> (key = hash of the work set) written with
+    # OVERWRITE, and the key is journaled as pending_run BEFORE the
+    # write. A failure anywhere between write and manifest completion
+    # leaves either nothing or a run that the next attempt aborts (above)
+    # / overwrites — never duplicate sink rows (ADVICE r1:
+    # append-then-save was not retryable). catalog=None pins the
+    # parquet-layout protocol here (manifest bookkeeping is
+    # directory-based); the same adapter implements the Iceberg shape —
+    # run_key column + overwritePartitions (replace-where on run_key) —
+    # for table deployments, where directory deletes can't undo commits.
     run_key = hashlib.md5("\n".join(todo).encode()).hexdigest()[:16]
     ck.pending_run = run_key
     ck.save()
 
     payload = routed.drop("is_valid", "html", "_src")
-    payload.write.mode("overwrite").partitionBy("sink_id").parquet(
-        f"{output_dir}/sinks/run={run_key}"
+    write_run_idempotent(
+        payload, f"{output_dir}/sinks", run_key, partition_by=["sink_id"], catalog=None
     )
     # per-run counts colocated (same lifecycle as the run dir): the
     # global counts refresh below aggregates THESE — O(runs × templates)
     # — instead of re-scanning every historical sink row each run
-    sink_counts(payload, cfg).write.mode("overwrite").parquet(
-        f"{output_dir}/run_counts/run={run_key}"
+    write_run_idempotent(
+        sink_counts(payload, cfg), f"{output_dir}/run_counts", run_key, catalog=None
     )
     routed.unpersist()
     refresh_global_counts(spark, output_dir)

@@ -800,6 +800,66 @@ def q_dedup_components_sql(sf: str) -> str:
     """
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup group formation computed by the OTHER algorithm:
+    large-star/small-star contraction (O(log² n) rounds at any graph
+    diameter — the adversarial-diameter fallback). Shares the min-label
+    query's recursive-CTE oracle: both must produce the identical
+    (node → min reachable id) labeling."""
+    from ..operators.components import connected_components_star
+
+    pairs = q_simhash_near_dup(spark, sf_dir)
+    return connected_components_star(pairs).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join via the blocked-GEMM default (``similarity.knn_join``):
+    per-Arrow-batch local top-k bounds the shuffle to batches × |Q| × k.
+    Queries = the first 5 embedding rows; k = 5."""
+    from ..operators.similarity import knn_join
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        e6(F.col("cosine"), "cosine_e6"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_knn_join_sql(sf: str) -> str:
+    return """
+        with q as (
+          select cast(vec_id as bigint) as query_id, embedding::DOUBLE[] as qv
+          from embeddings where vec_id < 5
+        ),
+        scored as (
+          select q.query_id, cast(e.vec_id as bigint) as vec_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) as c
+          from embeddings e, q
+        ),
+        ranked as (
+          select query_id, vec_id, c,
+                 row_number() over (partition by query_id
+                                    order by c desc, vec_id) as rank
+          from scored
+        )
+        select query_id, vec_id,
+               cast(round(c * 1000000) as bigint) as cosine_e6,
+               cast(rank as bigint) as rank
+        from ranked where rank <= 5
+    """
+
+
 def q_dedup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: rows surviving exact dedup + SimHash
     near-dup group collapse (keep each family's min-id representative)."""
@@ -1314,6 +1374,8 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_sql),
     "simhash_near_dup": (q_simhash_near_dup, q_simhash_near_dup_sql),
     "dedup_components": (q_dedup_components, q_dedup_components_sql),
+    "dedup_components_star": (q_dedup_components_star, q_dedup_components_sql),
+    "knn_join": (q_knn_join, q_knn_join_sql),
     "dedup_filtered": (q_dedup_filtered, q_dedup_filtered_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "pii_redact": (q_pii_redact, q_pii_redact_sql),

@@ -62,3 +62,73 @@ def read_sink_table(spark: SparkSession, target: str, catalog: str = "local") ->
     if iceberg_catalog(spark, catalog):
         return spark.read.table(f"{catalog}.{target}")
     return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# idempotent per-run writes (the run_resumable retry protocol)
+# --------------------------------------------------------------------------
+
+RUN_KEY_COL = "run_key"
+
+
+def write_run_idempotent(
+    df: DataFrame,
+    target: str,
+    run_key: str,
+    partition_by: list[str] | None = None,
+    catalog: str | None = "local",
+) -> str:
+    """Retry-safe per-run append — the write half of ``run_resumable``'s
+    run-key protocol (plans/checkpoint.py). Returns the format used.
+
+    - **Iceberg** (catalog configured + runtime on classpath): stamp the
+      ``run_key`` column and ``overwritePartitions()`` — Spark's dynamic
+      partition overwrite against an Iceberg table is the replace-where
+      commit on the run_key partition: a retry of the same work set
+      atomically replaces exactly its own rows in one catalog commit,
+      with no directory manipulation (directory deletes don't undo
+      Iceberg commits). The table is created partitioned by
+      (run_key, *partition_by) on first write.
+    - **parquet fallback**: overwrite-write into ``<target>/run=<key>``
+      (the layout ``run_resumable`` has always produced — a crashed
+      attempt's dir is deleted or overwritten by the next attempt).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    partition_by = partition_by or []
+    # catalog=None pins the parquet protocol (run_resumable's manifest /
+    # counts bookkeeping is directory-based; a table deployment would
+    # pass its catalog name and table identifiers instead of paths)
+    if catalog is not None and iceberg_catalog(spark, catalog):
+        stamped = df.withColumn(RUN_KEY_COL, F.lit(run_key))
+        full = f"{catalog}.{target}"
+        writer = stamped.writeTo(full)
+        try:
+            writer.overwritePartitions()
+        except Exception:
+            # first write: create the table with the run_key partitioning
+            cols = [F.col(RUN_KEY_COL)] + [F.col(c) for c in partition_by]
+            stamped.writeTo(full).partitionedBy(*cols).create()
+        return "iceberg"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{target}/run={run_key}")
+    return "parquet"
+
+
+def abort_run(
+    spark: SparkSession, target: str, run_key: str, catalog: str | None = "local"
+) -> None:
+    """Drop a (possibly partial) run — the cleanup half of the retry
+    protocol. Iceberg: ``DELETE WHERE run_key = <key>`` (a catalog
+    commit); parquet: delete the run directory."""
+    if catalog is not None and iceberg_catalog(spark, catalog):
+        spark.sql(
+            f"DELETE FROM {catalog}.{target} WHERE {RUN_KEY_COL} = '{run_key}'"
+        )
+        return
+    from ..plans.checkpoint import delete_path
+
+    delete_path(spark, f"{target}/run={run_key}")

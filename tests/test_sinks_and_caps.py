@@ -86,3 +86,57 @@ def test_salted_counts_on_skewed_corpus(spark):
     }
     assert got == want
     assert sum(got.values()) == 50_000
+
+
+def test_write_run_idempotent_parquet_identical_to_direct(spark, tmp_path):
+    """The run-key adapter's parquet fallback must produce EXACTLY the
+    layout run_resumable has always written: <target>/run=<key> with the
+    same partitioning, rows, and overwrite-on-retry semantics (VERDICT r2
+    item 8 — the Iceberg replace-where branch shares this entry point)."""
+    import os
+
+    from logparser_llm_spark.sources.sinks import abort_run, write_run_idempotent
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"row {i}") for i in range(30)],
+        "doc_id bigint, sink_id int, text string",
+    )
+    direct = str(tmp_path / "direct")
+    via = str(tmp_path / "via")
+    df.write.mode("overwrite").partitionBy("sink_id").parquet(f"{direct}/run=k1")
+    fmt = write_run_idempotent(df, via, "k1", partition_by=["sink_id"])
+    assert fmt == "parquet"  # no Iceberg runtime in this container
+
+    # identical hive layout...
+    assert sorted(os.listdir(f"{direct}/run=k1")) == sorted(os.listdir(f"{via}/run=k1"))
+    # ...and identical rows
+    a = sorted(tuple(r) for r in spark.read.parquet(f"{direct}/run=k1").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{via}/run=k1").collect())
+    assert a == b
+
+    # retry of the same run_key overwrites, never duplicates
+    write_run_idempotent(df, via, "k1", partition_by=["sink_id"])
+    assert spark.read.parquet(f"{via}/run=k1").count() == 30
+    # a different run_key appends alongside
+    write_run_idempotent(df.limit(5), via, "k2", partition_by=["sink_id"])
+    assert spark.read.parquet(via).count() == 35
+
+    # abort drops exactly its run
+    abort_run(spark, via, "k2", catalog=None)
+    assert spark.read.parquet(via).count() == 30
+    assert not os.path.exists(f"{via}/run=k2")
+
+
+def test_iceberg_gate_is_honest(spark):
+    """No Iceberg runtime in this container: the catalog probe must say
+    so (the adapter's iceberg branch is gated on it), and catalog=None
+    must pin the parquet protocol regardless of session confs."""
+    from logparser_llm_spark.sources.sinks import iceberg_catalog
+
+    assert iceberg_catalog(spark, "local") is False
+    # even with a catalog conf set, the classpath probe keeps the gate shut
+    spark.conf.set("spark.sql.catalog.probe_cat", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert iceberg_catalog(spark, "probe_cat") is False
+    finally:
+        spark.conf.unset("spark.sql.catalog.probe_cat")
