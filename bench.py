@@ -123,7 +123,21 @@ def ensure_flagship_corpus(spark, sf_dir: str) -> str:
     (VERDICT r2 item 2). Same rows, same logical work; ≥8 splits."""
     import hashlib
 
-    tag = hashlib.md5(f"{sf_dir}:{FLAGSHIP_SPLITS}".encode()).hexdigest()[:8]
+    # the cache key includes the source table's (mtime, size) so a
+    # REGENERATED testdata dir at the same path invalidates the /tmp copy
+    # instead of silently benchmarking stale rows
+    src = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(src)
+        src_sig = f"{int(st.st_mtime)}:{st.st_size}"
+    except OSError:  # directory-style parquet: stat the newest part file
+        parts = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if not f.startswith((".", "_"))
+        )
+        src_sig = ":".join(
+            f"{int(os.stat(p).st_mtime)}:{os.stat(p).st_size}" for p in parts
+        )
+    tag = hashlib.md5(f"{sf_dir}:{FLAGSHIP_SPLITS}:{src_sig}".encode()).hexdigest()[:8]
     dest = f"/tmp/spark_graft_flagship_{tag}"
     if not (os.path.isdir(dest) and os.path.exists(f"{dest}/_SUCCESS")):
         from logparser_llm_spark.plans.queries import _read, event_log_line_col
@@ -140,11 +154,10 @@ def ensure_flagship_corpus(spark, sf_dir: str) -> str:
 
 def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int, int]:
     """(docs/sec, rows, input files): the full parse→route→aggregate
-    pipeline over the multi-file flagship corpus."""
-    from pyspark.sql import functions as F
-
-    from logparser_llm_spark.operators.cluster import parse_and_count
-    from logparser_llm_spark.plans.pipeline import route
+    pipeline over the multi-file flagship corpus — the SAME pipeline body
+    as the registered query (queries.parse_route_agg_frame), so the bench
+    and the oracle always measure the identical plan."""
+    from logparser_llm_spark.plans.queries import parse_route_agg_frame
 
     corpus = ensure_flagship_corpus(spark, sf_dir)
     n_files = sum(1 for f in os.listdir(corpus) if f.endswith(".parquet"))
@@ -152,13 +165,7 @@ def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int, int]:
     n = df.count()
 
     def one_body() -> None:
-        assigned, _pool = parse_and_count(df, "text")
-        (
-            route(assigned)
-            .groupBy("sink_id", "template_id")
-            .agg(F.count(F.lit(1)).alias("doc_count"))
-            .collect()
-        )
+        parse_route_agg_frame(df).collect()
 
     runs = [_timed(one_body) for _ in range(PASSES)]
     (best, _), _tainted = _best_clean(runs)

@@ -105,14 +105,18 @@ def grok_parse(
     otherwise the frame would silently gain duplicate column names and
     later by-name references become ambiguous (ADVICE r2)."""
     base = df.select(*(keep or df.columns))
-    _, fields = compile_grok(expr, extra_patterns)
+    regex, fields = compile_grok(expr, extra_patterns)  # compiled once
     clash = sorted(set(fields) & set(base.columns))
     if clash:
         raise ValueError(
             f"grok field(s) {clash} collide with input column(s); rename the "
             f"grok capture or drop the input column via keep="
         )
-    return base.select("*", *grok_columns(F.col(text_col), expr, extra_patterns))
+    captures = [
+        F.regexp_extract(F.col(text_col), regex, i + 1).alias(field)
+        for i, field in enumerate(fields)
+    ]
+    return base.select("*", *captures)
 
 
 def grok_sql(expr: str, col_expr: str, extra_patterns: dict[str, str] | None = None) -> str:

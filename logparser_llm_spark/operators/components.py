@@ -150,17 +150,19 @@ def connected_components_star(
     Fixpoint detection is EXACT set equality: both star operations emit
     distinct edge sets, so new == old ⟺ |new| == |old| and
     new − old == ∅ (one count + one isEmpty per round)."""
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # every participating node INCLUDING self-pair-only nodes — min-label
+    # propagation labels a (k, k) node with itself, and this variant must
+    # honor the same contract; the star rounds themselves run on the
+    # self-loop-free edge set
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # remember every participating node: star rounds contract edges, so
-    # interior nodes of a chain vanish from the final star edge set
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

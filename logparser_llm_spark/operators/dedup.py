@@ -226,7 +226,10 @@ def minhash_lsh_pairs(
     replaces the all-pairs comparison — candidates meet only inside
     equal (band_idx, band_key) buckets."""
     if num_hashes % bands != 0:
-        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly "
+            f"(rows per band = num_hashes / bands)"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     band_cols = [

@@ -128,6 +128,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+class UnsupportedPngError(ValueError):
+    """A well-formed PNG this codec doesn't cover (16-bit, paletted,
+    interlaced) — the ONE case that should fall through to PIL. Corrupt
+    payloads raise plain ValueError and must NOT be retried elsewhere."""
+
+
 def encode_png(arr: np.ndarray) -> bytes:
     """HxWx3 uint8 (RGB) → PNG (color type 2, bit depth 8, filter 0 rows,
     stdlib zlib deflate). Round-trips through :func:`decode_png`."""
@@ -209,26 +215,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = len(PNG_SIG)
     ihdr = None
     idat = bytearray()
-    while pos + 8 <= len(payload):
-        length, ctype = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
+    try:
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+    except struct.error as exc:
+        raise ValueError(f"corrupt PNG chunk structure: {exc}") from exc
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
-        raise ValueError(
+        raise UnsupportedPngError(
             f"unsupported PNG (depth={depth} color_type={color_type} "
             f"interlace={interlace}); PIL path handles these"
         )
     channels = {0: 1, 2: 3, 6: 4}[color_type]
-    flat = _png_unfilter(zlib.decompress(bytes(idat)), w, h, channels)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    if len(inflated) < h * (1 + w * channels):
+        raise ValueError(
+            f"corrupt PNG: inflated {len(inflated)} bytes, "
+            f"need {h * (1 + w * channels)}"
+        )
+    flat = _png_unfilter(inflated, w, h, channels)
     arr = flat.reshape(h, w, channels)
     if color_type == 0:
         return np.repeat(arr, 3, axis=2).copy()
@@ -248,8 +266,10 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     if payload[: len(PNG_SIG)] == PNG_SIG:
         try:
             return decode_png(payload), "png"
-        except ValueError:
-            pass  # exotic PNG flavor → PIL fallback below
+        except UnsupportedPngError:
+            pass  # well-formed exotic flavor → PIL fallback below
+        # corrupt PNGs raise ValueError here: retrying them through PIL
+        # would only bury the root cause under a PIL parse error
     try:
         import io
 

@@ -206,18 +206,23 @@ def q_template_prefix_buckets_sql(sf: str) -> str:
     """
 
 
-def q_parse_route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP: full parse → route → aggregate over event log lines.
-
-    Runs the real distributed pipeline (discovery, driver merge,
-    broadcast assignment, md5 fan-out, salted counts)."""
-    ev = _read(spark, sf_dir, "events").select(event_log_line_col().alias("text"))
-    assigned, pool = parse_and_count(ev, "text")
-    routed = route(assigned)
+def parse_route_agg_frame(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """The flagship pipeline body over ANY line frame: discovery, driver
+    merge, broadcast assignment, md5 fan-out routing, per-sink counts.
+    Shared by the registered query and bench.py's multi-split flagship so
+    the two always measure the identical plan."""
+    assigned, _pool = parse_and_count(lines, text_col)
     return (
-        routed.groupBy("sink_id", "template_id")
+        route(assigned)
+        .groupBy("sink_id", "template_id")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
+
+
+def q_parse_route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full parse → route → aggregate over event log lines."""
+    ev = _read(spark, sf_dir, "events").select(event_log_line_col().alias("text"))
+    return parse_route_agg_frame(ev)
 
 
 def q_parse_route_agg_sql(sf: str) -> str:

@@ -101,13 +101,19 @@ def write_run_idempotent(
     # counts bookkeeping is directory-based; a table deployment would
     # pass its catalog name and table identifiers instead of paths)
     if catalog is not None and iceberg_catalog(spark, catalog):
+        from pyspark.errors import AnalysisException
+
         stamped = df.withColumn(RUN_KEY_COL, F.lit(run_key))
         full = f"{catalog}.{target}"
-        writer = stamped.writeTo(full)
         try:
-            writer.overwritePartitions()
-        except Exception:
-            # first write: create the table with the run_key partitioning
+            stamped.writeTo(full).overwritePartitions()
+        except AnalysisException as exc:
+            # ONLY a missing table routes to create() — any other failure
+            # (schema mismatch, commit conflict, executor death) must
+            # surface as itself, not be buried under TableAlreadyExists
+            msg = str(exc)
+            if not ("TABLE_OR_VIEW_NOT_FOUND" in msg or "NoSuchTableException" in msg):
+                raise
             cols = [F.col(RUN_KEY_COL)] + [F.col(c) for c in partition_by]
             stamped.writeTo(full).partitionedBy(*cols).create()
         return "iceberg"
@@ -123,7 +129,15 @@ def abort_run(
 ) -> None:
     """Drop a (possibly partial) run — the cleanup half of the retry
     protocol. Iceberg: ``DELETE WHERE run_key = <key>`` (a catalog
-    commit); parquet: delete the run directory."""
+    commit); parquet: delete the run directory.
+
+    ``run_key`` must be a plain token ([A-Za-z0-9_-]): it is interpolated
+    into a DELETE statement and a directory name, and the protocol's keys
+    are md5 hex by construction."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_-]+", run_key):
+        raise ValueError(f"run_key must be a plain token, got {run_key!r}")
     if catalog is not None and iceberg_catalog(spark, catalog):
         spark.sql(
             f"DELETE FROM {catalog}.{target} WHERE {RUN_KEY_COL} = '{run_key}'"

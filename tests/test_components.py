@@ -64,9 +64,10 @@ def _star(spark, pairs, **kw):
 
 
 def test_star_basic_components(spark):
+    # same contract as min-label: the self-pair node 8 IS labeled (itself)
     got = _star(spark, [(1, 2), (2, 3), (5, 6), (8, 8)])
-    # self-loop (8,8) carries no connectivity and no other edge names 8
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+    assert got == _comp(spark, [(1, 2), (2, 3), (5, 6), (8, 8)])
 
 
 def test_star_long_chain_logarithmic_rounds(spark):
@@ -85,10 +86,11 @@ def test_star_equals_min_label_on_random_graphs(spark):
 
     for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 25), (4, 60, 30)]:
         rng = random.Random(seed)
+        # self-pairs kept deliberately: both algorithms must label the
+        # node with itself when no other edge names it
         pairs = [
             (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
-        ]
-        pairs = [(a, b) for a, b in pairs if a != b]
+        ] + [(n_nodes + 7, n_nodes + 7)]
         df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
         want = {
             r["node"]: r["component_id"] for r in connected_components(df).collect()

@@ -333,3 +333,42 @@ def test_png_through_distributed_operators_no_fake(spark):
         # nearest-neighbor: every output pixel exists in the source
         src = {tuple(p) for p in arr.reshape(-1, 3)}
         assert all(tuple(p) in src for p in out.reshape(-1, 3))
+
+
+def test_png_corrupt_vs_unsupported_error_split():
+    """Corrupt PNGs raise ValueError directly; only well-formed exotic
+    flavors (16-bit etc.) fall through toward the PIL path."""
+    import struct
+    import zlib
+
+    from logparser_llm_spark.operators.multimodal import (
+        UnsupportedPngError,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(_test_image(6, 4, seed=1))
+    # truncate inside the IDAT deflate stream → corrupt, NOT unsupported
+    corrupt = good[:-20]
+    with pytest.raises(ValueError) as exc:
+        decode_png(corrupt)
+    assert not isinstance(exc.value, UnsupportedPngError)
+    with pytest.raises(ValueError):  # decode_image must NOT mask it
+        decode_image(corrupt)
+
+    # well-formed 16-bit PNG → UnsupportedPngError (the PIL-fallback class)
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (2 * (1 + 2 * 6))))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedPngError):
+        decode_png(deep)
