@@ -38,6 +38,9 @@ HEADLINE = [
     "embedding_near_dup",
     "ann_topk",
     "knn_join",
+    "ivf_ann",
+    "ngram_topk",
+    "stratified_sample",
     "lang_quality",
     "enrich_lang_join",
     "region_rollup",

@@ -1,0 +1,102 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be (a) a pure map — no shuffle, no global sort,
+no driver round-trip — and (b) reproducible across engines and runs, so
+every filter here keys on md5 of a stable id (portable to DuckDB bit for
+bit) instead of RNG state.
+
+- :func:`hash_sample`: uniform p%% sample — one md5 per row, predicate
+  pushed into the scan.
+- :func:`stratified_sample`: per-stratum rates (e.g. downsample the
+  dominant language, keep the long tail) — the broadcast-map shape; the
+  rate lookup is a small literal CASE, never a join.
+- :func:`reservoir_per_key`: EXACTLY ``k`` rows per key (md5-ranked —
+  deterministic "reservoir") for bounded per-key exemplars; one shuffle
+  on the key, the same cost class as the groupBy it usually feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000  # rate resolution 0.01%
+
+
+def sample_bucket(key: Column) -> Column:
+    """Stable per-row bucket in [0, HASH_BUCKETS): int(md5(key)[:8], 16)
+    mod buckets — identical in Spark, DuckDB and Python."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % HASH_BUCKETS
+    )
+
+
+def sample_bucket_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`sample_bucket`."""
+    return (
+        f"(('0x' || substr(md5(cast({expr} as varchar)), 1, 8))::bigint"
+        f" % {HASH_BUCKETS})"
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Uniform deterministic sample: keep ⌊fraction·buckets⌋ of the md5
+    bucket space. Pure map-side predicate — survives any re-run,
+    any partitioning, and composes with column pruning."""
+    threshold = int(round(fraction * HASH_BUCKETS))
+    return df.filter(sample_bucket(F.col(key_col)) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing
+    primitive (e.g. ``{"en": 0.05, "zh": 0.5}`` keeps 5% of English and
+    half of Chinese; unlisted strata keep ``default_rate``).
+
+    The stratum→threshold map is a literal CASE expression (strata sets
+    are small by definition), so the whole operator is one scan-side
+    predicate: no join, no shuffle, no skew sensitivity — the dominant
+    stratum is *cheaper* to drop than to carry."""
+    bucket = sample_bucket(F.col(key_col))
+    expr = F.lit(int(round(default_rate * HASH_BUCKETS)))
+    for stratum, rate in sorted(rates.items()):
+        expr = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(round(rate * HASH_BUCKETS))))
+            .otherwise(expr)
+        )
+    return df.filter(bucket < expr)
+
+
+def stratified_sample_sql(
+    key_expr: str, strata_expr: str, rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    """DuckDB predicate equivalent of :func:`stratified_sample`."""
+    cases = " ".join(
+        f"when {strata_expr} = '{s}' then {int(round(r * HASH_BUCKETS))}"
+        for s, r in sorted(rates.items())
+    )
+    thresh = f"(case {cases} else {int(round(default_rate * HASH_BUCKETS))} end)"
+    return f"{sample_bucket_sql(key_expr)} < {thresh}"
+
+
+def reservoir_per_key(
+    df: DataFrame, key_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per key, chosen by md5 rank of the
+    row id — a deterministic reservoir: the chosen set for a key depends
+    only on the ids present, never on arrival order or partitioning.
+    One shuffle (window on the key); rank columns are dropped."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

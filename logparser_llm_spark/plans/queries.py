@@ -865,6 +865,91 @@ def q_knn_join_sql(sf: str) -> str:
     """
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in EXACT mode (n_probe = n_centroids → every cell probed):
+    proves the full IVF plumbing — sample-trained centroids, GEMM cell
+    assignment, cell join, per-query rank — against the same window-rank
+    SQL oracle as the blocked kNN join (exact mode ≡ brute force).
+    Partial-probe recall is covered by pytest (not SQL-expressible)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        e6(F.col("cosine"), "cosine_e6"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-20 3-gram shingles by document frequency over
+    the documents table (the boilerplate detector feeding the n-gram
+    dedup cap). Distributed partial-agg groupBy + TakeOrdered — the
+    exact top-k shape that scales; tiebreak on shingle."""
+    from ..operators.dedup import _distinct_shingles
+
+    d = _read(spark, sf_dir, "documents")
+    sh = _distinct_shingles(d, "doc_id", "text", 3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .orderBy(F.desc("df_count"), "shingle")
+        .limit(20)
+    )
+
+
+def q_ngram_topk_sql(sf: str) -> str:
+    return f"""
+        with toks as (
+          select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
+        ),
+        sh as (
+          select distinct doc_id, array_to_string(tk[i:i+2], ' ') as shingle
+          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
+          where len(tk) >= 3
+        )
+        select shingle, count(*) as df_count
+        from sh group by shingle
+        order by df_count desc, shingle
+        limit 20
+    """
+
+
+STRATA_RATES = {"en": 0.05, "de": 0.5, "zh": 0.8}
+STRATA_DEFAULT = 0.2
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling of documents (md5-bucket
+    predicate, pure map — the corpus-rebalancing primitive): keep 5% of
+    the dominant 'en', 50% 'de', 80% 'zh', 20% of everything else.
+    Output: per-language kept counts (verifies both the predicate and
+    its reproducibility)."""
+    from ..operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    kept = stratified_sample(d, "doc_id", "lang", STRATA_RATES, STRATA_DEFAULT)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+def q_stratified_sample_sql(sf: str) -> str:
+    from ..operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql("doc_id", "lang", STRATA_RATES, STRATA_DEFAULT)
+    return f"""
+        select lang, count(*) as kept from documents
+        where {pred}
+        group by lang
+    """
+
+
 def q_dedup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: rows surviving exact dedup + SimHash
     near-dup group collapse (keep each family's min-id representative)."""
@@ -1381,6 +1466,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, q_dedup_components_sql),
     "dedup_components_star": (q_dedup_components_star, q_dedup_components_sql),
     "knn_join": (q_knn_join, q_knn_join_sql),
+    "ivf_ann": (q_ivf_ann, q_knn_join_sql),
+    "ngram_topk": (q_ngram_topk, q_ngram_topk_sql),
+    "stratified_sample": (q_stratified_sample, q_stratified_sample_sql),
     "dedup_filtered": (q_dedup_filtered, q_dedup_filtered_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "pii_redact": (q_pii_redact, q_pii_redact_sql),

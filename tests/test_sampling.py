@@ -1,0 +1,88 @@
+"""Deterministic sampling operators (training-data rebalancing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.sampling import (
+    hash_sample,
+    reservoir_per_key,
+    stratified_sample,
+)
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+def test_hash_sample_fraction_and_determinism(spark, docs):
+    n = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.3)
+    k1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # md5 buckets are uniform: 30% ± a generous binomial margin
+    assert 0.2 * n <= len(k1) <= 0.4 * n, (len(k1), n)
+    # identical set on re-run and at any partitioning
+    k2 = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert k1 == k2
+    # monotone: a smaller fraction's sample is a subset of a larger one's
+    k_small = {
+        r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()
+    }
+    assert k_small <= k1
+
+
+def test_stratified_sample_rates_per_stratum(spark, docs):
+    rates = {"en": 0.1, "de": 0.9}
+    kept = stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.5)
+    got = {r["lang"]: r["kept"] for r in kept.groupBy("lang").agg(F.count("*").alias("kept")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, total in totals.items():
+        rate = rates.get(lang, 0.5)
+        observed = got.get(lang, 0) / total
+        assert abs(observed - rate) < 0.15, (lang, observed, rate)
+    # rate 0 strata vanish entirely
+    none = stratified_sample(docs, "doc_id", "lang", {"en": 0.0}, default_rate=0.0)
+    assert none.count() == 0
+
+
+def test_stratified_sample_is_pure_predicate(spark, docs):
+    """The scale claim: one Filter over the scan — no join, no shuffle,
+    no Python workers in the plan."""
+    plan = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.05}, 0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    for op in ("Join", "Exchange", "Python"):
+        assert op not in plan, f"{op} in plan:\n{plan[:800]}"
+
+
+def test_reservoir_per_key_exact_k_and_invariance(spark, docs):
+    k = 7
+    out = reservoir_per_key(docs, "lang", "doc_id", k)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, total in totals.items():
+        assert sizes[lang] == min(k, total)
+    # deterministic: same chosen ids at any partitioning
+    a = sorted((r["lang"], r["doc_id"]) for r in out.select("lang", "doc_id").collect())
+    b = sorted(
+        (r["lang"], r["doc_id"])
+        for r in reservoir_per_key(docs.repartition(17), "lang", "doc_id", k)
+        .select("lang", "doc_id")
+        .collect()
+    )
+    assert a == b
+    # the reservoir is id-set-dependent only: dropping unchosen rows and
+    # re-running reproduces the same choice (reservoir property)
+    chosen = out.select("lang", "doc_id")
+    again = reservoir_per_key(
+        docs.join(chosen.select("doc_id"), "doc_id", "left_semi"), "lang", "doc_id", k
+    )
+    c = sorted((r["lang"], r["doc_id"]) for r in again.select("lang", "doc_id").collect())
+    assert a == c
