@@ -27,6 +27,10 @@ def plan_facts(df: DataFrame) -> dict[str, bool | int]:
         # '*(n)' is the whole-stage-codegen marker in executedPlan strings
         "whole_stage_codegen": "WholeStageCodegen" in plan or "*(" in plan,
         "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
+        # deliberate Arrow-batched Python stages (not row-wise UDF eval) —
+        # reported separately so a mapInPandas operator doesn't read as
+        # "no Python anywhere"
+        "map_in_pandas": "MapInPandas" in plan,
         "partial_aggregate": "partial_" in plan,
         "exchanges": plan.count("Exchange"),
     }
@@ -45,7 +49,8 @@ def _main() -> None:
     lines = ["# Physical plans (sf0.01)\n"]
     for name in ["parse_route_agg", "enrich_lang_join", "pricing_summary",
                  "ngram_jaccard", "ann_topk", "user_sessions",
-                 "embedding_near_dup", "simhash_near_dup", "parsed_projection"]:
+                 "embedding_near_dup", "simhash_near_dup", "parsed_projection",
+                 "knn_join", "ivf_ann", "ngram_topk", "stratified_sample"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")

@@ -134,3 +134,28 @@ def test_sink_read_prunes_partitions(spark, tmp_path):
     import re as _re
 
     assert _re.search(rf"PartitionFilters: \[[^\]]*sink_id#\d+ = {one}", plan), plan[-1500:]
+
+
+def test_ngram_topk_uses_take_ordered(spark):
+    """Top-k heavy hitters must be TakeOrderedAndProject (bounded per-
+    partition top-k + tiny driver merge), never a global Sort+Exchange of
+    every shingle count."""
+    from logparser_llm_spark.plans.queries import q_ngram_topk
+
+    plan = physical_plan(q_ngram_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    # the only exchange allowed is the aggregation shuffle — no
+    # rangepartitioning exchange for a global sort
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+
+
+def test_knn_and_ann_queries_have_no_cartesian(spark):
+    """knn_join (blocked GEMM) and ivf_ann (cell join) must not plan a
+    CartesianProduct; ann_topk's single-query crossJoin must broadcast."""
+    from logparser_llm_spark.plans.queries import q_ann_topk, q_ivf_ann, q_knn_join
+
+    for fn in (q_knn_join, q_ivf_ann):
+        plan = physical_plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan[:1200])
+    plan = physical_plan(q_ann_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
