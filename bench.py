@@ -27,6 +27,8 @@ HEADLINE = [
     "clean_extract",
     "template_extract",
     "pricing_summary",
+    "late_orders",
+    "priority_revenue",
     "top_customers",
     "user_sessions",
     "events_by_hour",

@@ -950,6 +950,72 @@ def q_stratified_sample_sql(sf: str) -> str:
     """
 
 
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a non-equi condition —
+    orders having any line shipped >100 days after the order date,
+    counted per priority. Catalyst plans the equi part as the join key
+    and the date comparison as the join condition (one shuffle pair, no
+    cartesian); the semi-join never duplicates orders rows."""
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+
+
+def q_late_orders_sql(sf: str) -> str:
+    return """
+        select o_orderpriority, count(*) as late_orders
+        from orders o
+        where exists (
+          select 1 from lineitem l
+          where l.l_orderkey = o.o_orderkey
+            and l.l_shipdate > o.o_orderdate + interval 100 day
+        )
+        group by o_orderpriority
+    """
+
+
+def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional aggregation —
+    per returnflag, line counts split by order priority class and the
+    discounted revenue."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _read(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_lines"),
+            F.sum((~high).cast("bigint")).alias("low_lines"),
+            e2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue_e2",
+            ),
+        )
+    )
+
+
+def q_priority_revenue_sql(sf: str) -> str:
+    return """
+        select l_returnflag,
+               cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                        then 1 else 0 end) as bigint) as high_lines,
+               cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                        then 0 else 1 end) as bigint) as low_lines,
+               cast(round(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint)
+                 as revenue_e2
+        from lineitem join orders on l_orderkey = o_orderkey
+        group by l_returnflag
+    """
+
+
 def q_dedup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: rows surviving exact dedup + SimHash
     near-dup group collapse (keep each family's min-id representative)."""
@@ -1469,6 +1535,8 @@ QUERIES: dict[str, tuple] = {
     "ivf_ann": (q_ivf_ann, q_knn_join_sql),
     "ngram_topk": (q_ngram_topk, q_ngram_topk_sql),
     "stratified_sample": (q_stratified_sample, q_stratified_sample_sql),
+    "late_orders": (q_late_orders, q_late_orders_sql),
+    "priority_revenue": (q_priority_revenue, q_priority_revenue_sql),
     "dedup_filtered": (q_dedup_filtered, q_dedup_filtered_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "pii_redact": (q_pii_redact, q_pii_redact_sql),
