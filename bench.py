@@ -231,7 +231,7 @@ def _scaling_child(cores: int) -> None:
     # (shared helpers — the two measurements must stay comparable).
     # SPARK_GRAFT_SCALING_RUNS trims the per-launch measured runs when a
     # harness-level wall-clock cap is tighter than warmup+3 full runs.
-    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3")))
     _timed(one_body, cores)  # warmup
     runs = [_timed(one_body, cores) for _ in range(n_runs)]
     (best_sec, best_steal), tainted = _best_clean(runs)

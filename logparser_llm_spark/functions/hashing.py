@@ -38,23 +38,41 @@ def pattern_bucket(pattern: str) -> str:
     return hashlib.md5(key.encode()).hexdigest()[:8]
 
 
-def sink_id_col(template_id: Column, num_sinks: int) -> Column:
-    """Portable fan-out bucket: int(md5[:8], 16) % K.
+def md5_bucket_col(key: Column, buckets: int) -> Column:
+    """THE portable bucket hash: int(md5(key)[:8], 16) % buckets.
 
-    Deliberately md5-based (not ``F.hash``) so the same routing is
-    reproducible in DuckDB (``('0x'||substr(md5(x),1,8))::bigint % K``)
-    and Python — routed-row equality is part of the north rule.
-    """
+    Single definition for every cross-engine bucketing in the repo
+    (sink routing, sampling) — deliberately md5-based (not ``F.hash``)
+    so the identical value is reproducible in DuckDB
+    (:func:`md5_bucket_sql`) and Python. Keep the three renderings in
+    lockstep: a change to one silently desynchronizes routing from
+    sampling from the oracles."""
     return F.pmod(
-        F.conv(F.substring(F.md5(template_id), 1, 8), 16, 10).cast("bigint"),
-        F.lit(num_sinks),
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint"),
+        F.lit(buckets),
     )
 
 
+def md5_bucket_sql(expr: str, buckets: int) -> str:
+    """DuckDB rendering of :func:`md5_bucket_col`."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {buckets})"
+
+
+def md5_bucket(key: str, buckets: int) -> int:
+    """Python rendering of :func:`md5_bucket_col`."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % buckets
+
+
+def sink_id_col(template_id: Column, num_sinks: int) -> Column:
+    """Portable fan-out bucket — routed-row equality across engines is
+    part of the north rule."""
+    return md5_bucket_col(template_id, num_sinks)
+
+
 def sink_id(template_id: str, num_sinks: int) -> int:
-    return int(hashlib.md5(template_id.encode()).hexdigest()[:8], 16) % num_sinks
+    return md5_bucket(template_id, num_sinks)
 
 
 def sink_id_sql(expr: str, num_sinks: int) -> str:
     """DuckDB-SQL rendering of the same routing function (for oracles)."""
-    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {num_sinks})"
+    return md5_bucket_sql(expr, num_sinks)

@@ -24,26 +24,27 @@ HASH_BUCKETS = 10_000  # rate resolution 0.01%
 
 
 def sample_bucket(key: Column) -> Column:
-    """Stable per-row bucket in [0, HASH_BUCKETS): int(md5(key)[:8], 16)
-    mod buckets — identical in Spark, DuckDB and Python."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % HASH_BUCKETS
-    )
+    """Stable per-row bucket in [0, HASH_BUCKETS) — the repo's shared
+    cross-engine md5 bucket (functions/hashing.py), identical in Spark,
+    DuckDB and Python."""
+    from ..functions.hashing import md5_bucket_col
+
+    return md5_bucket_col(key.cast("string"), HASH_BUCKETS)
 
 
 def sample_bucket_sql(expr: str) -> str:
     """DuckDB rendering of :func:`sample_bucket`."""
-    return (
-        f"(('0x' || substr(md5(cast({expr} as varchar)), 1, 8))::bigint"
-        f" % {HASH_BUCKETS})"
-    )
+    from ..functions.hashing import md5_bucket_sql
+
+    return md5_bucket_sql(f"cast({expr} as varchar)", HASH_BUCKETS)
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
-    """Uniform deterministic sample: keep ⌊fraction·buckets⌋ of the md5
-    bucket space. Pure map-side predicate — survives any re-run,
-    any partitioning, and composes with column pruning."""
+    """Uniform deterministic sample: keep round(fraction·buckets) of the
+    md5 bucket space (bucket resolution 1/HASH_BUCKETS — fractions finer
+    than that round to the nearest bucket count). Pure map-side predicate
+    — survives any re-run, any partitioning, and composes with column
+    pruning."""
     threshold = int(round(fraction * HASH_BUCKETS))
     return df.filter(sample_bucket(F.col(key_col)) < threshold)
 
@@ -64,6 +65,11 @@ def stratified_sample(
     predicate: no join, no shuffle, no skew sensitivity — the dominant
     stratum is *cheaper* to drop than to carry."""
     bucket = sample_bucket(F.col(key_col))
+    for stratum in rates:
+        if "'" in stratum:
+            # the SQL twin interpolates strata as quoted literals; keep
+            # the two renderings' domains identical
+            raise ValueError(f"stratum labels must not contain quotes: {stratum!r}")
     expr = F.lit(int(round(default_rate * HASH_BUCKETS)))
     for stratum, rate in sorted(rates.items()):
         expr = (
@@ -77,11 +83,17 @@ def stratified_sample_sql(
     key_expr: str, strata_expr: str, rates: dict[str, float], default_rate: float = 0.0
 ) -> str:
     """DuckDB predicate equivalent of :func:`stratified_sample`."""
+    for s in rates:
+        if "'" in s:
+            raise ValueError(f"stratum labels must not contain quotes: {s!r}")
+    default_thresh = int(round(default_rate * HASH_BUCKETS))
+    if not rates:  # CASE with no WHEN is invalid SQL; the threshold is constant
+        return f"{sample_bucket_sql(key_expr)} < {default_thresh}"
     cases = " ".join(
         f"when {strata_expr} = '{s}' then {int(round(r * HASH_BUCKETS))}"
         for s, r in sorted(rates.items())
     )
-    thresh = f"(case {cases} else {int(round(default_rate * HASH_BUCKETS))} end)"
+    thresh = f"(case {cases} else {default_thresh} end)"
     return f"{sample_bucket_sql(key_expr)} < {thresh}"
 
 
@@ -92,11 +104,14 @@ def reservoir_per_key(
     row id — a deterministic reservoir: the chosen set for a key depends
     only on the ids present, never on arrival order or partitioning.
     One shuffle (window on the key); rank columns are dropped."""
+    rk = "_reservoir_rk"
+    if rk in df.columns:
+        raise ValueError(f"input already has a column named {rk!r}")
     w = Window.partitionBy(key_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= k)
+        .drop(rk)
     )

@@ -116,6 +116,21 @@ PATTERN_SQL_BODY = (
 
 TOKENS_SQL = "list_filter(string_split(trim({c}), ' '), x -> x <> '')"
 
+# the toks→sh CTE pair every 3-gram-shingle oracle shares — ONE SQL
+# rendering of operators.dedup._distinct_shingles(n=3); keep in lockstep
+# with the Spark side (a divergent copy would let one oracle silently
+# disagree with the shared shingles())
+SHINGLE_CTES = (
+    "toks as (\n"
+    "          select doc_id, " + TOKENS_SQL.format(c="text") + " as tk from documents\n"
+    "        ),\n"
+    "        sh as (\n"
+    "          select distinct doc_id, array_to_string(tk[i:i+2], ' ') as shingle\n"
+    "          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)\n"
+    "          where len(tk) >= 3\n"
+    "        )"
+)
+
 
 # --------------------------------------------------------------------------
 # query implementations
@@ -531,15 +546,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_sql(sf: str) -> str:
     return f"""
-        with toks as (
-          select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
-        ),
-        sh as (
-          select distinct doc_id,
-                 array_to_string(tk[i:i+2], ' ') as shingle
-          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
-          where len(tk) >= 3
-        ),
+        with {SHINGLE_CTES},
         sizes as (select doc_id, count(*) as n from sh group by doc_id),
         inter as (
           select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
@@ -568,14 +575,7 @@ def q_minhash_lsh_sql(sf: str) -> str:
         f"({i}, {a}::bigint, {b}::bigint)" for i, (a, b) in enumerate(minhash_coeffs(16))
     )
     return f"""
-        with toks as (
-          select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
-        ),
-        sh as (
-          select distinct doc_id, array_to_string(tk[i:i+2], ' ') as shingle
-          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
-          where len(tk) >= 3
-        ),
+        with {SHINGLE_CTES},
         coeffs(hi, a, b) as (values {coeff_rows}),
         mh as (
           select doc_id, hi,
@@ -907,14 +907,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_topk_sql(sf: str) -> str:
     return f"""
-        with toks as (
-          select doc_id, {TOKENS_SQL.format(c='text')} as tk from documents
-        ),
-        sh as (
-          select distinct doc_id, array_to_string(tk[i:i+2], ' ') as shingle
-          from toks, lateral (select unnest(range(1, len(tk) - 1)) as i)
-          where len(tk) >= 3
-        )
+        with {SHINGLE_CTES}
         select shingle, count(*) as df_count
         from sh group by shingle
         order by df_count desc, shingle
@@ -987,13 +980,18 @@ def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted revenue."""
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     l = _read(spark, sf_dir, "lineitem")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # NULL priority counts as low (the SQL CASE else-branch) — a bare
+    # sum(bool.cast) would skip NULLs from BOTH columns and diverge from
+    # the oracle on non-TPC-H reuse of this shape
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(high.cast("bigint")).alias("high_lines"),
-            F.sum((~high).cast("bigint")).alias("low_lines"),
+            F.sum(high).cast("bigint").alias("high_lines"),
+            F.sum(1 - high).cast("bigint").alias("low_lines"),
             e2(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 "revenue_e2",

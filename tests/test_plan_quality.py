@@ -157,5 +157,8 @@ def test_knn_and_ann_queries_have_no_cartesian(spark):
     for fn in (q_knn_join, q_ivf_ann):
         plan = physical_plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, (fn.__name__, plan[:1200])
+    # ann_topk's one-row crossJoin must actually broadcast — a plain
+    # disjunction would pass even if the broadcast regressed
     plan = physical_plan(q_ann_topk(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
