@@ -249,3 +249,60 @@ def test_stateful_sessions_string_user_id(spark, tmp_path):
     assert rows["alice"]["n_events"] == 2
     assert rows["alice"]["session_end"] == t0 + dt.timedelta(minutes=5)
     assert rows["bob"]["n_events"] == 1
+
+
+def test_windowed_counts_streaming_append_drops_late_rows(spark, tmp_path):
+    """The canonical Structured Streaming shape run as a REAL stream:
+    append-mode watermarked tumbling windows. A window emits only once
+    the watermark passes its end, and a row arriving after the watermark
+    passed its window is dropped — bounded state, exact on-time counts."""
+    import datetime as dt
+
+    from logparser_llm_spark.streaming.incremental import windowed_template_counts
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    wave1 = [("a", t0 + dt.timedelta(minutes=m)) for m in (0, 10, 20, 50)] + [
+        ("b", t0 + dt.timedelta(minutes=5))
+    ]
+    # advances event time to 13:00 → watermark 12:50 → the 10:00 window closes
+    wave2 = [("a", t0 + dt.timedelta(hours=3))]
+    # LATE: lands in the already-closed 10:00 window → must be dropped
+    wave3 = [("a", t0 + dt.timedelta(minutes=30))]
+    schema = "template_id string, ts timestamp"
+
+    # one availableNow run per wave against a SHARED checkpoint: the
+    # watermark persists in the checkpoint between runs, so wave 3's late
+    # row provably arrives AFTER the watermark advanced (a single
+    # availableNow run can fold every file into one batch, where the
+    # initial watermark drops nothing)
+    sink = str(tmp_path / "sink")
+
+    def run_wave(wave, mode):
+        spark.createDataFrame(wave, schema).coalesce(1).write.mode(mode).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = windowed_template_counts(stream, "ts", "60 minutes", "10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    run_wave(wave1, "overwrite")
+    run_wave(wave2, "append")
+    run_wave(wave3, "append")
+    rows = {
+        (r["window_start"], r["template_id"]): r["doc_count"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the closed 10:00-11:00 window: wave1's on-time rows ONLY — the
+    # wave3 late row (10:30, after the watermark reached 12:50) is absent
+    assert rows[(t0, "a")] == 4
+    assert rows[(t0, "b")] == 1
+    # the 13:00 window is still open (watermark never passed its end) —
+    # append mode must not have emitted it
+    assert not any(ws == t0 + dt.timedelta(hours=3) for ws, _ in rows)
