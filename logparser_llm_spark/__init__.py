@@ -53,8 +53,20 @@ def __getattr__(name):
         "embedding_near_dup_lsh": ("logparser_llm_spark.operators.dedup", "embedding_near_dup_lsh"),
         "simhash_near_dup_pairs": ("logparser_llm_spark.operators.dedup", "simhash_near_dup_pairs"),
         "connected_components": ("logparser_llm_spark.operators.components", "connected_components"),
+        "connected_components_star": ("logparser_llm_spark.operators.components", "connected_components_star"),
         "running_template_counts": ("logparser_llm_spark.streaming.stateful", "running_template_counts"),
         "expiring_user_sessions": ("logparser_llm_spark.streaming.stateful", "expiring_user_sessions"),
+        # round-3 additions
+        "knn_join": ("logparser_llm_spark.operators.similarity", "knn_join"),
+        "ivf_topk": ("logparser_llm_spark.operators.similarity", "ivf_topk"),
+        "lsh_bucket_topk": ("logparser_llm_spark.operators.similarity", "lsh_bucket_topk"),
+        "dedup_corpus_keep_ids": ("logparser_llm_spark.operators.dedup", "dedup_corpus_keep_ids"),
+        "hash_sample": ("logparser_llm_spark.operators.sampling", "hash_sample"),
+        "stratified_sample": ("logparser_llm_spark.operators.sampling", "stratified_sample"),
+        "reservoir_per_key": ("logparser_llm_spark.operators.sampling", "reservoir_per_key"),
+        "grok_parse": ("logparser_llm_spark.functions.grok", "grok_parse"),
+        "accuracy_scorecard": ("logparser_llm_spark.metrics", "accuracy_scorecard"),
+        "write_run_idempotent": ("logparser_llm_spark.sources.sinks", "write_run_idempotent"),
     }
     if name in api:
         import importlib
