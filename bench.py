@@ -132,16 +132,20 @@ def ensure_flagship_corpus(spark, sf_dir: str) -> str:
     # REGENERATED testdata dir at the same path invalidates the /tmp copy
     # instead of silently benchmarking stale rows
     src = f"{sf_dir}/events.parquet"
-    try:
-        st = os.stat(src)
-        src_sig = f"{int(st.st_mtime)}:{st.st_size}"
-    except OSError:  # directory-style parquet: stat the newest part file
+    # os.stat() on a DIRECTORY succeeds on Linux (ADVICE r3): branch on
+    # isdir, not on OSError, so directory-style parquet signatures come
+    # from the part files (the dir's own mtime can miss an in-place
+    # regeneration and silently benchmark a stale /tmp corpus)
+    if os.path.isdir(src):
         parts = sorted(
             os.path.join(src, f) for f in os.listdir(src) if not f.startswith((".", "_"))
         )
         src_sig = ":".join(
             f"{int(os.stat(p).st_mtime)}:{os.stat(p).st_size}" for p in parts
         )
+    else:
+        st = os.stat(src)
+        src_sig = f"{int(st.st_mtime)}:{st.st_size}"
     tag = hashlib.md5(f"{sf_dir}:{FLAGSHIP_SPLITS}:{src_sig}".encode()).hexdigest()[:8]
     dest = f"/tmp/spark_graft_flagship_{tag}"
     if not (os.path.isdir(dest) and os.path.exists(f"{dest}/_SUCCESS")):

@@ -93,9 +93,28 @@ def ngram_jaccard_pairs(
     recall: a qualifying pair sharing *no* rare shingle at all is never
     generated (at that point the docs are boilerplate-only near-dups,
     which exact-dedup on the dominant template catches instead).
+
+    The distinct-shingle frame ``sh`` (a full corpus scan + explode +
+    distinct shuffle) feeds five branches of the capped plan (sizes,
+    hot-set, rare anti-join, and both exact-verify sides); without an
+    explicit ``persist`` Catalyst materializes that subtree independently
+    in every branch (observed: a 288-node / 66-exchange plan with zero
+    ReusedExchange). ``sh``, ``sizes``, and the candidate frame are
+    therefore persisted MEMORY_AND_DISK — the one-pass-per-subtree
+    property is asserted by a plan gate in tests. The cache is left to
+    Spark's LRU eviction (the result is lazy, so there is no safe point
+    to unpersist inside this function).
     """
-    sh = _distinct_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    from pyspark import StorageLevel
+
+    sh = _distinct_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     if max_shingle_df is None:
         inter = _pair_intersections(sh)
@@ -115,7 +134,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_shingle_df)
         .select("shingle")
     )
-    sh_rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_rare = sh.join(F.broadcast(hot), "shingle", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rare_sizes = sh_rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
 
     inter_rare = _pair_intersections(sh_rare)
@@ -135,6 +156,7 @@ def ngram_jaccard_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("inter") - F.col("_slack")),
         )
         .filter(F.col("_ub") >= threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # slack-free pairs: neither doc lost a shingle to the cap → the rare
@@ -465,11 +487,11 @@ def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
+    dim: int,
     threshold: float = 0.9,
     bits: int = 8,
     tables: int = 4,
     seed: int = 7,
-    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — the scale path.
 
@@ -481,17 +503,13 @@ def embedding_near_dup_lsh(
     ``tables``×). Exact cosine verification keeps precision at 1.0 —
     recall is the only approximation, validated against
     :func:`embedding_near_dup_pairs` in tests and by the DuckDB oracle
-    at sf0.01. Output: (id_a, id_b, cosine)."""
+    at sf0.01. Output: (id_a, id_b, cosine).
+
+    ``dim`` (the embedding width) is REQUIRED: callers always know it
+    from the table contract, and a row-probe fallback would cost an
+    extra Spark job per call (a zero-probe-job test enforces this)."""
     from .similarity import cosine_expr
 
-    if dim is None:
-        probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-        if probe is None:  # empty input → empty pair set, not a crash
-            id_type = dict(df.dtypes)[id_col]
-            return df.sparkSession.createDataFrame(
-                [], f"id_a {id_type}, id_b {id_type}, cosine double"
-            )
-        dim = len(probe[0])
     sig_udf = make_lsh_band_udf(dim, bits, tables, seed)
     banded = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_k")

@@ -163,8 +163,13 @@ def _png_unfilter(data: bytes, w: int, h: int, channels: int) -> np.ndarray:
     """Reverse per-scanline PNG filtering (types 0-4, PNG spec §6) over
     the inflated IDAT byte stream → (h, w*channels) uint8. Filters 0-2
     vectorize (identity / per-channel cumsum mod 256 / add-previous-row);
-    3-4 carry a left-pixel dependency and run per byte — fine for the
-    decode path (our encoder emits filter 0 throughout)."""
+    3-4 (Average/Paeth) carry a NONLINEAR left-pixel recurrence (floor /
+    min-of-abs on the just-reconstructed byte) that no numpy formulation
+    removes — they run as a per-byte loop over plain Python lists
+    (several × faster than numpy scalar indexing, still O(h·w·channels)
+    interpreted). Our own encoder emits filter 0 throughout; third-party
+    PNGs routinely Paeth every row — see decode_image's docstring for
+    the bulk-ingestion guidance (prefer PIL when it is available)."""
     stride = w * channels
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
@@ -183,20 +188,24 @@ def _png_unfilter(data: bytes, w: int, h: int, channels: int) -> np.ndarray:
         elif ftype == 2:  # Up
             out[y] = row + prev  # uint8 addition wraps mod 256
         elif ftype == 3:  # Average
-            cur = out[y]
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+                left = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            out[y] = cl
         elif ftype == 4:  # Paeth
-            cur = out[y]
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = cl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(row[x]) + pred) & 0xFF
+                cl[x] = (rl[x] + pred) & 0xFF
+            out[y] = cl
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     return out
@@ -258,7 +267,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """Sniff + decode → (HxWx3 uint8 RGB, format). BMP/PPM/PNG(8-bit
     0/2/6) are native; JPEG and exotic PNGs dispatch to PIL when
-    available, else NotImplementedError."""
+    available, else NotImplementedError.
+
+    COST NOTE (ADVICE r3): the native PNG path unfilters Average/Paeth
+    rows in an interpreted per-byte loop (O(h·w·channels)); third-party
+    PNGs routinely Paeth every row. For bulk ingestion of real-world
+    images at Arrow-batch scale, install PIL and decode with it — this
+    native codec exists so the container (no PIL/ffmpeg) still has a
+    correct PNG path, not as the high-throughput one."""
     if payload[:2] == b"BM":
         return decode_bmp(payload), "bmp"
     if payload[:2] == b"P6":

@@ -7,6 +7,10 @@ bit) instead of RNG state.
 
 - :func:`hash_sample`: uniform p%% sample — one md5 per row, predicate
   pushed into the scan.
+
+Key columns must be string or integer typed: those are the types whose
+cast-to-string renders identically in Spark and DuckDB, keeping the two
+engines' samples bit-identical (enforced with a ValueError).
 - :func:`stratified_sample`: per-stratum rates (e.g. downsample the
   dominant language, keep the long tail) — the broadcast-map shape; the
   rate lookup is a small literal CASE, never a join.
@@ -21,6 +25,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BUCKETS = 10_000  # rate resolution 0.01%
+
+# Key types whose string rendering is identical in Spark's cast('string')
+# and DuckDB's cast(... as varchar). double/decimal/timestamp keys are
+# REJECTED: the engines render them differently (scientific notation,
+# trailing zeros, timestamp formats), which would silently desynchronize
+# cross-engine sampling — the exact failure the shared md5 bucket exists
+# to prevent.
+_PORTABLE_KEY_TYPES = {"string", "tinyint", "smallint", "int", "bigint"}
+
+
+def _check_key_type(df: DataFrame, key_col: str) -> None:
+    dtype = dict(df.dtypes).get(key_col)
+    if dtype is None:
+        raise ValueError(f"key column {key_col!r} not in {df.columns}")
+    if dtype not in _PORTABLE_KEY_TYPES:
+        raise ValueError(
+            f"sampling key {key_col!r} has type {dtype!r}; only "
+            f"{sorted(_PORTABLE_KEY_TYPES)} render identically across "
+            "Spark and DuckDB — cast the key to string with an explicit, "
+            "engine-agnostic format first"
+        )
 
 
 def sample_bucket(key: Column) -> Column:
@@ -45,6 +70,7 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     than that round to the nearest bucket count). Pure map-side predicate
     — survives any re-run, any partitioning, and composes with column
     pruning."""
+    _check_key_type(df, key_col)
     threshold = int(round(fraction * HASH_BUCKETS))
     return df.filter(sample_bucket(F.col(key_col)) < threshold)
 
@@ -63,7 +89,11 @@ def stratified_sample(
     The stratum→threshold map is a literal CASE expression (strata sets
     are small by definition), so the whole operator is one scan-side
     predicate: no join, no shuffle, no skew sensitivity — the dominant
-    stratum is *cheaper* to drop than to carry."""
+    stratum is *cheaper* to drop than to carry.
+
+    Key type contract: string or integer keys only (see
+    :func:`_check_key_type`)."""
+    _check_key_type(df, key_col)
     bucket = sample_bucket(F.col(key_col))
     for stratum in rates:
         if "'" in stratum:

@@ -14,9 +14,10 @@
   paths — bucket/cell joins replace the full scan at 10^12 rows; recall
   tunes via bits×tables / n_probe.
 
-Callers that know the embedding dimensionality should pass ``dim``
-explicitly to the LSH entry points — the ``dim=None`` fallback probes
-one row (an extra tiny Spark job per call).
+The LSH entry points REQUIRE ``dim`` (the embedding width): callers
+always know it from the table contract, and the old ``dim=None``
+row-probe fallback cost an extra Spark job per call — it is deleted,
+not just discouraged (a zero-probe-job test enforces this).
 """
 
 from __future__ import annotations
@@ -96,6 +97,7 @@ def knn_join_topk_blocked(
     vec_col: str,
     query_id_col: str = "query_id",
     k: int = 10,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact k-NN join, shuffle-bounded — the scale variant of
     :func:`knn_join_topk` (which windows the full |Q|×|C| scored set
@@ -106,11 +108,24 @@ def knn_join_topk_blocked(
     query, so the shuffle into the final global rank carries at most
     batches × |Q| × k rows instead of |C| × |Q|. Scores are IEEE-double
     dot products; ties broken by id, matching the exact variant (equality
-    asserted in tests). Queries must be driver-collectable (the same
-    smallness contract the broadcast in knn_join_topk already assumes)."""
+    asserted in tests).
+
+    HARD CONTRACT: the query side is collected to the driver and its
+    matrix (|Q| × dim float64, ~0.8 GB at the default bound with
+    dim=1024) is shipped to every task — |Q| must stay small. The
+    ``max_queries`` bound (default 10⁵) is ENFORCED: exceeding it raises
+    ValueError up front instead of OOMing the driver mid-collect. For
+    query sets beyond the bound, batch the queries or use
+    :func:`ivf_topk` / :func:`lsh_bucket_topk`."""
     import numpy as np
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_join collects the query side to the driver: got more than "
+            f"max_queries={max_queries} query rows. Batch the queries or use "
+            f"ivf_topk / lsh_bucket_topk for large query sets."
+        )
     qids = [r[0] for r in q_rows]
     qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -318,7 +333,7 @@ def lsh_bucket_topk(
     k: int = 10,
     bits: int = 8,
     tables: int = 4,
-    dim: int | None = None,
+    dim: int = 0,
     seed: int = 7,
 ) -> DataFrame:
     """Approximate k-NN: multi-table random-hyperplane LSH.
@@ -327,9 +342,15 @@ def lsh_bucket_topk(
     for a query iff they share a bucket in ANY table (the standard
     recall amplifier: miss probability (1−p^bits)^tables). The join is
     on tiny (table_id, bucket) equality keys — at 10^12 rows this is
-    the scan-replacement path; recall/cost tunes via bits × tables."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    the scan-replacement path; recall/cost tunes via bits × tables.
+
+    ``dim`` (the embedding width) is REQUIRED — the old row-probe
+    fallback cost an extra Spark job per call and is deleted."""
+    if dim <= 0:
+        raise ValueError(
+            "dim (embedding width) is required: pass the vector length from "
+            "the table contract instead of relying on a row probe"
+        )
     all_planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_cvec"),

@@ -160,9 +160,17 @@ def delete_path(spark: SparkSession, path: str) -> None:
 
 
 def rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename via Hadoop FS. fs.rename() signals failure by RETURNING
+    False (dst exists, cross-FS move) rather than raising — swallowing
+    that left <output>/counts absent/stale with no error (ADVICE r3), so
+    a False return raises here."""
     fs, jsrc = _hadoop_fs(spark, src)
     jvm = spark.sparkContext._jvm
-    fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst))
+    if not fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(
+            f"Hadoop fs.rename({src!r} -> {dst!r}) returned false "
+            "(destination exists or cross-filesystem move?)"
+        )
 
 
 def list_input_files(spark: SparkSession, input_path: str) -> list[str]:

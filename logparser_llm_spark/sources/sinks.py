@@ -82,12 +82,15 @@ def write_run_idempotent(
     run-key protocol (plans/checkpoint.py). Returns the format used.
 
     - **Iceberg** (catalog configured + runtime on classpath): stamp the
-      ``run_key`` column and ``overwritePartitions()`` — Spark's dynamic
-      partition overwrite against an Iceberg table is the replace-where
-      commit on the run_key partition: a retry of the same work set
-      atomically replaces exactly its own rows in one catalog commit,
-      with no directory manipulation (directory deletes don't undo
-      Iceberg commits). The table is created partitioned by
+      ``run_key`` column and commit with an EXPLICIT replace-where on
+      ``run_key = <key>`` (``writeTo(...).overwrite(condition)``) — a
+      retry atomically replaces ALL rows of its run_key in one catalog
+      commit, with no directory manipulation. Dynamic
+      ``overwritePartitions()`` would be wrong here: it replaces only
+      the partitions PRESENT in the incoming frame, so a retry whose
+      sink_id set drifted between attempts (pool/config change) would
+      leave the prior attempt's stale (run_key, sink_id) subpartitions
+      committed. The table is created partitioned by
       (run_key, *partition_by) on first write.
     - **parquet fallback**: overwrite-write into ``<target>/run=<key>``
       (the layout ``run_resumable`` has always produced — a crashed
@@ -106,7 +109,7 @@ def write_run_idempotent(
         stamped = df.withColumn(RUN_KEY_COL, F.lit(run_key))
         full = f"{catalog}.{target}"
         try:
-            stamped.writeTo(full).overwritePartitions()
+            stamped.writeTo(full).overwrite(F.col(RUN_KEY_COL) == F.lit(run_key))
         except AnalysisException as exc:
             # ONLY a missing table routes to create() — any other failure
             # (schema mismatch, commit conflict, executor death) must

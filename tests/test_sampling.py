@@ -86,3 +86,25 @@ def test_reservoir_per_key_exact_k_and_invariance(spark, docs):
     )
     c = sorted((r["lang"], r["doc_id"]) for r in again.select("lang", "doc_id").collect())
     assert a == c
+
+
+def test_sampling_rejects_nonportable_key_types(spark):
+    """ADVICE r3: double/timestamp keys render differently in Spark's
+    cast('string') vs DuckDB's varchar cast — rejected up front instead
+    of silently desynchronizing the cross-engine sample."""
+    import pytest
+
+    from logparser_llm_spark.operators.sampling import hash_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "en"), (2, 2.5e20, "de")], "id bigint, score double, lang string"
+    )
+    with pytest.raises(ValueError, match="score"):
+        hash_sample(df, "score", 0.5)
+    with pytest.raises(ValueError, match="score"):
+        stratified_sample(df, "score", "lang", {"en": 0.5})
+    with pytest.raises(ValueError, match="not in"):
+        hash_sample(df, "missing", 0.5)
+    # string and integer keys stay accepted
+    assert hash_sample(df, "id", 1.0).count() == 2
+    assert hash_sample(df, "lang", 1.0).count() == 2

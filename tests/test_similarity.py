@@ -73,7 +73,7 @@ def test_lsh_bucket_topk_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = lsh_bucket_topk(emb, queries, "vec_id", "embedding", k=5, bits=4, tables=6)
+    approx = lsh_bucket_topk(emb, queries, "vec_id", "embedding", k=5, bits=4, tables=6, dim=64)
     rows = approx.collect()
     by_q = {}
     for r in rows:
@@ -125,7 +125,7 @@ def test_lsh_recall_on_clusters(spark):
         F.col("vec_id").alias("query_id"), F.col("cluster").alias("q_cluster"), "embedding"
     )
     out = lsh_bucket_topk(
-        df, queries, "vec_id", "embedding", k=8, bits=6, tables=8
+        df, queries, "vec_id", "embedding", k=8, bits=6, tables=8, dim=16
     )
     joined = out.join(
         df.select("vec_id", F.col("cluster").alias("c_cluster")), "vec_id"
@@ -225,6 +225,43 @@ def test_explicit_dim_builds_plan_without_probe_job(spark):
     # the plans are real (executable) — just not executed during build
     assert {c for c in plan1.columns} == {"id_a", "id_b", "cosine"}
     assert plan2.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_dim_is_required_no_probe_fallback(spark):
+    """VERDICT r3 item 4: the .first() dim-probe fallbacks are deleted —
+    omitting ``dim`` is an immediate error, not a hidden Spark job."""
+    import pytest
+
+    from logparser_llm_spark.operators.dedup import embedding_near_dup_lsh
+    from logparser_llm_spark.operators.similarity import lsh_bucket_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    queries = df.selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(TypeError):
+        embedding_near_dup_lsh(df, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="dim"):
+        lsh_bucket_topk(df, queries, "vec_id", "embedding")
+
+
+def test_knn_join_enforces_query_side_bound(spark):
+    """VERDICT r3 item 5: knn_join raises past max_queries instead of
+    collecting an unbounded query side to the driver."""
+    import pytest
+
+    from logparser_llm_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = df.selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(df, queries, "vec_id", "embedding", k=2, max_queries=5)
+    # at or under the bound: runs normally
+    out = knn_join(df, queries, "vec_id", "embedding", k=2, max_queries=10)
+    assert out.filter(F.col("rank") == 1).count() == 10
 
 
 def test_knn_join_default_is_blocked():
