@@ -51,6 +51,20 @@ HEADLINE = [
     "repetition_signals",
     "value_percentiles",
     "events_cube",
+    # round 4 (VERDICT r3 item 6): every registered query is tracked
+    "valid_filter",
+    "tokenize_stats",
+    "template_prefix_buckets",
+    "route_counts",
+    "top_patterns",
+    "log_levels",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_filtered",
+    "variables_extract",
+    "parsed_projection",
+    "split_components",
+    "per_sink_topk",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -58,6 +72,8 @@ HEADLINE = [
 LARGE_RESULT = {
     "clean_extract", "template_extract", "simhash", "lang_quality",
     "grok_parse", "pii_redact", "repetition_signals",
+    "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
+    "parsed_projection", "split_components",
 }
 
 

@@ -42,11 +42,22 @@ class TreeConfig:
 
 @dataclass(frozen=True)
 class MergingConfig:
-    """Defaults match reference config_manager.py:63-72."""
+    """Defaults match reference config_manager.py:63-72.
+
+    ``enable_slot_voting`` adds the deterministic cross-member slot-vote
+    generalization pass (operators/merging.py:generalize_pool) after the
+    reference-semantics auto-merge: token positions varying across
+    otherwise-identical pool patterns (≥ ``slot_min_distinct`` distinct
+    values) are wildcarded, recovering templates whose variable slots
+    carry no digits (usernames, job words) that the LLM-free extractor
+    over-splits. OFF by default — the reference has no such pass, and
+    the registered flagship queries pin its exact merge semantics."""
 
     enable_auto_merge: bool = True
     merge_threshold: float = 0.9
     max_edit_distance: int = 3
+    enable_slot_voting: bool = False
+    slot_min_distinct: int = 3
 
 
 @dataclass(frozen=True)

@@ -126,54 +126,105 @@ def accuracy_scorecard(spark, n_pages: int = 1500, seed: int = 101, cfg=None) ->
     publishes F1 90.6% / PA 81.1% on its own LLM-backed evaluation
     (reference README.md:13) — the comparable rows here are the
     oracle-vs-truth and spark-vs-truth lines.
+
+    The scorecard carries TWO variants, both applied SYMMETRICALLY to
+    the Spark pipeline and the sequential oracle:
+
+    - the reference-semantics default (exact auto-merge only), and
+    - ``*_slotvote`` rows with ``merging.enable_slot_voting`` — the
+      deterministic cross-member slot-vote generalization
+      (operators/merging.py:generalize_pool; the oracle side re-points
+      its per-line ids through the generalized pool exactly as the
+      reference's merger re-points log_to_template,
+      template_pool.py:160-163).
     """
+    from dataclasses import replace
+
     from .config import DEFAULT_CONFIG
     from .operators.cluster import assign_templates, discover_templates
     from .reference_oracle import SequentialParser
     from .sources.synth import generate_labeled_lines
 
     cfg = cfg or DEFAULT_CONFIG
+    cfg_sv = replace(cfg, merging=replace(cfg.merging, enable_slot_voting=True))
     labeled = generate_labeled_lines(spark, n_pages, seed=seed)
-    pool = discover_templates(labeled, "text", cfg)
-    tid_to_pattern = {t["template_id"]: t["pattern"] for t in pool}
-    assigned = assign_templates(labeled, "text", pool, cfg)
-    rows = (
-        assigned.select("url", "line_no", "text", "gt_id", "gt_template", "template_id")
-        .orderBy("url", "line_no")
-        .collect()
-    )
+
+    def _spark_run(run_cfg) -> tuple[list, list[str], list[str]]:
+        pool = discover_templates(labeled, "text", run_cfg)
+        tid_to_pattern = {t["template_id"]: t["pattern"] for t in pool}
+        assigned = assign_templates(labeled, "text", pool, run_cfg)
+        rows = (
+            assigned.select(
+                "url", "line_no", "text", "gt_id", "gt_template", "template_id"
+            )
+            .orderBy("url", "line_no")
+            .collect()
+        )
+        ids = [r["template_id"] for r in rows]
+        return rows, ids, [tid_to_pattern.get(t, "") for t in ids]
+
+    rows, spark_ids, spark_templates = _spark_run(cfg)
+    _, spark_ids_sv, spark_templates_sv = _spark_run(cfg_sv)
+
     texts = [r["text"] for r in rows]
     gt_ids = [r["gt_id"] for r in rows]
     gt_templates = [r["gt_template"] for r in rows]
-    spark_ids = [r["template_id"] for r in rows]
-    spark_templates = [tid_to_pattern.get(t, "") for t in spark_ids]
 
-    oracle = SequentialParser(cfg)
+    oracle = SequentialParser(cfg_sv)  # parse flow is config-identical
     oracle_ids = [oracle.parse(t) for t in texts]
     oracle_templates = [
         oracle.pool[t]["pattern"] if t in oracle.pool else "" for t in oracle_ids
     ]
+    oracle_ids_sv, sv_id_to_pattern = oracle.final_ids(oracle_ids)
+    oracle_templates_sv = [sv_id_to_pattern.get(t, "") for t in oracle_ids_sv]
+
+    # PA in raw-gt space penalizes pure PREPROCESSING renderings (the gt
+    # keeps the literal "HTTP/1.1" where the cleaner's number pass writes
+    # "HTTP/<NUM>"); PA_norm maps the gt template through the same
+    # clean+extract normalization, so it measures template-shape recovery
+    # rather than cleaner rendering (slot-boundary artifacts like the
+    # gt's "<*>-<*>" vs a single extracted "<*>" still count as misses).
+    from .functions.cleaning import clean_text
+    from .operators.drain import extract_template
+
+    norm_memo: dict[str, str] = {}
+
+    def _norm_gt(t: str) -> str:
+        if t not in norm_memo:
+            norm_memo[t] = extract_template(
+                clean_text(t, cfg.preprocessing), cfg.tree.token_delimiter
+            )
+        return norm_memo[t]
+
+    gt_templates_norm = [_norm_gt(t) for t in gt_templates]
 
     def _vs_truth(ids: list[str], templates: list[str]) -> dict:
         f1, precision, recall = cluster_f1(ids, gt_ids)
         return {
             "GA": grouping_accuracy_groups(ids, gt_ids),
             "PA": parsing_accuracy(templates, gt_templates),
+            "PA_norm": parsing_accuracy(templates, gt_templates_norm),
             "F1": f1,
             "precision": precision,
             "recall": recall,
             "ARI": adjusted_rand_index(ids, gt_ids),
         }
 
+    def _agreement(a: list[str], b: list[str]) -> dict:
+        return {
+            "GA": grouping_accuracy_groups(a, b),
+            "F1": cluster_f1(a, b)[0],
+            "ARI": adjusted_rand_index(a, b),
+        }
+
     return {
         "n_lines": len(rows),
         "spark_vs_truth": _vs_truth(spark_ids, spark_templates),
         "oracle_vs_truth": _vs_truth(oracle_ids, oracle_templates),
-        "spark_vs_oracle": {
-            "GA": grouping_accuracy_groups(spark_ids, oracle_ids),
-            "F1": cluster_f1(spark_ids, oracle_ids)[0],
-            "ARI": adjusted_rand_index(spark_ids, oracle_ids),
-        },
+        "spark_vs_oracle": _agreement(spark_ids, oracle_ids),
+        "spark_vs_truth_slotvote": _vs_truth(spark_ids_sv, spark_templates_sv),
+        "oracle_vs_truth_slotvote": _vs_truth(oracle_ids_sv, oracle_templates_sv),
+        "spark_vs_oracle_slotvote": _agreement(spark_ids_sv, oracle_ids_sv),
     }
 
 

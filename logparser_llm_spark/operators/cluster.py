@@ -57,7 +57,7 @@ from pyspark.sql.functions import pandas_udf
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..functions.cleaning import clean_pandas, is_valid_log_col
 from .drain import UNKNOWN_ID, TemplateTree, extract_template, extract_template_col
-from .merging import dedup_pool_exact, merge_pool
+from .merging import dedup_pool_exact, generalize_pool, merge_pool
 
 
 
@@ -355,4 +355,6 @@ def discover_templates_from_cleaned(
         merge_threshold=merge_cfg.merge_threshold,
         max_edit_distance=merge_cfg.max_edit_distance,
     )
+    if merge_cfg.enable_slot_voting:
+        merged = generalize_pool(merged, merge_cfg.slot_min_distinct)
     return canonicalize_pool(merged)

@@ -93,6 +93,30 @@ def merge_pool(
     """
     if not enable or len(templates) < 2:
         return list(templates)
+    # Candidate pruning (exact, not heuristic): should_merge rejects any
+    # pair with |len(p1)−len(p2)| > max_edit_distance before all other
+    # work, so only patterns within that CHARACTER-length window can ever
+    # merge — bucket by length and scan just the window. This keeps the
+    # greedy pass near-linear on real pools (pattern lengths spread far
+    # wider than max_edit_distance=3); the worst case (every pattern
+    # within one window) remains the reference's O(n²), bounded by the
+    # pool cap — see the pool-cap contract in BENCH/BASELINE.md.
+    by_len: dict[int, list[int]] = {}
+    for idx, t in enumerate(templates):
+        by_len.setdefault(len(t["pattern"]), []).append(idx)
+
+    def candidates(i: int, plen: int) -> list[int]:
+        if max_edit_distance <= 0:  # gate disabled → all later templates
+            return list(range(i + 1, len(templates)))
+        out = [
+            j
+            for length in range(plen - max_edit_distance, plen + max_edit_distance + 1)
+            for j in by_len.get(length, ())
+            if j > i
+        ]
+        out.sort()  # preserve the reference's scan order exactly
+        return out
+
     merged: list[dict] = []
     used: set[int] = set()
     for i, t1 in enumerate(templates):
@@ -100,7 +124,7 @@ def merge_pool(
             continue
         acc = dict(t1)
         acc.setdefault("sources", [t1["pattern"]])
-        for j in range(i + 1, len(templates)):
+        for j in candidates(i, len(t1["pattern"])):
             if j in used:
                 continue
             # note: reference compares against the ORIGINAL t1 pattern,
@@ -111,6 +135,147 @@ def merge_pool(
         merged.append(acc)
         used.add(i)
     return merged
+
+
+def _slot_vote_round(templates: list[dict], min_distinct: int) -> tuple[list[dict], bool]:
+    """One slot-voting pass; returns (new pool, changed?). See
+    :func:`generalize_pool`."""
+    from collections import defaultdict
+
+    templates = sorted(templates, key=lambda t: t["pattern"])
+    toks = [t["pattern"].split() for t in templates]
+
+    parent = list(range(len(templates)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # patterns sharing a mask-one-position key differ at EXACTLY that
+    # position (pool patterns are distinct) — O(n·L) candidate generation,
+    # no all-pairs scan; transitive closure via union-find covers
+    # multi-slot cross products (alice/alpha ↔ alice/bravo ↔ bob/alpha)
+    groups: dict[tuple, int] = {}
+    for idx, tk in enumerate(toks):
+        for i in range(len(tk)):
+            key = (len(tk), i, tuple(tk[:i]), tuple(tk[i + 1 :]))
+            first = groups.setdefault(key, idx)
+            if first != idx:
+                union(first, idx)
+
+    comps: dict[int, list[int]] = defaultdict(list)
+    for i in range(len(templates)):
+        comps[find(i)].append(i)
+
+    out: list[dict] = []
+    changed = False
+
+    def _merge_members(members: list[int], merged_toks: list[str]) -> dict:
+        acc = dict(templates[members[0]])
+        acc.setdefault("sources", [acc["pattern"]])
+        for m in members[1:]:
+            t = templates[m]
+            acc["count"] = acc.get("count", 0) + t.get("count", 0)
+            acc["examples"] = (acc.get("examples", []) + t.get("examples", []))[:10]
+            acc["confidence"] = min(
+                acc.get("confidence", 1.0), t.get("confidence", 1.0)
+            )
+            acc["sources"] = acc["sources"] + t.get("sources", [t["pattern"]])
+        acc["pattern"] = " ".join(merged_toks)
+        return acc
+
+    def _resolve(members: list[int]) -> list[dict]:
+        """Vote over a member set; recurse on discriminator splits.
+
+        A component can transitively chain DIFFERENT true templates
+        (GET/... and POST/... connect through every shared path token),
+        so a failed vote must not reject the whole component: partition
+        by the first non-qualifying (discriminator) position's token and
+        re-vote each part — within the GET part the path column still
+        qualifies and merges."""
+        nonlocal changed
+        if len(members) == 1:
+            return [templates[members[0]]]
+        length = len(toks[members[0]])
+        cols = [{toks[m][i] for m in members} for i in range(length)]
+        varying = [i for i in range(length) if len(cols[i]) > 1]
+        # the vote: a varying position is a credible variable slot iff the
+        # members exhibit ≥ min_distinct different tokens there (or one
+        # member already wildcarded it). A 2-way split like GET/POST is
+        # NOT enough evidence — that is a discriminator, not a slot.
+        bad = [
+            i
+            for i in varying
+            if len(cols[i]) < min_distinct and WILDCARD not in cols[i]
+        ]
+        merged_toks = [
+            WILDCARD if i in varying else toks[members[0]][i] for i in range(length)
+        ]
+        if not bad and any(t != WILDCARD for t in merged_toks):
+            changed = True
+            return [_merge_members(members, merged_toks)]
+        if not bad:  # would be all-wildcard: keep split
+            return [templates[m] for m in members]
+        parts: dict[str, list[int]] = {}
+        for m in members:
+            parts.setdefault(toks[m][bad[0]], []).append(m)
+        if len(parts) == 1:  # cannot split further
+            return [templates[m] for m in members]
+        return [t for tok in sorted(parts) for t in _resolve(parts[tok])]
+
+    for root in sorted(comps):
+        out.extend(_resolve(comps[root]))
+    return out, changed
+
+
+def generalize_pool(templates: list[dict], min_distinct: int = 3) -> list[dict]:
+    """Drain-style cross-member SLOT VOTING over the collected pool — the
+    deterministic generalization pass that closes most of the recall gap
+    the LLM-free extractor leaves (VERDICT r3 item 2).
+
+    The per-row extractor wildcards only tokens that LOOK variable in
+    isolation (digits/hex/k=v); a slot holding plain words (usernames,
+    job names) produces one pool pattern per value — over-splitting the
+    true template. The evidence the reference's own components use at
+    merge time (prefix_tree.py:241-279 fuzzy descent, merger.py:179-207
+    positional merge) is CROSS-MEMBER: a token position that varies
+    across otherwise-identical patterns is a variable slot. This pass
+    applies exactly that vote, driver-side, over the (small) pool:
+
+    1. connect patterns of equal token count differing at EXACTLY one
+       position (hash-key candidate generation, O(n·L)); union-find
+       closes multi-slot cross products transitively;
+    2. a component merges iff EVERY varying position shows
+       ``min_distinct``-or-more distinct tokens (or an existing ``<*>``)
+       — a 2-way alternation like GET/POST is kept split (that is a
+       discriminator, not a slot), which is what holds precision at 1.0;
+    3. merged pattern = member tokens with varying positions wildcarded;
+       counts sum, examples concat (cap 10), confidence = min,
+       ``sources`` accumulate so the broadcast assignment map keeps
+       routing every pre-merge pattern;
+    4. repeat to fixpoint (merged patterns can enable further merges).
+
+    Deterministic and order-free (members processed in sorted-pattern
+    order), so the distributed pipeline stays partition-invariant.
+    Config-gated OFF by default: the registered flagship queries keep
+    the reference's exact merge semantics (and their DuckDB oracles);
+    enable via ``merging.enable_slot_voting``."""
+    if len(templates) < 2 or min_distinct < 2:
+        return list(templates)
+    cur = [dict(t) for t in templates]
+    for t in cur:
+        t.setdefault("sources", [t["pattern"]])
+    while True:
+        cur, changed = _slot_vote_round(cur, min_distinct)
+        if not changed:
+            return cur
 
 
 def merge_patterns_zip(p1: str, p2: str) -> str:

@@ -145,3 +145,33 @@ class SequentialParser:
             merge_threshold=self.cfg.merging.merge_threshold,
             max_edit_distance=self.cfg.merging.max_edit_distance,
         )
+
+    def final_pool(self) -> list[dict]:
+        """The post-parse pool: auto-merge, plus slot-voting
+        generalization when the config enables it — the sequential twin
+        of discover_templates' pool pipeline, canonical ids included."""
+        from .operators.cluster import canonicalize_pool
+        from .operators.merging import generalize_pool
+
+        merged = self.merged_pool()
+        if self.cfg.merging.enable_slot_voting:
+            merged = generalize_pool(merged, self.cfg.merging.slot_min_distinct)
+        return canonicalize_pool(merged)
+
+    def final_ids(self, ids: list[str]) -> tuple[list[str], dict[str, str]]:
+        """Re-point per-line template ids through the merged/generalized
+        pool — the reference's own merge re-pointing semantics
+        (parse_batch runs the merger periodically and merge re-points
+        log_to_template, template_pool.py:160-163; here it is applied
+        once, post-parse). Returns (remapped ids, new_id → pattern)."""
+        final = self.final_pool()
+        pat_to_new: dict[str, str] = {}
+        for t in final:
+            for src in {t["pattern"], *t.get("sources", [])}:
+                pat_to_new[src] = t["template_id"]
+        old_to_new = {
+            old: pat_to_new.get(pattern, old)
+            for pattern, old in self.pattern_to_tid.items()
+        }
+        id_to_pattern = {t["template_id"]: t["pattern"] for t in final}
+        return [old_to_new.get(i, i) for i in ids], id_to_pattern
