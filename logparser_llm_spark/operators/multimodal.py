@@ -12,16 +12,17 @@ uncompressed formats are decoded FOR REAL in pure numpy/struct —
 - **BMP** (BITMAPINFOHEADER, 24bpp BI_RGB, bottom-up, 4-byte row pad);
 - **PPM** (P6 binary);
 - **PNG** (8-bit gray/RGB/RGBA, non-interlaced; stdlib zlib inflate +
-  numpy unfilter of all five scanline filter types — the one COMPRESSED
-  format decodable with no new dependency);
+  numpy unfilter of all five scanline filter types);
+- **JPEG** (baseline sequential DCT, 4:4:4/4:2:2/4:2:0, restart
+  intervals — pure numpy Huffman+IDCT, operators/jpeg.py; round 4);
 - **video** as a concatenated-BMP stream (each BMP header declares its
   byte size, so frames can be walked without an index — the MJPEG idea).
 
-Remaining compressed formats (JPEG/MP3/MP4, exotic PNG flavors) dispatch
-to PIL/ffmpeg behind an import-try and raise ``NotImplementedError`` when
-the libraries are absent — honestly stubbed, never silently faked. The
-legacy ``fake=True`` path keeps the md5-derived stand-ins for plumbing
-tests.
+Remaining compressed formats (MP3/MP4, progressive JPEG, exotic PNG
+flavors) dispatch to PIL/ffmpeg behind an import-try and raise
+``NotImplementedError`` when the libraries are absent — honestly
+stubbed, never silently faked. The legacy ``fake=True`` path keeps the
+md5-derived stand-ins for plumbing tests.
 """
 
 from __future__ import annotations
@@ -286,14 +287,22 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
             pass  # well-formed exotic flavor → PIL fallback below
         # corrupt PNGs raise ValueError here: retrying them through PIL
         # would only bury the root cause under a PIL parse error
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import UnsupportedJpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(payload), "jpeg"
+        except UnsupportedJpegError:
+            pass  # progressive/arithmetic/12-bit → PIL fallback below
+        # corrupt JPEGs raise ValueError here, same policy as PNG
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "JPEG (and exotic PNG flavors) need PIL (not in this container); "
-            "BMP/PPM/8-bit-PNG decode natively"
+            "progressive JPEG and exotic PNG flavors need PIL (not in this "
+            "container); BMP/PPM/8-bit-PNG/baseline-JPEG decode natively"
         ) from exc
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     return np.asarray(img), (img.format or "unknown").lower()
