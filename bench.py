@@ -65,6 +65,7 @@ HEADLINE = [
     "parsed_projection",
     "split_components",
     "per_sink_topk",
+    "parse_route_agg_slotvote",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

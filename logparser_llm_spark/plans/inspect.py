@@ -50,7 +50,8 @@ def _main() -> None:
     for name in ["parse_route_agg", "enrich_lang_join", "pricing_summary",
                  "ngram_jaccard", "ann_topk", "user_sessions",
                  "embedding_near_dup", "simhash_near_dup", "parsed_projection",
-                 "knn_join", "ivf_ann", "ngram_topk", "stratified_sample"]:
+                 "knn_join", "ivf_ann", "ngram_topk", "stratified_sample",
+                 "parse_route_agg_slotvote"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")

@@ -262,6 +262,45 @@ def q_parse_route_agg_sql(sf: str) -> str:
     """
 
 
+def q_parse_route_agg_slotvote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with slot-voting generalization enabled
+    (merging.enable_slot_voting — operators/merging.py:generalize_pool):
+    the round-4 accuracy path, registered so the driver exercises the
+    distributed slot-voted plan end-to-end.
+
+    Registered ROWS-ONLY (no DuckDB oracle): the pool pass is a
+    union-find fixpoint over mask-one-position pattern keys with
+    per-component recursive discriminator partitioning — genuinely
+    iterative, not SQL-expressible in one statement. Its correctness
+    gate lives in pytest instead: tests/test_slot_voting.py (unit +
+    partition-invariance + end-to-end grouping + sequential-oracle
+    remap) and the scorecard bounds (spark-vs-truth GA/F1/recall 1.0 at
+    precision 1.0, test_metrics.py::test_accuracy_scorecard).
+
+    On THIS corpus the vote also wildcards the event-type token (5
+    distinct values at one position — indistinguishable from a word
+    slot without semantics; classic Drain's similarity threshold merges
+    these the same way), collapsing the pool to one template. That is
+    the documented trade of the generalizing config, and why the
+    DEFAULT flagship keeps slot voting off."""
+    from dataclasses import replace
+
+    from ..config import DEFAULT_CONFIG
+    from ..operators.cluster import parse_and_count
+    from ..plans.pipeline import route
+
+    cfg = replace(
+        DEFAULT_CONFIG, merging=replace(DEFAULT_CONFIG.merging, enable_slot_voting=True)
+    )
+    ev = _read(spark, sf_dir, "events").select(event_log_line_col().alias("text"))
+    assigned, _pool = parse_and_count(ev, "text", cfg)
+    return (
+        route(assigned)
+        .groupBy("sink_id", "template_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 def q_enrich_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast-join enrichment + per-family counts."""
     d = _read(spark, sf_dir, "documents")
@@ -1545,6 +1584,9 @@ QUERIES: dict[str, tuple] = {
     "parsed_projection": (q_parsed_projection, q_parsed_projection_sql),
     "split_components": (q_split_components, q_split_components_sql),
     "per_sink_topk": (q_per_sink_topk, q_per_sink_topk_sql),
+    # rows-only (union-find fixpoint — not SQL-expressible; pytest-gated,
+    # see the q_parse_route_agg_slotvote docstring)
+    "parse_route_agg_slotvote": (q_parse_route_agg_slotvote, None),
 }
 
 
