@@ -194,6 +194,44 @@ def ngram_jaccard_pairs(
     return final_direct.unionByName(final_verified)
 
 
+def dedup_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """WITHIN-document repetition removal — the Dolma/RefinedWeb-style
+    cleanup step that drops repeated paragraphs/lines inside one
+    document while preserving first-occurrence order.
+
+    Output: (id, n_paras, n_distinct, text_dedup) — the deduped text is
+    the distinct paragraphs joined by ``sep`` in original order.
+
+    Scale shape: split → posexplode → groupBy(id, para) min(pos) →
+    groupBy(id) array_sort(collect_list(struct)) — two shuffles keyed by
+    the document id (never a global key), all JVM built-ins, no UDF.
+    Paragraph comparison is exact; for NEAR-duplicate paragraphs compose
+    with the simhash/minhash operators over the exploded frame."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    firsts = parts.groupBy(id_col, "_para").agg(
+        F.min("_pos").alias("_pos"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_paras"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+    )
+
+
 MINHASH_PRIME = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 
 

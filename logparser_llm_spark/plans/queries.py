@@ -982,6 +982,85 @@ def q_stratified_sample_sql(sf: str) -> str:
     """
 
 
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal (operators/dedup.py:
+    dedup_paragraphs — the Dolma/RefinedWeb cleanup step, round 4):
+    build one document per user from their event-type stream (ordered by
+    event_id), drop repeated lines keeping first-occurrence order, and
+    report (n_paras, n_distinct, md5 of the deduped text). md5 of the
+    reassembled text makes the order-preservation cross-engine
+    verifiable, not just the counts."""
+    from ..operators.dedup import dedup_paragraphs
+
+    ev = _read(spark, sf_dir, "events")
+    docs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("event_id"), F.col("event_type").alias("para")).alias("_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["para"]),
+                "\n",
+            ).alias("text")
+        )
+    )
+    out = dedup_paragraphs(docs, "user_id", "text")
+    return out.select(
+        "user_id", "n_paras", "n_distinct", F.md5("text_dedup").alias("dedup_md5")
+    )
+
+
+def q_para_dedup_sql(sf: str) -> str:
+    return """
+        with docs as (
+          select user_id, string_agg(event_type, chr(10) order by event_id) as text
+          from events group by user_id
+        ),
+        lists as (
+          select user_id, string_split(text, chr(10)) as paras from docs
+        ),
+        parts as (
+          select user_id, unnest(paras) as para,
+                 generate_subscripts(paras, 1) as pos
+          from lists
+        ),
+        firsts as (
+          select user_id, para, min(pos) as pos, count(*) as n
+          from parts group by user_id, para
+        )
+        select user_id, cast(sum(n) as bigint) as n_paras,
+               cast(count(*) as bigint) as n_distinct,
+               md5(string_agg(para, chr(10) order by pos)) as dedup_md5
+        from firsts group by user_id
+    """
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py:reservoir_per_key):
+    keep exactly min(40, |source|) docs per source by deterministic
+    md5 rank — the per-domain cap a web-corpus pipeline applies so one
+    crawl host cannot dominate training data. The chosen SET is
+    cross-engine verifiable because the rank is the shared md5 hash."""
+    from ..operators.sampling import reservoir_per_key
+
+    d = _read(spark, sf_dir, "documents")
+    return reservoir_per_key(d.select("doc_id", "source"), "source", "doc_id", 40)
+
+
+def q_source_cap_sql(sf: str) -> str:
+    return """
+        select doc_id, source from (
+          select doc_id, source,
+                 row_number() over (
+                   partition by source
+                   order by md5(cast(doc_id as varchar)), doc_id) as rk
+          from documents
+        ) where rk <= 40
+    """
+
+
 def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS semi-join with a non-equi condition —
     orders having any line shipped >100 days after the order date,
@@ -1584,6 +1663,8 @@ QUERIES: dict[str, tuple] = {
     "parsed_projection": (q_parsed_projection, q_parsed_projection_sql),
     "split_components": (q_split_components, q_split_components_sql),
     "per_sink_topk": (q_per_sink_topk, q_per_sink_topk_sql),
+    "para_dedup": (q_para_dedup, q_para_dedup_sql),
+    "source_cap": (q_source_cap, q_source_cap_sql),
     # rows-only (union-find fixpoint — not SQL-expressible; pytest-gated,
     # see the q_parse_route_agg_slotvote docstring)
     "parse_route_agg_slotvote": (q_parse_route_agg_slotvote, None),

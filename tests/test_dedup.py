@@ -338,3 +338,36 @@ def test_ngram_cap_recall_contract_boilerplate_only_pair(spark):
     # ...and the stated mitigation holds: exact dedup groups the pair
     reps = {r["rep_id"]: r["dup_count"] for r in dedup_exact(df, "doc_id", "text").collect()}
     assert reps.get(100) == 2  # doc 101 collapsed onto representative 100
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_order(spark):
+    """Within-doc repetition removal (r4): repeated paragraphs drop,
+    first-occurrence order is preserved, counts are exact."""
+    from logparser_llm_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "x\nx\nx"),
+            (3, "only"),
+            (4, "z\ny\nx"),  # no dups: text unchanged
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, "doc_id", "text").collect()}
+    assert out[1]["text_dedup"] == "a\nb\nc"
+    assert (out[1]["n_paras"], out[1]["n_distinct"]) == (6, 3)
+    assert out[2]["text_dedup"] == "x"
+    assert (out[2]["n_paras"], out[2]["n_distinct"]) == (3, 1)
+    assert out[3]["text_dedup"] == "only"
+    assert out[4]["text_dedup"] == "z\ny\nx"
+
+
+def test_dedup_paragraphs_custom_separator(spark):
+    from logparser_llm_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame([(1, "a|b|a|c")], "doc_id bigint, text string")
+    out = dedup_paragraphs(docs, "doc_id", "text", sep="[|]").collect()[0]
+    # note: sep is a regex for split; array_join re-joins with the raw
+    # string, so a regex-meta separator must be chosen accordingly
+    assert out["n_paras"] == 4 and out["n_distinct"] == 3
