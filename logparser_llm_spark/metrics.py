@@ -149,22 +149,23 @@ def accuracy_scorecard(spark, n_pages: int = 1500, seed: int = 101, cfg=None) ->
     cfg_sv = replace(cfg, merging=replace(cfg.merging, enable_slot_voting=True))
     labeled = generate_labeled_lines(spark, n_pages, seed=seed)
 
-    def _spark_run(run_cfg) -> tuple[list, list[str], list[str]]:
+    def _spark_run(run_cfg, full: bool) -> tuple[list, list[str], list[str]]:
         pool = discover_templates(labeled, "text", run_cfg)
         tid_to_pattern = {t["template_id"]: t["pattern"] for t in pool}
         assigned = assign_templates(labeled, "text", pool, run_cfg)
-        rows = (
-            assigned.select(
-                "url", "line_no", "text", "gt_id", "gt_template", "template_id"
-            )
-            .orderBy("url", "line_no")
-            .collect()
+        # the variant run only needs the id column (plus ordering keys):
+        # don't ship the corpus text/ground-truth to the driver twice
+        cols = (
+            ["url", "line_no", "text", "gt_id", "gt_template", "template_id"]
+            if full
+            else ["url", "line_no", "template_id"]
         )
+        rows = assigned.select(*cols).orderBy("url", "line_no").collect()
         ids = [r["template_id"] for r in rows]
         return rows, ids, [tid_to_pattern.get(t, "") for t in ids]
 
-    rows, spark_ids, spark_templates = _spark_run(cfg)
-    _, spark_ids_sv, spark_templates_sv = _spark_run(cfg_sv)
+    rows, spark_ids, spark_templates = _spark_run(cfg, full=True)
+    _, spark_ids_sv, spark_templates_sv = _spark_run(cfg_sv, full=False)
 
     texts = [r["text"] for r in rows]
     gt_ids = [r["gt_id"] for r in rows]

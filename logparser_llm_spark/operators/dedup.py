@@ -208,10 +208,19 @@ def dedup_paragraphs(
     groupBy(id) array_sort(collect_list(struct)) — two shuffles keyed by
     the document id (never a global key), all JVM built-ins, no UDF.
     Paragraph comparison is exact; for NEAR-duplicate paragraphs compose
-    with the simhash/minhash operators over the exploded frame."""
+    with the simhash/minhash operators over the exploded frame.
+
+    ``sep`` is a LITERAL separator string (quoted with Java regex
+    \\Q...\\E for the split side, joined verbatim on the reassembly
+    side) — F.split's regex semantics never leak through. A separator
+    containing the quoting terminator ``\\E`` is rejected."""
+    if "\\E" in sep:
+        raise ValueError(r"separator must not contain the \E quoting terminator")
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "_pos", "_para"
+        ),
     )
     firsts = parts.groupBy(id_col, "_para").agg(
         F.min("_pos").alias("_pos"), F.count(F.lit(1)).alias("_n")

@@ -133,7 +133,12 @@ def reservoir_per_key(
     """Exactly ``min(k, |group|)`` rows per key, chosen by md5 rank of the
     row id — a deterministic reservoir: the chosen set for a key depends
     only on the ids present, never on arrival order or partitioning.
-    One shuffle (window on the key); rank columns are dropped."""
+    One shuffle (window on the key); rank columns are dropped.
+
+    ``id_col`` feeds the cross-engine md5 rank, so it carries the same
+    string/integer type contract as the bucket samplers (review r4: the
+    guard covered only 2 of the 3 md5-keyed samplers)."""
+    _check_key_type(df, id_col)
     rk = "_reservoir_rk"
     if rk in df.columns:
         raise ValueError(f"input already has a column named {rk!r}")

@@ -364,10 +364,18 @@ def test_dedup_paragraphs_keeps_first_occurrence_order(spark):
 
 
 def test_dedup_paragraphs_custom_separator(spark):
+    """sep is a LITERAL string — regex metacharacters must not leak
+    into the split (review r4: '|' as a regex splits on every position)."""
+    import pytest as _pytest
+
     from logparser_llm_spark.operators.dedup import dedup_paragraphs
 
     docs = spark.createDataFrame([(1, "a|b|a|c")], "doc_id bigint, text string")
-    out = dedup_paragraphs(docs, "doc_id", "text", sep="[|]").collect()[0]
-    # note: sep is a regex for split; array_join re-joins with the raw
-    # string, so a regex-meta separator must be chosen accordingly
+    out = dedup_paragraphs(docs, "doc_id", "text", sep="|").collect()[0]
     assert out["n_paras"] == 4 and out["n_distinct"] == 3
+    assert out["text_dedup"] == "a|b|c"
+    dotted = spark.createDataFrame([(1, "x.y.x")], "doc_id bigint, text string")
+    outd = dedup_paragraphs(dotted, "doc_id", "text", sep=".").collect()[0]
+    assert outd["text_dedup"] == "x.y" and outd["n_paras"] == 3
+    with _pytest.raises(ValueError, match="quoting terminator"):
+        dedup_paragraphs(docs, "doc_id", "text", sep="\\E")

@@ -47,8 +47,7 @@ def test_zigzag_is_the_spec_order():
     against values derivable by hand, independent of the generator."""
     assert len(ZIGZAG) == 64 and sorted(ZIGZAG) == list(range(64))
     assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
-    assert ZIGZAG[-4:] == [39, 46, 53, 61] or ZIGZAG[-1] == 63
-    assert ZIGZAG[-1] == 63
+    assert ZIGZAG[-4:] == [47, 55, 62, 63]
 
 
 def test_uniform_image_roundtrips_exactly():
@@ -95,6 +94,19 @@ def test_corrupt_stream_raises_valueerror():
     prog = p[:sof_at] + b"\xff\xc2" + p[sof_at + 2 :]
     with pytest.raises(UnsupportedJpegError):
         decode_jpeg(prog)
+
+
+def test_non_interleaved_scan_is_unsupported_not_garbage():
+    """Review r4: a baseline JPEG whose components arrive in separate
+    scans (ns < frame components) must raise UnsupportedJpegError (→ PIL
+    fallback), never silently decode only the Y scan as grayscale."""
+    p = encode_jpeg(_smooth(16, 16))
+    sos_at = p.index(b"\xff\xda")
+    # rewrite the 3-component SOS (len 12) as a 1-component SOS (len 8)
+    one_comp = b"\xff\xda" + b"\x00\x08" + bytes([1, 1, 0x00]) + bytes([0, 63, 0])
+    mutated = p[:sos_at] + one_comp + p[sos_at + 14 :]
+    with pytest.raises(UnsupportedJpegError, match="non-interleaved"):
+        decode_jpeg(mutated)
 
 
 def test_grayscale_single_component():
