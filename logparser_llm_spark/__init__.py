@@ -67,6 +67,12 @@ def __getattr__(name):
         "grok_parse": ("logparser_llm_spark.functions.grok", "grok_parse"),
         "accuracy_scorecard": ("logparser_llm_spark.metrics", "accuracy_scorecard"),
         "write_run_idempotent": ("logparser_llm_spark.sources.sinks", "write_run_idempotent"),
+        # round-4 additions
+        "generalize_pool": ("logparser_llm_spark.operators.merging", "generalize_pool"),
+        "dedup_paragraphs": ("logparser_llm_spark.operators.dedup", "dedup_paragraphs"),
+        "encode_jpeg": ("logparser_llm_spark.operators.jpeg", "encode_jpeg"),
+        "decode_jpeg": ("logparser_llm_spark.operators.jpeg", "decode_jpeg"),
+        "decode_image": ("logparser_llm_spark.operators.multimodal", "decode_image"),
     }
     if name in api:
         import importlib

@@ -220,3 +220,34 @@ def test_sequential_oracle_final_ids_remap(spark, sv_cfg):
     # the user slot is wildcarded (the ip/hex slots were already variable
     # in the cleaner's own rendering)
     assert id_to_pattern[final_ids[0]].startswith("User <*> logged in from")
+
+
+def test_streaming_parser_composes_with_slot_voting(spark, sv_cfg, tmp_path):
+    """Slot voting flows through the streaming micro-batch path
+    unchanged: per-batch discovery generalizes, and identical generalized
+    patterns merge across batches by the exact-pattern rule, so the
+    stable pool converges to the voted templates."""
+    from logparser_llm_spark.sources.synth import generate_labeled_lines
+    from logparser_llm_spark.streaming.incremental import StreamingParser
+
+    out = str(tmp_path / "out")
+    parser = StreamingParser(out, cfg=sv_cfg)
+    lines = generate_labeled_lines(spark, 400, seed=101).cache()
+    try:
+        half1 = lines.filter(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+        half2 = lines.filter(~F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+        parser.process_batch(half1.select("text"), 0)
+        n_after_1 = len(parser.pool)
+        parser.process_batch(half2.select("text"), 1)
+        patterns = [t["pattern"] for t in parser.pool]
+        # the user-slot template exists in generalized form, and no
+        # per-user split pattern survives in the stable pool
+        assert any(p.startswith("User <*> logged in from") for p in patterns)
+        assert not any(
+            p.startswith("User alice") or p.startswith("User bob") for p in patterns
+        )
+        # batch 2's re-discovered generalized patterns merged by exact
+        # pattern instead of growing the pool per batch
+        assert len(parser.pool) <= n_after_1 + 3
+    finally:
+        lines.unpersist()
