@@ -311,6 +311,8 @@ def scaling_run_paired(pairs: int = 2) -> dict:
     window, so the per-pair ratio cancels slow environment drift. All
     pairs are reported; the best pair estimates the clean-window
     capability ratio (the same estimator role best-of-K plays per size)."""
+    if pairs < 1:
+        raise ValueError("pairs must be >= 1")
     out = {"pairs": []}
     for _ in range(pairs):
         d8, lines = scaling_run(8, launches=1)

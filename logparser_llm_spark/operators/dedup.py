@@ -213,14 +213,19 @@ def dedup_paragraphs(
     ``sep`` is a LITERAL separator string (quoted with Java regex
     \\Q...\\E for the split side, joined verbatim on the reassembly
     side) — F.split's regex semantics never leak through. A separator
-    containing the quoting terminator ``\\E`` is rejected."""
+    containing the quoting terminator ``\\E`` is rejected.
+
+    NULL text is coalesced to '' (→ n_paras=1, n_distinct=1,
+    text_dedup='') so the document id always survives to the output —
+    posexplode over split(NULL) would otherwise silently drop the row
+    and downstream joins would lose the document."""
     if "\\E" in sep:
         raise ValueError(r"separator must not contain the \E quoting terminator")
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
-            "_pos", "_para"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_para"),
     )
     firsts = parts.groupBy(id_col, "_para").agg(
         F.min("_pos").alias("_pos"), F.count(F.lit(1)).alias("_n")
@@ -534,6 +539,7 @@ def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
+    *,
     dim: int,
     threshold: float = 0.9,
     bits: int = 8,
@@ -552,9 +558,17 @@ def embedding_near_dup_lsh(
     :func:`embedding_near_dup_pairs` in tests and by the DuckDB oracle
     at sf0.01. Output: (id_a, id_b, cosine).
 
-    ``dim`` (the embedding width) is REQUIRED: callers always know it
-    from the table contract, and a row-probe fallback would cost an
-    extra Spark job per call (a zero-probe-job test enforces this)."""
+    ``dim`` (the embedding width) is REQUIRED and keyword-only: callers
+    always know it from the table contract, a row-probe fallback would
+    cost an extra Spark job per call (a zero-probe-job test enforces
+    this), and keyword-only placement keeps a legacy positional
+    ``(df, id, vec, threshold)`` call from silently binding the
+    threshold as dim."""
+    if dim <= 0:
+        raise ValueError(
+            "dim (embedding width) is required: pass the vector length from "
+            "the table contract instead of relying on a row probe"
+        )
     from .similarity import cosine_expr
 
     sig_udf = make_lsh_band_udf(dim, bits, tables, seed)

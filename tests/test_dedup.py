@@ -363,6 +363,23 @@ def test_dedup_paragraphs_keeps_first_occurrence_order(spark):
     assert out[4]["text_dedup"] == "z\ny\nx"
 
 
+def test_dedup_paragraphs_null_text_survives(spark):
+    """ADVICE r4: a NULL-text document must not vanish from the output
+    (posexplode over split(NULL) yields no rows) — it surfaces as an
+    empty single-paragraph row so downstream joins keep the id."""
+    from logparser_llm_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[2]["n_paras"], out[2]["n_distinct"], out[2]["text_dedup"]) == (1, 1, "")
+    assert (out[3]["n_paras"], out[3]["n_distinct"], out[3]["text_dedup"]) == (1, 1, "")
+    assert out[1]["text_dedup"] == "a\nb"
+
+
 def test_dedup_paragraphs_custom_separator(spark):
     """sep is a LITERAL string — regex metacharacters must not leak
     into the split (review r4: '|' as a regex splits on every position)."""

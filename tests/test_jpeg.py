@@ -96,6 +96,26 @@ def test_corrupt_stream_raises_valueerror():
         decode_jpeg(prog)
 
 
+def test_truncated_marker_bodies_raise_valueerror():
+    """ADVICE r4: segment BODIES shorter than their fixed headers must
+    raise ValueError (the documented corrupt contract), not struct.error
+    (truncated SOF/DRI) or IndexError (empty SOS)."""
+    soi = b"\xff\xd8"
+    with pytest.raises(ValueError, match="truncated SOF"):
+        decode_jpeg(soi + b"\xff\xc0\x00\x03\x08")  # 1-byte SOF body
+    with pytest.raises(ValueError, match="truncated DRI"):
+        decode_jpeg(soi + b"\xff\xdd\x00\x03\x00")  # 1-byte DRI body
+    sof1 = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        decode_jpeg(soi + sof1 + b"\xff\xda\x00\x02")  # empty SOS body
+    sof3 = (
+        b"\xff\xc0\x00\x11\x08\x00\x08\x00\x08\x03"
+        b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    with pytest.raises(ValueError, match="truncated SOS component"):
+        decode_jpeg(soi + sof3 + b"\xff\xda\x00\x04\x03\x01")  # ns=3, 2-byte body
+
+
 def test_non_interleaved_scan_is_unsupported_not_garbage():
     """Review r4: a baseline JPEG whose components arrive in separate
     scans (ns < frame components) must raise UnsupportedJpegError (→ PIL

@@ -114,3 +114,19 @@ def test_main_cli_explode_lines_resumable(spark, tmp_path):
     exploded3 = spark.read.parquet(f"{out}/_exploded").count()
     assert exploded3 > exploded1
     assert spark.read.parquet(f"{out}/sinks").drop("run").count() == exploded3
+
+
+def test_scaling_run_paired_rejects_zero_pairs():
+    """ADVICE r4: pairs=0 used to NameError on an unbound 'lines' (and
+    max() over an empty list) — now an explicit ValueError up front."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    bench_path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", bench_path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    with pytest.raises(ValueError, match="pairs"):
+        bench.scaling_run_paired(pairs=0)

@@ -243,6 +243,12 @@ def test_dim_is_required_no_probe_fallback(spark):
         embedding_near_dup_lsh(df, "vec_id", "embedding")
     with pytest.raises(ValueError, match="dim"):
         lsh_bucket_topk(df, queries, "vec_id", "embedding")
+    # ADVICE r4: dim is keyword-only so a legacy positional call
+    # (df, id, vec, threshold) fails loudly instead of binding 0.9 as dim
+    with pytest.raises(TypeError):
+        embedding_near_dup_lsh(df, "vec_id", "embedding", 0.9)
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_dup_lsh(df, "vec_id", "embedding", dim=0)
 
 
 def test_knn_join_enforces_query_side_bound(spark):
