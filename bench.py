@@ -68,6 +68,9 @@ HEADLINE = [
     "parse_route_agg_slotvote",
     "para_dedup",
     "source_cap",
+    # round 5: multi-template slot-vote corpus + multi-split flagship
+    "slotvote_routes",
+    "parse_route_agg_multisplit",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -136,48 +139,12 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
     return times, tainted
 
 
-FLAGSHIP_SPLITS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_SPLITS", "16"))
-
-
+# moved to plans/queries.py (shared with the registered
+# parse_route_agg_multisplit query, VERDICT r4 item 4)
 def ensure_flagship_corpus(spark, sf_dir: str) -> str:
-    """Materialize the flagship input (the constructed event log lines)
-    as ``FLAGSHIP_SPLITS`` parquet files. The raw sf0.1 events table is a
-    single ~2 MB file = ONE input split = one task — it measures the
-    single-task path, not the parallel plan the scaling harness proves
-    (VERDICT r2 item 2). Same rows, same logical work; ≥8 splits."""
-    import hashlib
+    from logparser_llm_spark.plans.queries import ensure_flagship_corpus as _e
 
-    # the cache key includes the source table's (mtime, size) so a
-    # REGENERATED testdata dir at the same path invalidates the /tmp copy
-    # instead of silently benchmarking stale rows
-    src = f"{sf_dir}/events.parquet"
-    # os.stat() on a DIRECTORY succeeds on Linux (ADVICE r3): branch on
-    # isdir, not on OSError, so directory-style parquet signatures come
-    # from the part files (the dir's own mtime can miss an in-place
-    # regeneration and silently benchmark a stale /tmp corpus)
-    if os.path.isdir(src):
-        parts = sorted(
-            os.path.join(src, f) for f in os.listdir(src) if not f.startswith((".", "_"))
-        )
-        src_sig = ":".join(
-            f"{int(os.stat(p).st_mtime)}:{os.stat(p).st_size}" for p in parts
-        )
-    else:
-        st = os.stat(src)
-        src_sig = f"{int(st.st_mtime)}:{st.st_size}"
-    tag = hashlib.md5(f"{sf_dir}:{FLAGSHIP_SPLITS}:{src_sig}".encode()).hexdigest()[:8]
-    dest = f"/tmp/spark_graft_flagship_{tag}"
-    if not (os.path.isdir(dest) and os.path.exists(f"{dest}/_SUCCESS")):
-        from logparser_llm_spark.plans.queries import _read, event_log_line_col
-
-        (
-            _read(spark, sf_dir, "events")
-            .select(event_log_line_col().alias("text"))
-            .repartition(FLAGSHIP_SPLITS)
-            .write.mode("overwrite")
-            .parquet(dest)
-        )
-    return dest
+    return _e(spark, sf_dir)
 
 
 def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int, int]:
