@@ -7,6 +7,7 @@ variants for the aggregates that matter at scale.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 
 from pyspark.sql import DataFrame
@@ -16,6 +17,24 @@ from pyspark.sql import functions as F
 def _normalize_template(template: str) -> str:
     """Whitespace-collapse normalize (metrics.py:212-216)."""
     return " ".join(template.split()).strip()
+
+
+# a RUN of placeholder tokens (<*> / <NUM> / <PATH>) separated only by
+# punctuation (no whitespace, no word chars) — e.g. "<*>-<*>", "<NUM>.<NUM>"
+_PLACEHOLDER_RUN = re.compile(r"(?:<(?:\*|NUM|PATH)>)(?:[^\w\s]+<(?:\*|NUM|PATH)>)+")
+
+
+def canonicalize_template(template: str) -> str:
+    """Collapse placeholder runs separated by punctuation-only literals
+    into one ``<*>`` (VERDICT r4 item 6). Two renderings of the SAME
+    slot structure — a ground truth that writes a two-part id as
+    ``<*>-<*>`` where the extractor wildcards the whole token to ``<*>``,
+    or a cleaner pass that rewrites an IP to the literal ``<NUM>.<NUM>``
+    where the truth holds one ``<*>`` — differ only in where the slot
+    boundary falls, not in which positions are variable. Applied
+    SYMMETRICALLY to both comparison sides in PA_norm, so literal /
+    structural disagreements still count as misses."""
+    return _PLACEHOLDER_RUN.sub("<*>", template)
 
 
 def grouping_accuracy(predictions: list[str], ground_truth: list[str]) -> float:
@@ -182,9 +201,10 @@ def accuracy_scorecard(spark, n_pages: int = 1500, seed: int = 101, cfg=None) ->
     # PA in raw-gt space penalizes pure PREPROCESSING renderings (the gt
     # keeps the literal "HTTP/1.1" where the cleaner's number pass writes
     # "HTTP/<NUM>"); PA_norm maps the gt template through the same
-    # clean+extract normalization, so it measures template-shape recovery
-    # rather than cleaner rendering (slot-boundary artifacts like the
-    # gt's "<*>-<*>" vs a single extracted "<*>" still count as misses).
+    # clean+extract normalization AND canonicalizes placeholder runs on
+    # BOTH sides (canonicalize_template, r5), so it measures semantic
+    # template agreement — which positions are variable — rather than
+    # cleaner rendering or slot-boundary placement ("<*>-<*>" vs "<*>").
     from .functions.cleaning import clean_text
     from .operators.drain import extract_template
 
@@ -199,12 +219,16 @@ def accuracy_scorecard(spark, n_pages: int = 1500, seed: int = 101, cfg=None) ->
 
     gt_templates_norm = [_norm_gt(t) for t in gt_templates]
 
+    gt_templates_canon = [canonicalize_template(t) for t in gt_templates_norm]
+
     def _vs_truth(ids: list[str], templates: list[str]) -> dict:
         f1, precision, recall = cluster_f1(ids, gt_ids)
         return {
             "GA": grouping_accuracy_groups(ids, gt_ids),
             "PA": parsing_accuracy(templates, gt_templates),
-            "PA_norm": parsing_accuracy(templates, gt_templates_norm),
+            "PA_norm": parsing_accuracy(
+                [canonicalize_template(t) for t in templates], gt_templates_canon
+            ),
             "F1": f1,
             "precision": precision,
             "recall": recall,

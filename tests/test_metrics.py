@@ -106,7 +106,11 @@ def test_accuracy_scorecard(spark):
     assert sv["precision"] == pytest.approx(1.0), sv
     assert sv["recall"] >= 0.99, sv
     assert sv["GA"] >= 0.99 and sv["F1"] >= 0.99 and sv["ARI"] >= 0.99, sv
-    assert sv["PA_norm"] >= 0.80, sv  # ≈ the reference's published LLM PA 81.1%
+    # r5: PA_norm canonicalizes placeholder runs on both sides
+    # (metrics.canonicalize_template) — semantic template agreement is
+    # exact on this fixture (was 0.831 before canonicalization, vs the
+    # reference's published LLM PA 81.1% in raw space)
+    assert sv["PA_norm"] >= 0.99, sv
     ov = sc["oracle_vs_truth_slotvote"]
     assert ov["precision"] == pytest.approx(1.0) and ov["recall"] >= 0.98, ov
     assert sc["spark_vs_oracle_slotvote"]["GA"] >= 0.97
@@ -131,3 +135,19 @@ def test_fixture_grouping_accuracy_is_exactly_one(spark):
     oracle = SequentialParser(TEST_CFG)
     oracle_ids = [oracle.parse(t) for t in FIXTURE_LOGS]
     assert grouping_accuracy_groups(spark_ids, oracle_ids) == 1.0
+
+
+def test_canonicalize_template_collapses_placeholder_runs():
+    """VERDICT r4 item 6: runs of placeholders separated by punctuation
+    collapse to one <*>; literals and structure are untouched."""
+    from logparser_llm_spark.metrics import canonicalize_template as c
+
+    assert c("Scheduled job <*>-<*> completed") == "Scheduled job <*> completed"
+    assert c("from <NUM>.<NUM> session <*>") == "from <*> session <*>"
+    assert c("a <*>:<NUM>/<PATH> b") == "a <*> b"
+    # single placeholders (even with adjacent punctuation) stay put
+    assert c("code <*>, done") == "code <*>, done"
+    assert c("worker <*> finished") == "worker <*> finished"
+    # whitespace never joins a run; literals between placeholders block it
+    assert c("<*> - <*>") == "<*> - <*>"
+    assert c("<*>x<*>") == "<*>x<*>"
