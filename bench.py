@@ -68,9 +68,11 @@ HEADLINE = [
     "parse_route_agg_slotvote",
     "para_dedup",
     "source_cap",
-    # round 5: multi-template slot-vote corpus + multi-split flagship
+    # round 5: multi-template slot-vote corpus + multi-split flagship +
+    # seeded-corpus multimodal decode
     "slotvote_routes",
     "parse_route_agg_multisplit",
+    "image_features_agg",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -93,6 +95,12 @@ LARGE_RESULT = {
 # 5.4x slow on minhash_lsh purely from this noise.
 PASSES = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
 STEAL_CLEAN = 0.02
+# r5 (VERDICT r4 item 7): when every scheduled pass of a query is
+# steal-tainted, keep re-running (up to this many extra passes) until one
+# clean pass lands — 7/44 rows were all-tainted in the r4 driver bench
+# and burned a verdict cycle on reconciliation. The JSON line still
+# carries steal_tainted_queries for the (now rare) exhausted case.
+EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_EXTRA_PASSES", "4"))
 
 
 def _steal_jiffies() -> int:
@@ -132,6 +140,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
                 df.collect()
 
         runs = [_timed(exec_once) for _ in range(PASSES)]
+        extra = 0
+        while all(r[1] >= STEAL_CLEAN for r in runs) and extra < EXTRA_PASSES:
+            runs.append(_timed(exec_once))
+            extra += 1
         (best, _), is_tainted = _best_clean(runs)
         times[name] = round(best, 3)
         if is_tainted:

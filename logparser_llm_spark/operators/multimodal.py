@@ -401,6 +401,63 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# seeded synthetic image corpus (driver-visible multimodal query, r5)
+# --------------------------------------------------------------------------
+
+def make_synth_image(doc_id: int) -> bytes:
+    """Deterministic image payload for ``doc_id``: a 24×16 affine
+    gradient pattern, encoded as BMP / PNG / baseline-JPEG cycling on
+    ``doc_id % 3`` — the seeded corpus VERDICT r4 item 8 asked for, so a
+    REGISTERED query can exercise the real codecs distributed (the sf
+    tables carry no binary column). Pure function of doc_id: both the
+    distributed query and the Python-side row-level oracle recompute it
+    bit-identically."""
+    from .jpeg import encode_jpeg
+
+    h, w = 16, 24
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        arr[:, :, c] = (int(doc_id) * 7 + y * 3 + x * 5 + c * 11) % 256
+    k = int(doc_id) % 3
+    if k == 0:
+        return encode_bmp(arr)
+    if k == 1:
+        return encode_png(arr)
+    return encode_jpeg(arr, "444")
+
+
+def synth_image_corpus(
+    df: DataFrame, id_col: str = "doc_id", partitions: int = 32
+) -> DataFrame:
+    """(id) → (id, img binary) via Arrow-batched ``mapInPandas`` — the
+    distributed encode half of the seeded multimodal corpus.
+
+    The id frame is explicitly ``repartition(partitions)``-ed first: the
+    sf documents table is a single parquet file = one input split, and
+    without the spread the whole encode+decode chain runs in ONE task
+    (the same single-split trap the multisplit flagship closes). The
+    shuffle moves bare ids — bytes — while the expensive codec work
+    parallelizes; an explicit partition count keeps AQE from coalescing
+    the tiny exchange back to one task."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "img": [make_synth_image(int(i)) for i in batch[id_col]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col))
+        .repartition(partitions)
+        .mapInPandas(_gen, schema="doc_id bigint, img binary")
+    )
+
+
+# --------------------------------------------------------------------------
 # distributed operators
 # --------------------------------------------------------------------------
 

@@ -1336,6 +1336,37 @@ def q_dedup_filtered_sql(sf: str) -> str:
     """
 
 
+def q_image_features_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multimodal pipeline over a SEEDED image corpus
+    (VERDICT r4 item 8 — the one operator family that had no per-round
+    driver-visible entry): one deterministic BMP/PNG/baseline-JPEG
+    payload per documents row (operators/multimodal.py:make_synth_image,
+    a pure function of doc_id — the sf tables carry no binary column),
+    encoded AND decoded distributed (mapInPandas Arrow batches over a
+    pruned (id, binary) projection), real features
+    (image_stat_feature: channel means + L2-normalized gray thumbnail),
+    then a per-format aggregate.
+
+    Registered ROWS-ONLY: DuckDB cannot decode images, so the oracle is
+    the Python-side ROW-LEVEL recompute in
+    tests/test_multimodal.py::test_image_features_agg_row_level_oracle
+    (same pattern as the slot-vote sf0.01 parity test). Output:
+    (format, n, mean_f0_e6, mean_thumb_e6) — the means separate the
+    lossless (bmp/png identical statistics) from the lossy (jpeg) path,
+    so a broken codec shows up as a shifted mean, not just a count."""
+    from ..operators.multimodal import image_features, synth_image_corpus
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    feats = image_features(synth_image_corpus(d, "doc_id"), "doc_id", "img")
+    return feats.groupBy("format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        e6(F.avg(F.element_at("feature", 1)), "mean_f0_e6"),
+        e6(F.avg(F.element_at("feature", 4)), "mean_thumb_e6"),
+    )
+
+
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-pass Arrow UDF (~10× the interpreted higher-order Column
     # expressions); semantics identical to lang_id/quality_score/
@@ -1842,6 +1873,10 @@ QUERIES: dict[str, tuple] = {
     # r5: same pipeline+oracle as the flagship over a 16-split /tmp
     # materialization of the same lines (VERDICT r4 item 4)
     "parse_route_agg_multisplit": (q_parse_route_agg_multisplit, q_parse_route_agg_sql),
+    # rows-only BY NATURE (DuckDB cannot decode images); the row-level
+    # oracle is the Python recompute in tests/test_multimodal.py — see
+    # the q_image_features_agg docstring (VERDICT r4 item 8)
+    "image_features_agg": (q_image_features_agg, None),
 }
 
 
