@@ -30,7 +30,15 @@ Scale notes:
   contraction (Kiveris et al., "Connected Components in MapReduce and
   Beyond", SoCC'14), which converges in O(log² n) rounds independent of
   diameter. Near-dup dedup rarely needs it — property tests assert the
-  two algorithms agree on random graphs.
+  two algorithms agree on random graphs;
+- both algorithms apply the SoCC'14 paper's own last step — the LOCAL
+  FINISH: when the edge list fits ``local_max_edges`` (driver-trivial,
+  ~32 MB at the default 2M), one collect + union-find replaces
+  O(rounds) tiny Spark jobs. A near-dup graph is only the documents
+  that HAVE a near-dup, so even web-scale corpora usually cross this
+  line after zero or a few contraction rounds; tests force the
+  distributed loop with ``local_max_edges=-1`` and assert both paths
+  agree, so neither rots.
 """
 
 from __future__ import annotations
@@ -38,12 +46,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Local-finish bound (Kiveris et al. SoCC'14 §the standard last step:
+# iterate distributed only until the graph fits one machine, then solve
+# it there): an edge list of (bigint, bigint) at this bound is ~32 MB on
+# the driver — trivially safe next to the broadcast pool. Near-dup
+# GRAPHS are almost always far smaller than the corpus (only documents
+# WITH a near-dup appear), so at sf0.1 the whole graph short-circuits;
+# at 100 TB the distributed rounds contract it under the bound first.
+LOCAL_FINISH_MAX_EDGES = 2_000_000
+
+
+def _finish_local(
+    spark, edge_rows: list, dtype: str, extra_nodes: list | None = None
+) -> DataFrame:
+    """Driver-side union-find over a collected (u, v) edge list →
+    (node, component_id = min member id) DataFrame. Deterministic and
+    exact; used only under :data:`LOCAL_FINISH_MAX_EDGES`."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            hi, lo = (ra, rb) if ra > rb else (rb, ra)
+            parent[hi] = lo  # min-id root ⟹ component_id = min member
+
+    for u, v in edge_rows:
+        union(u, v)
+    for n in extra_nodes or ():
+        if n not in parent:
+            parent[n] = n
+    out = sorted((n, find(n)) for n in parent)
+    return spark.createDataFrame(
+        out, schema=f"node {dtype}, component_id {dtype}"
+    )
+
 
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_max_edges: int = LOCAL_FINISH_MAX_EDGES,
 ) -> DataFrame:
     """(id_a, id_b) undirected pair set → (node, component_id) where
     component_id = min node id reachable from ``node``. Nodes appearing
@@ -57,12 +112,28 @@ def connected_components(
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)  # reused every round → materialize once
+        .localCheckpoint(eager=False)  # the count below materializes it;
+        # reused every distributed round afterwards
     )
+    n_edges = edges.count()
+    if n_edges <= local_max_edges:
+        # Kiveris-style local finish: the (bidirectional) edge list fits
+        # the driver bound → one collect + union-find instead of
+        # O(rounds) tiny Spark jobs. Same contract, exact, deterministic.
+        return _finish_local(
+            edges.sparkSession,
+            [(r["a"], r["b"]) for r in edges.collect()],
+            edges.schema["a"].dataType.simpleString(),
+        )
+    # seed labels with round 1 directly: from identity labels the first
+    # message pass reduces to min-neighbor, so compute least(node,
+    # min-neighbor) in ONE groupBy instead of a full round's join chain
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(
+            F.col("a").alias("node"), F.least(F.col("a"), F.col("_mn")).alias("label")
+        )
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -80,21 +151,25 @@ def connected_components(
         combined = (
             msgs.unionByName(labels).groupBy("node").agg(F.min("label").alias("label"))
         )
-        # pointer halving: label ← label's label. Labels are always ids
-        # of nodes in the same component, so this stays within-component
-        # and only ever decreases — chains contract exponentially
-        # (measured at sf0.1: 6 rounds instead of 11).
-        hop = combined.select(F.col("node").alias("_hn"), F.col("label").alias("_hl"))
-        labels = (
-            combined.join(hop, combined["label"] == hop["_hn"], "left")
-            .select(
+        # pointer doubling: label ← label's label, applied twice per
+        # round. Labels are always ids of nodes in the same component,
+        # so this stays within-component and only ever decreases —
+        # chains contract exponentially (measured at sf0.1: 5 rounds
+        # with two hops vs 11 with none; two hops beat one because the
+        # per-round fixed cost dominates these tiny iteration frames).
+        for _hop in range(2):
+            hop = combined.select(
+                F.col("node").alias("_hn"), F.col("label").alias("_hl")
+            )
+            combined = combined.join(
+                hop, combined["label"] == hop["_hn"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_hl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)  # the sum action materializes it
-        )
+        labels = combined.localCheckpoint(eager=False)  # sum action materializes
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         # unchanged sum ⟹ NO label moved this round (labels are monotone
         # non-increasing) ⟹ in particular the neighbor-min step alone was
@@ -111,10 +186,15 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Large-star: every node connects its STRICTLY LARGER neighbors to
     the minimum of its neighborhood (incl. itself). Output edge set =
-    ⋃_u {(v, m(u)) : v ∈ Γ(u), v > u}, m(u) = min(Γ(u) ∪ {u})."""
+    ⋃_u {(v, m(u)) : v ∈ Γ(u), v > u}, m(u) = min(Γ(u) ∪ {u}).
+
+    ``dedup=False`` skips the output ``distinct`` — safe when the
+    consumer is :func:`_small_star` (its min-aggregates are duplicate-
+    insensitive and it distincts its own output), and one shuffle
+    cheaper per contraction round (r5 constant trim, ~20% of the round)."""
     bidir = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -123,13 +203,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least(F.col("u"), F.col("_mn")).alias("_m"))
     )
-    return (
+    out = (
         bidir.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("_m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -155,6 +235,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_max_edges: int = LOCAL_FINISH_MAX_EDGES,
 ) -> DataFrame:
     """Large-star/small-star contraction (Kiveris et al. SoCC'14) —
     the adversarial-diameter fallback for :func:`connected_components`:
@@ -193,6 +274,17 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)  # the count below materializes it
     )
+    if raw.count() <= local_max_edges:
+        # Kiveris-style local finish (the paper's own last step): the
+        # raw pair list (self-pairs included, honoring the (k, k) node
+        # contract) fits the driver bound → union-find locally, before
+        # ever paying for the bidirectional-distinct edge materialization
+        # (raw count ≥ distinct edge count, so the gate is conservative).
+        return _finish_local(
+            raw.sparkSession,
+            [(r["u"], r["v"]) for r in raw.collect()],
+            raw.schema["u"].dataType.simpleString(),
+        )
     prev_count = edges.count()
     converged = prev_count == 0
     for _ in range(max_iter):
@@ -200,7 +292,7 @@ def connected_components_star(
             break
         # lazy checkpoint: the count below materializes it (one job per
         # round instead of checkpoint-job + count-job — r5 constant trim)
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        new = _small_star(_large_star(edges, dedup=False)).localCheckpoint(eager=False)
         new_count = new.count()
         if new_count == prev_count and new.exceptAll(edges).isEmpty():
             converged = True

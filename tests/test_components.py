@@ -1,4 +1,11 @@
-"""Connected components (dedup group formation)."""
+"""Connected components (dedup group formation).
+
+Both algorithms carry the Kiveris-style LOCAL FINISH (r5): an edge list
+under ``local_max_edges`` is solved by driver-side union-find instead of
+O(rounds) tiny Spark jobs. ``local_max_edges=-1`` forces the distributed
+loop; tests below run BOTH paths and assert they agree, so neither can
+rot unnoticed.
+"""
 
 import pytest
 from pyspark.sql import functions as F
@@ -8,32 +15,41 @@ from logparser_llm_spark.operators.components import (
     dedup_representatives,
 )
 
+FORCE_DISTRIBUTED = {"local_max_edges": -1}
 
-def _comp(spark, pairs):
+
+def _comp(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
     return {
-        r["node"]: r["component_id"] for r in connected_components(df).collect()
+        r["node"]: r["component_id"] for r in connected_components(df, **kw).collect()
     }
 
 
+def _both_paths(spark, pairs):
+    """(local-finish result, distributed-loop result) for min-label."""
+    return _comp(spark, pairs), _comp(spark, pairs, **FORCE_DISTRIBUTED)
+
+
 def test_basic_components(spark):
-    got = _comp(spark, [(1, 2), (2, 3), (5, 6), (8, 8)])
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+    local, dist = _both_paths(spark, [(1, 2), (2, 3), (5, 6), (8, 8)])
+    assert local == dist == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
 
 
 def test_chain_converges(spark):
-    # a 12-node chain needs multiple propagation rounds
-    got = _comp(spark, [(i, i + 1) for i in range(12)])
-    assert set(got.values()) == {0} and len(got) == 13
+    # a 12-node chain needs multiple propagation rounds distributed
+    local, dist = _both_paths(spark, [(i, i + 1) for i in range(12)])
+    assert local == dist
+    assert set(local.values()) == {0} and len(local) == 13
 
 
 def test_partitioning_invariance(spark):
     pairs = [(i, (i * 7) % 40) for i in range(40)] + [(100, 101)]
     df1 = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
     df2 = df1.repartition(13)
-    a = {r["node"]: r["component_id"] for r in connected_components(df1).collect()}
-    b = {r["node"]: r["component_id"] for r in connected_components(df2).collect()}
-    assert a == b
+    for kw in ({}, FORCE_DISTRIBUTED):
+        a = {r["node"]: r["component_id"] for r in connected_components(df1, **kw).collect()}
+        b = {r["node"]: r["component_id"] for r in connected_components(df2, **kw).collect()}
+        assert a == b
 
 
 def test_representatives(spark):
@@ -47,7 +63,13 @@ def test_non_convergence_raises(spark):
         [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, **FORCE_DISTRIBUTED)
+
+
+def test_empty_graph_both_paths(spark):
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty).collect() == []
+    assert connected_components(empty, **FORCE_DISTRIBUTED).collect() == []
 
 
 # --- star contraction (adversarial-diameter fallback) ---------------------
@@ -65,24 +87,25 @@ def _star(spark, pairs, **kw):
 
 def test_star_basic_components(spark):
     # same contract as min-label: the self-pair node 8 IS labeled (itself)
-    got = _star(spark, [(1, 2), (2, 3), (5, 6), (8, 8)])
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
-    assert got == _comp(spark, [(1, 2), (2, 3), (5, 6), (8, 8)])
+    pairs = [(1, 2), (2, 3), (5, 6), (8, 8)]
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+    assert _star(spark, pairs) == want
+    assert _star(spark, pairs, **FORCE_DISTRIBUTED) == want
+    assert _comp(spark, pairs) == want
 
 
 def test_star_long_chain_logarithmic_rounds(spark):
     """The point of star contraction: a 60-link chain (diameter 60)
-    converges within 15 rounds — min-label propagation would need ~60."""
-    got = _star(spark, [(i, i + 1) for i in range(60)], max_iter=15)
+    converges within 15 DISTRIBUTED rounds — min-label propagation
+    without pointer doubling would need ~60."""
+    got = _star(spark, [(i, i + 1) for i in range(60)], max_iter=15, **FORCE_DISTRIBUTED)
     assert set(got.values()) == {0} and len(got) == 61
 
 
 def test_star_equals_min_label_on_random_graphs(spark):
-    """Property: both algorithms produce identical labelings on seeded
-    random graphs of varied shape (sparse, dense, multi-component)."""
+    """Property: both algorithms and both execution paths produce
+    identical labelings on seeded random graphs of varied shape."""
     import random
-
-    from logparser_llm_spark.operators.components import connected_components_star
 
     for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 25), (4, 60, 30)]:
         rng = random.Random(seed)
@@ -91,15 +114,13 @@ def test_star_equals_min_label_on_random_graphs(spark):
         pairs = [
             (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
         ] + [(n_nodes + 7, n_nodes + 7)]
-        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
-        want = {
-            r["node"]: r["component_id"] for r in connected_components(df).collect()
-        }
-        got = {
-            r["node"]: r["component_id"]
-            for r in connected_components_star(df).collect()
-        }
-        assert got == want, f"seed={seed}: star != min-label"
+        results = [
+            _comp(spark, pairs),
+            _comp(spark, pairs, **FORCE_DISTRIBUTED),
+            _star(spark, pairs),
+            _star(spark, pairs, **FORCE_DISTRIBUTED),
+        ]
+        assert all(r == results[0] for r in results[1:]), f"seed={seed}"
 
 
 def test_star_non_convergence_raises(spark):
@@ -109,7 +130,7 @@ def test_star_non_convergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         from logparser_llm_spark.operators.components import connected_components_star
 
-        connected_components_star(df, max_iter=1)
+        connected_components_star(df, max_iter=1, **FORCE_DISTRIBUTED)
 
 
 def test_star_empty_and_partitioning_invariance(spark):
@@ -117,12 +138,14 @@ def test_star_empty_and_partitioning_invariance(spark):
 
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert connected_components_star(empty).collect() == []
+    assert connected_components_star(empty, **FORCE_DISTRIBUTED).collect() == []
 
     pairs = [(i, (i * 7) % 40) for i in range(40)] + [(100, 101)]
     df1 = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
-    a = {r["node"]: r["component_id"] for r in connected_components_star(df1).collect()}
-    b = {
-        r["node"]: r["component_id"]
-        for r in connected_components_star(df1.repartition(13)).collect()
-    }
-    assert a == b
+    for kw in ({}, FORCE_DISTRIBUTED):
+        a = {r["node"]: r["component_id"] for r in connected_components_star(df1, **kw).collect()}
+        b = {
+            r["node"]: r["component_id"]
+            for r in connected_components_star(df1.repartition(13), **kw).collect()
+        }
+        assert a == b
