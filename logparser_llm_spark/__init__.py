@@ -73,6 +73,11 @@ def __getattr__(name):
         "encode_jpeg": ("logparser_llm_spark.operators.jpeg", "encode_jpeg"),
         "decode_jpeg": ("logparser_llm_spark.operators.jpeg", "decode_jpeg"),
         "decode_image": ("logparser_llm_spark.operators.multimodal", "decode_image"),
+        # round-5 additions
+        "canonicalize_template": ("logparser_llm_spark.metrics", "canonicalize_template"),
+        "image_features": ("logparser_llm_spark.operators.multimodal", "image_features"),
+        "synth_image_corpus": ("logparser_llm_spark.operators.multimodal", "synth_image_corpus"),
+        "ensure_flagship_corpus": ("logparser_llm_spark.plans.queries", "ensure_flagship_corpus"),
     }
     if name in api:
         import importlib
