@@ -32,8 +32,9 @@ Scale notes:
   diameter. Near-dup dedup rarely needs it — property tests assert the
   two algorithms agree on random graphs;
 - both algorithms apply the SoCC'14 paper's own last step — the LOCAL
-  FINISH: when the edge list fits ``local_max_edges`` (driver-trivial,
-  ~32 MB at the default 2M), one collect + union-find replaces
+  FINISH: when the DISTINCT UNDIRECTED pair list fits ``local_max_edges``
+  (default 1M — tens of MB of driver heap; the same gate quantity in
+  both algorithms), one collect + union-find replaces
   O(rounds) tiny Spark jobs. A near-dup graph is only the documents
   that HAVE a near-dup, so even web-scale corpora usually cross this
   line after zero or a few contraction rounds; tests force the
@@ -46,19 +47,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Local-finish bound (Kiveris et al. SoCC'14 §the standard last step:
-# iterate distributed only until the graph fits one machine, then solve
-# it there): an edge list of (bigint, bigint) at this bound is ~32 MB on
-# the driver — trivially safe next to the broadcast pool. Near-dup
-# GRAPHS are almost always far smaller than the corpus (only documents
-# WITH a near-dup appear), so at sf0.1 the whole graph short-circuits;
-# at 100 TB the distributed rounds contract it under the bound first.
-LOCAL_FINISH_MAX_EDGES = 2_000_000
+# Local-finish bound (Kiveris et al. SoCC'14 — the paper's own last
+# step: iterate distributed only until the graph fits one machine, then
+# solve it there), measured in DISTINCT UNDIRECTED pairs — the SAME
+# quantity for both algorithms, so the knob means one thing. 1M pairs
+# collect as ~1M small tuples (tens of MB of Python heap, next to the
+# broadcast pool's cap) and the node frame createDataFrame is ≤2M rows;
+# past that the driver-side constant approaches the distributed rounds'
+# fixed cost and the loop should win anyway. Near-dup GRAPHS are almost
+# always far smaller than the corpus (only documents WITH a near-dup
+# appear), so at sf0.1 the whole graph short-circuits; at 100 TB the
+# distributed rounds contract it under the bound first.
+LOCAL_FINISH_MAX_EDGES = 1_000_000
 
 
-def _finish_local(
-    spark, edge_rows: list, dtype: str, extra_nodes: list | None = None
-) -> DataFrame:
+def _canonical_pairs(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """(least, greatest) distinct orientation-canonical pair set — the
+    shared gate/local-finish input of both algorithms. Self-pairs
+    (k, k) survive, preserving the 'self-pair-only node is labeled with
+    itself' contract."""
+    return (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # materialized by the gate count
+    )
+
+
+def _finish_local(spark, edge_rows: list, dtype: str) -> DataFrame:
     """Driver-side union-find over a collected (u, v) edge list →
     (node, component_id = min member id) DataFrame. Deterministic and
     exact; used only under :data:`LOCAL_FINISH_MAX_EDGES`."""
@@ -84,9 +102,6 @@ def _finish_local(
 
     for u, v in edge_rows:
         union(u, v)
-    for n in extra_nodes or ():
-        if n not in parent:
-            parent[n] = n
     out = sorted((n, find(n)) for n in parent)
     return spark.createDataFrame(
         out, schema=f"node {dtype}, component_id {dtype}"
@@ -108,23 +123,24 @@ def connected_components(
     ``max_iter`` rounds (graph diameter > max_iter) — wrong-but-silent
     labels are never returned; raise ``max_iter`` or switch to the
     log-rounds star contraction for pathological chains."""
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)  # the count below materializes it;
-        # reused every distributed round afterwards
-    )
-    n_edges = edges.count()
-    if n_edges <= local_max_edges:
-        # Kiveris-style local finish: the (bidirectional) edge list fits
-        # the driver bound → one collect + union-find instead of
+    canon = _canonical_pairs(pairs, id_a, id_b)
+    if canon.count() <= local_max_edges:
+        # Kiveris-style local finish: the distinct undirected pair list
+        # fits the driver bound → one collect + union-find instead of
         # O(rounds) tiny Spark jobs. Same contract, exact, deterministic.
         return _finish_local(
-            edges.sparkSession,
-            [(r["a"], r["b"]) for r in edges.collect()],
-            edges.schema["a"].dataType.simpleString(),
+            canon.sparkSession,
+            [(r["u"], r["v"]) for r in canon.collect()],
+            canon.schema["u"].dataType.simpleString(),
         )
+    edges = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    edges = (
+        # bidirectional view of the already-distinct canonical pairs; the
+        # only duplicates a mirror union can add are self-pairs, which
+        # are harmless under the min-aggregates below — no extra distinct
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)  # reused every round → materialize once
+    )
     # seed labels with round 1 directly: from identity labels the first
     # message pass reduces to min-neighbor, so compute least(node,
     # min-neighbor) in ONE groupBy instead of a full round's join chain
@@ -251,40 +267,34 @@ def connected_components_star(
     Fixpoint detection is EXACT set equality: both star operations emit
     distinct edge sets, so new == old ⟺ |new| == |old| and
     new − old == ∅ (one count + one isEmpty per round)."""
-    # materialize the (possibly expensive) pair-mining input ONCE — nodes
-    # and edges both derive from it, and without this the mining plan
-    # executes twice (r5 constant trim: at sf0.1 mining was half the
-    # query's wall time)
-    raw = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .localCheckpoint(eager=True)
-    )
+    # the canonical distinct pair set materializes the (possibly
+    # expensive) pair mining ONCE — nodes and edges both derive from it —
+    # and is the shared local-finish gate quantity (same knob semantics
+    # as connected_components)
+    canon = _canonical_pairs(pairs, id_a, id_b)
+    if canon.count() <= local_max_edges:
+        # Kiveris-style local finish (the paper's own last step):
+        # self-pairs included, honoring the (k, k) node contract
+        return _finish_local(
+            canon.sparkSession,
+            [(r["u"], r["v"]) for r in canon.collect()],
+            canon.schema["u"].dataType.simpleString(),
+        )
     # every participating node INCLUDING self-pair-only nodes — min-label
     # propagation labels a (k, k) node with itself, and this variant must
     # honor the same contract; the star rounds themselves run on the
     # self-loop-free edge set
     nodes = (
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)  # only consumed by the final join
     )
     edges = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)  # the count below materializes it
+        canon.filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)  # canon is already distinct;
+        # the count below materializes it
     )
-    if raw.count() <= local_max_edges:
-        # Kiveris-style local finish (the paper's own last step): the
-        # raw pair list (self-pairs included, honoring the (k, k) node
-        # contract) fits the driver bound → union-find locally, before
-        # ever paying for the bidirectional-distinct edge materialization
-        # (raw count ≥ distinct edge count, so the gate is conservative).
-        return _finish_local(
-            raw.sparkSession,
-            [(r["u"], r["v"]) for r in raw.collect()],
-            raw.schema["u"].dataType.simpleString(),
-        )
     prev_count = edges.count()
     converged = prev_count == 0
     for _ in range(max_iter):

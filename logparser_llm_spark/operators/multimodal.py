@@ -445,7 +445,7 @@ def synth_image_corpus(
         for batch in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": batch[id_col].astype("int64"),
+                    id_col: batch[id_col].astype("int64"),
                     "img": [make_synth_image(int(i)) for i in batch[id_col]],
                 }
             )
@@ -453,7 +453,7 @@ def synth_image_corpus(
     return (
         df.select(F.col(id_col))
         .repartition(partitions)
-        .mapInPandas(_gen, schema="doc_id bigint, img binary")
+        .mapInPandas(_gen, schema=f"{id_col} bigint, img binary")
     )
 
 

@@ -118,6 +118,18 @@ PATTERN_SQL_BODY = (
 
 TOKENS_SQL = "list_filter(string_split(trim({c}), ' '), x -> x <> '')"
 
+
+def tmpl_ids_cte(src: str = "pat") -> str:
+    """The canonical-id CTE shared by every clustering oracle — ONE
+    rendering of ``canonicalize_pool``'s id rule (sort distinct patterns,
+    ``tmpl_{rank:04d}``). Keep call sites on this helper: a divergent
+    copy would let one oracle's id space silently drift (review r5)."""
+    return (
+        "ids as (select pattern, printf('tmpl_%04d',\n"
+        "           cast(dense_rank() over (order by pattern) as int) - 1) as tid\n"
+        f"        from (select distinct pattern from {src} where pattern is not null))"
+    )
+
 # the toks→sh CTE pair every 3-gram-shingle oracle shares — ONE SQL
 # rendering of operators.dedup._distinct_shingles(n=3); keep in lockstep
 # with the Spark side (a divergent copy would let one oracle silently
@@ -310,9 +322,7 @@ def q_parse_route_agg_sql(sf: str) -> str:
                  then {PATTERN_SQL_BODY.format(c='cleaned')} else null end as pattern
           from lines
         ),
-        ids as (select pattern, printf('tmpl_%04d',
-                   cast(dense_rank() over (order by pattern) as int) - 1) as tid
-                from (select distinct pattern from pat where pattern is not null)),
+        {tmpl_ids_cte('pat')},
         assigned as (
           select coalesce(ids.tid, 'unknown') as template_id
           from pat left join ids on pat.pattern = ids.pattern
@@ -384,9 +394,7 @@ def q_parse_route_agg_slotvote_sql(sf: str) -> str:
                  else null end as pattern
           from lines
         ),
-        ids as (select pattern, printf('tmpl_%04d',
-                   cast(dense_rank() over (order by pattern) as int) - 1) as tid
-                from (select distinct pattern from pat where pattern is not null)),
+        {tmpl_ids_cte('pat')},
         assigned as (
           select coalesce(ids.tid, 'unknown') as template_id
           from pat left join ids on pat.pattern = ids.pattern
@@ -430,13 +438,16 @@ def q_slotvote_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = replace(_CFG, merging=replace(_CFG.merging, enable_slot_voting=True))
     ev = _read(spark, sf_dir, "events")
     disc = F.when(F.col("user_id") % 2 == 0, F.lit("alpha")).otherwise(F.lit("beta"))
+    # coalesce keeps the token COUNT fixed under a NULL event_type
+    # (concat_ws would silently skip it, shortening the line and breaking
+    # the analytically-pinned family structure the oracle relies on —
+    # review r5); 'none' is just a 6th distinct slot value, still ≥3
+    etype = F.coalesce(F.col("event_type"), F.lit("none"))
     line = F.when(
         F.col("event_id") % 2 == 0,
-        F.concat_ws(
-            " ", F.lit("queue"), disc, F.lit("handled"), F.col("event_type"), F.lit("fine")
-        ),
+        F.concat_ws(" ", F.lit("queue"), disc, F.lit("handled"), etype, F.lit("fine")),
     ).otherwise(
-        F.concat_ws(" ", F.lit("worker"), F.col("event_type"), F.lit("finished cleanly"))
+        F.concat_ws(" ", F.lit("worker"), etype, F.lit("finished cleanly"))
     )
     lines = ev.select(line.alias("text"))
     assigned, _pool = parse_and_count(lines, "text", cfg)
@@ -457,12 +468,10 @@ def q_slotvote_routes_sql(sf: str) -> str:
                  else 'worker <*> finished cleanly' end as pattern
           from events
         ),
-        ids as (select pattern, printf('tmpl_%04d',
-                   cast(dense_rank() over (order by pattern) as int) - 1) as tid
-                from (select distinct pattern from voted)),
+        {tmpl_ids_cte('voted')},
         assigned as (
-          select ids.tid as template_id
-          from voted join ids on voted.pattern = ids.pattern
+          select coalesce(ids.tid, 'unknown') as template_id
+          from voted left join ids on voted.pattern = ids.pattern
         )
         select {sink_id_sql('template_id', NUM_SINKS)} as sink_id,
                template_id, count(*) as doc_count
@@ -1538,9 +1547,7 @@ def q_parsed_projection_sql(sf: str) -> str:
                       then {PATTERN_SQL_BODY.format(c='cleaned')} else null end as pattern
           from c
         ),
-        ids as (select pattern, printf('tmpl_%04d',
-                   cast(dense_rank() over (order by pattern) as int) - 1) as tid
-                from (select distinct pattern from pat where pattern is not null))
+        {tmpl_ids_cte('pat')}
         select event_id,
           coalesce(ids.tid, 'unknown') as template_id,
           coalesce(pat.pattern, cleaned) as template_pattern,
