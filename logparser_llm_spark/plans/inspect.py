@@ -51,7 +51,10 @@ def _main() -> None:
                  "ngram_jaccard", "ann_topk", "user_sessions",
                  "embedding_near_dup", "simhash_near_dup", "parsed_projection",
                  "knn_join", "ivf_ann", "ngram_topk", "stratified_sample",
-                 "parse_route_agg_slotvote"]:
+                 "parse_route_agg_slotvote",
+                 # round 5
+                 "slotvote_routes", "parse_route_agg_multisplit",
+                 "image_features_agg"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")
