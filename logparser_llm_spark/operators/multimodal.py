@@ -14,12 +14,14 @@ uncompressed formats are decoded FOR REAL in pure numpy/struct —
 - **PNG** (8-bit gray/RGB/RGBA, non-interlaced; stdlib zlib inflate +
   numpy unfilter of all five scanline filter types);
 - **JPEG** (baseline sequential DCT, 4:4:4/4:2:2/4:2:0, restart
-  intervals — pure numpy Huffman+IDCT, operators/jpeg.py; round 4);
+  intervals — pure numpy Huffman+IDCT, operators/jpeg.py, round 4; plus
+  **progressive DCT** — spectral selection + successive approximation,
+  round 5);
 - **video** as a concatenated-BMP stream (each BMP header declares its
   byte size, so frames can be walked without an index — the MJPEG idea).
 
-Remaining compressed formats (MP3/MP4, progressive JPEG, exotic PNG
-flavors) dispatch to PIL/ffmpeg behind an import-try and raise
+Remaining compressed formats (MP3/MP4, arithmetic/12-bit JPEG, exotic
+PNG flavors) dispatch to PIL/ffmpeg behind an import-try and raise
 ``NotImplementedError`` when the libraries are absent — honestly
 stubbed, never silently faked. The legacy ``fake=True`` path keeps the
 md5-derived stand-ins for plumbing tests.
@@ -267,8 +269,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """Sniff + decode → (HxWx3 uint8 RGB, format). BMP/PPM/PNG(8-bit
-    0/2/6) are native; JPEG and exotic PNGs dispatch to PIL when
-    available, else NotImplementedError.
+    0/2/6) and JPEG (baseline sequential AND progressive, r5) are
+    native; exotic PNG flavors and arithmetic/12-bit JPEG dispatch to
+    PIL when available, else NotImplementedError.
 
     COST NOTE (ADVICE r3): the native PNG path unfilters Average/Paeth
     rows in an interpreted per-byte loop (O(h·w·channels)); third-party
@@ -293,7 +296,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         try:
             return decode_jpeg(payload), "jpeg"
         except UnsupportedJpegError:
-            pass  # progressive/arithmetic/12-bit → PIL fallback below
+            pass  # arithmetic/12-bit/hierarchical → PIL fallback below
         # corrupt JPEGs raise ValueError here, same policy as PNG
     try:
         import io
@@ -301,8 +304,9 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "progressive JPEG and exotic PNG flavors need PIL (not in this "
-            "container); BMP/PPM/8-bit-PNG/baseline-JPEG decode natively"
+            "exotic PNG flavors and arithmetic/12-bit JPEG need PIL (not in "
+            "this container); BMP/PPM/8-bit-PNG and baseline+progressive "
+            "JPEG decode natively"
         ) from exc
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     return np.asarray(img), (img.format or "unknown").lower()
@@ -406,25 +410,28 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 
 def make_synth_image(doc_id: int) -> bytes:
     """Deterministic image payload for ``doc_id``: a 24×16 affine
-    gradient pattern, encoded as BMP / PNG / baseline-JPEG cycling on
-    ``doc_id % 3`` — the seeded corpus VERDICT r4 item 8 asked for, so a
-    REGISTERED query can exercise the real codecs distributed (the sf
+    gradient pattern, encoded as BMP / PNG / baseline-JPEG /
+    progressive-JPEG cycling on ``doc_id % 4`` — the seeded corpus
+    VERDICT r4 item 8 asked for, so a REGISTERED query can exercise the
+    real codecs (including the r5 progressive path) distributed (the sf
     tables carry no binary column). Pure function of doc_id: both the
     distributed query and the Python-side row-level oracle recompute it
     bit-identically."""
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     h, w = 16, 24
     y, x = np.mgrid[0:h, 0:w]
     arr = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         arr[:, :, c] = (int(doc_id) * 7 + y * 3 + x * 5 + c * 11) % 256
-    k = int(doc_id) % 3
+    k = int(doc_id) % 4
     if k == 0:
         return encode_bmp(arr)
     if k == 1:
         return encode_png(arr)
-    return encode_jpeg(arr, "444")
+    if k == 2:
+        return encode_jpeg(arr, "444")
+    return encode_jpeg_progressive(arr, "420")
 
 
 def synth_image_corpus(

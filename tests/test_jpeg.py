@@ -89,10 +89,16 @@ def test_corrupt_stream_raises_valueerror():
         decode_jpeg(p[: len(p) // 2])  # truncated mid-entropy
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01" + p[2:])  # missing SOI
-    # flip the SOF marker to SOF2 (progressive) → Unsupported, not corrupt
+    # flip the SOF marker to SOF9 (arithmetic) → Unsupported, not corrupt
+    # (r5: SOF2 progressive now decodes natively, so it left this test)
     sof_at = p.index(b"\xff\xc0")
-    prog = p[:sof_at] + b"\xff\xc2" + p[sof_at + 2 :]
+    arith = p[:sof_at] + b"\xff\xc9" + p[sof_at + 2 :]
     with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(arith)
+    # a baseline SEQUENTIAL scan header under an SOF2 frame is corrupt
+    # for progressive (Se=63 in a DC band) → plain ValueError
+    prog = p[:sof_at] + b"\xff\xc2" + p[sof_at + 2 :]
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
 
 
@@ -146,3 +152,73 @@ def test_decode_image_dispatches_jpeg_natively():
     arr, fmt = decode_image(encode_jpeg(img))
     assert fmt == "jpeg"
     assert _psnr(arr, img) > 35
+
+
+# ---- progressive mode (SOF2, r5) ------------------------------------------
+
+
+def _rand(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(h, w, 3) * 255).astype(np.uint8)
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """The load-bearing cross-mode check: progressive and baseline
+    encodings carry the SAME quantized coefficients through different
+    entropy paths, so their decodes must agree BIT FOR BIT. A symmetric
+    encoder/decoder bug in the progressive path cannot survive this —
+    the baseline decoder is pinned by the analytic tests above."""
+    from logparser_llm_spark.operators.jpeg import encode_jpeg_progressive
+
+    for hw in ((16, 16), (40, 56), (37, 45), (8, 8), (24, 17)):
+        img = _rand(*hw)
+        for sub in ("444", "420"):
+            base = decode_jpeg(encode_jpeg(img, sub))
+            prog = decode_jpeg(encode_jpeg_progressive(img, sub))
+            assert np.array_equal(base, prog), (hw, sub)
+
+
+def test_progressive_uniform_and_smooth():
+    from logparser_llm_spark.operators.jpeg import encode_jpeg_progressive
+
+    uni = np.full((32, 32, 3), 137, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(uni)), decode_jpeg(encode_jpeg(uni))
+    )
+    img = _smooth(40, 56)
+    assert _psnr(decode_jpeg(encode_jpeg_progressive(img, "420")), img) > 32
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A mostly-flat image makes whole blocks AC-empty → multi-block EOB
+    runs (EOBn symbols, n > 0) on the wire; decode must still be
+    bit-identical to baseline. (The flat progressive AC table exists
+    precisely because Annex K has no EOBn symbols.)"""
+    from logparser_llm_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.full((64, 64, 3), 90, dtype=np.uint8)
+    img[30:34, 30:34] = 200  # one busy patch amid many empty blocks
+    payload = encode_jpeg_progressive(img)
+    assert np.array_equal(decode_jpeg(payload), decode_jpeg(encode_jpeg(img)))
+
+
+def test_progressive_truncated_raises_valueerror():
+    from logparser_llm_spark.operators.jpeg import encode_jpeg_progressive
+
+    p = encode_jpeg_progressive(_rand(24, 24))
+    with pytest.raises(ValueError):
+        decode_jpeg(p[: len(p) * 2 // 3])
+    with pytest.raises(ValueError, match="missing EOI"):
+        decode_jpeg(p[:-2])  # EOI stripped
+
+
+def test_progressive_through_decode_image_dispatch():
+    """multimodal.decode_image must decode progressive JPEG natively now
+    (no PIL in the container — r4 routed these to NotImplementedError)."""
+    from logparser_llm_spark.operators.jpeg import encode_jpeg_progressive
+    from logparser_llm_spark.operators.multimodal import decode_image
+
+    img = _rand(20, 28)
+    arr, fmt = decode_image(encode_jpeg_progressive(img))
+    assert fmt == "jpeg"
+    assert np.array_equal(arr, decode_jpeg(encode_jpeg(img)))

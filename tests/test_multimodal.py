@@ -131,17 +131,17 @@ def test_frame_sample_concatenated_bmp_stream(spark):
 # --- honest stubs + legacy fake plumbing ----------------------------------
 
 def test_compressed_formats_are_honestly_stubbed(spark):
-    """Baseline JPEG decodes natively since round 4; the honest-stub
-    contract now covers PROGRESSIVE JPEG (PIL-gated) and video (ffmpeg),
-    and corrupt JPEGs must surface the parse error, never a silent
-    fake."""
+    """Baseline JPEG decodes natively since round 4 and progressive
+    since round 5; the honest-stub contract now covers ARITHMETIC-coded
+    JPEG (PIL-gated) and video (ffmpeg), and corrupt JPEGs must surface
+    the parse error, never a silent fake."""
     import numpy as np
 
     from logparser_llm_spark.operators.jpeg import encode_jpeg
 
     base = encode_jpeg(np.full((16, 16, 3), 90, dtype=np.uint8))
     sof_at = base.index(b"\xff\xc0")
-    progressive = base[:sof_at] + b"\xff\xc2" + base[sof_at + 2 :]
+    arith = base[:sof_at] + b"\xff\xc9" + base[sof_at + 2 :]  # SOF9
     corrupt = b"\xff\xd8\xff\xe0" + b"0" * 64
     try:
         import PIL  # noqa: F401
@@ -149,11 +149,11 @@ def test_compressed_formats_are_honestly_stubbed(spark):
         pytest.skip("PIL present: compressed path would dispatch for real")
     except ImportError:
         pass
-    df_prog = spark.createDataFrame(
-        [(1, bytearray(progressive))], "doc_id bigint, html binary"
+    df_arith = spark.createDataFrame(
+        [(1, bytearray(arith))], "doc_id bigint, html binary"
     )
     with pytest.raises(Exception) as exc_info:
-        image_features(df_prog).collect()
+        image_features(df_arith).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
@@ -164,7 +164,7 @@ def test_compressed_formats_are_honestly_stubbed(spark):
         image_features(df_corrupt).collect()
     assert "JPEG" in str(exc_info.value)
     with pytest.raises(Exception):
-        frame_sample(df_prog).collect()  # mp4-ish: needs ffmpeg
+        frame_sample(df_arith).collect()  # mp4-ish: needs ffmpeg
 
 
 def test_fake_plumbing_schema_and_determinism(spark, pages):
