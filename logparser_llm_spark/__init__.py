@@ -71,6 +71,7 @@ def __getattr__(name):
         "generalize_pool": ("logparser_llm_spark.operators.merging", "generalize_pool"),
         "dedup_paragraphs": ("logparser_llm_spark.operators.dedup", "dedup_paragraphs"),
         "encode_jpeg": ("logparser_llm_spark.operators.jpeg", "encode_jpeg"),
+        "encode_jpeg_progressive": ("logparser_llm_spark.operators.jpeg", "encode_jpeg_progressive"),
         "decode_jpeg": ("logparser_llm_spark.operators.jpeg", "decode_jpeg"),
         "decode_image": ("logparser_llm_spark.operators.multimodal", "decode_image"),
         # round-5 additions

@@ -304,9 +304,11 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "exotic PNG flavors and arithmetic/12-bit JPEG need PIL (not in "
-            "this container); BMP/PPM/8-bit-PNG and baseline+progressive "
-            "JPEG decode natively"
+            "this payload needs PIL (not in this container): exotic PNG "
+            "flavors, or a JPEG outside the native scope (arithmetic/12-bit/"
+            "hierarchical coding, non-interleaved SEQUENTIAL scans, sampling "
+            "factors beyond 2, CMYK). BMP/PPM/8-bit-PNG and interleaved "
+            "baseline + progressive JPEG decode natively"
         ) from exc
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     return np.asarray(img), (img.format or "unknown").lower()

@@ -120,6 +120,9 @@ def test_truncated_marker_bodies_raise_valueerror():
     )
     with pytest.raises(ValueError, match="truncated SOS component"):
         decode_jpeg(soi + sof3 + b"\xff\xda\x00\x04\x03\x01")  # ns=3, 2-byte body
+    # review r5: ns=0 must be the contract ValueError, not IndexError
+    with pytest.raises(ValueError, match="zero components"):
+        decode_jpeg(soi + sof1 + b"\xff\xda\x00\x06\x00\x00\x3f\x00")
 
 
 def test_non_interleaved_scan_is_unsupported_not_garbage():
