@@ -79,6 +79,7 @@ def __getattr__(name):
         "image_features": ("logparser_llm_spark.operators.multimodal", "image_features"),
         "synth_image_corpus": ("logparser_llm_spark.operators.multimodal", "synth_image_corpus"),
         "ensure_flagship_corpus": ("logparser_llm_spark.plans.queries", "ensure_flagship_corpus"),
+        "exact_substring_dedup": ("logparser_llm_spark.operators.dedup", "exact_substring_dedup"),
     }
     if name in api:
         import importlib

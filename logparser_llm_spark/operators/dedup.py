@@ -23,7 +23,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql import functions as F
 
@@ -590,4 +590,133 @@ def embedding_near_dup_lsh(
         .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-wide EXACT-SUBSTRING deduplication (the ExactSubstr step of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any run of ``k`` or more whitespace tokens that occurs
+    more than once anywhere in the corpus (across or within documents)
+    is a duplicated span; covered tokens are removed from the text.
+
+    With ``keep_first=True`` (the paper's keep-one semantics) the
+    globally first occurrence of each duplicated k-gram — minimal
+    (id, position) — keeps its span; every other occurrence is removed.
+    With ``keep_first=False`` every occurrence of a duplicated span is
+    removed (the stricter variant the paper also discusses).
+
+    Output, one row per input document (docs whose text is entirely
+    duplicated spans still appear): ``(id, n_tokens, n_dup_tokens,
+    text_dedup)`` where ``text_dedup`` is the surviving tokens joined by
+    a single space in original order ('' when nothing survives).
+
+    Scale shape — three shuffles, no UDF, no Python in the hot path:
+
+    1. tokenize + k-gram windows: ``split`` → guarded ``sequence`` →
+       ``transform(slice, array_join)`` → ``posexplode`` — pure JVM map,
+       no shuffle. Gram identity is ``md5`` of the gram string so the
+       shuffle key is fixed-width (and DuckDB can replicate it).
+    2. duplicate detection: groupBy(gram hash) with count + min-struct —
+       both partially aggregable, so a boilerplate gram repeated 10^6
+       times combines map-side instead of flooding one reducer (the
+       skew-safe alternative to a row_number window over the gram key).
+       Windows then semi-join the cnt>=2 stats back on the hash (AQE
+       handles residual reducer skew).
+    3. span merge + reassembly: classic gap-and-islands (one window over
+       (id, pos)), covered positions re-exploded via ``sequence`` and
+       joined back to tokens — every step doc-keyed, never a global key.
+
+    The canonical-occurrence tiebreak orders by (id, pos) with ``id``
+    compared in its NATIVE type, so numeric and string id columns both
+    work cross-engine (no lexicographic-vs-numeric mismatch).
+
+    ``toks`` feeds both the window builder and the final reassembly, and
+    ``windows`` feeds both the stats groupBy and the join probe — both
+    are persisted MEMORY_AND_DISK so Catalyst reads the materialized
+    subtree instead of re-running tokenize+gram-build per branch (the
+    ngram_jaccard r3 lesson; asserted by a plan gate in
+    test_plan_quality.py). The cache is left to Spark's LRU eviction —
+    the result is lazy, so there is no safe unpersist point here.
+    """
+    from pyspark import StorageLevel
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 tokens, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # sequence(0, n-k) descends when n < k — guard to an empty array.
+    windows = toks.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_pos0", "_h"),
+    ).select("_id", (F.col("_pos0") + 1).alias("_pos"), "_h")
+    windows = windows.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = windows.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+    )
+    dupw = windows.join(stats.filter(F.col("_cnt") >= 2), "_h")
+    if keep_first:
+        dupw = dupw.filter(
+            ~(
+                (F.col("_first._id") == F.col("_id"))
+                & (F.col("_first._pos") == F.col("_pos"))
+            )
+        )
+    spans = dupw.select("_id", F.col("_pos").alias("_s"), (F.col("_pos") + k - 1).alias("_e"))
+    w_doc = Window.partitionBy("_id").orderBy("_s")
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    islands = spans.withColumn(
+        "_new", F.when(F.col("_s") > F.coalesce(F.max("_e").over(w_run), F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_g", F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+    intervals = islands.groupBy("_id", "_g").agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    covered = intervals.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("_pos")
+    ).withColumn("_cov", F.lit(1))
+    tok_rows = toks.select(
+        "_id",
+        F.size("_toks").alias("_n"),
+        F.posexplode("_toks").alias("_pos0", "_tok"),
+    ).select("_id", "_n", (F.col("_pos0") + 1).alias("_pos"), "_tok")
+    marked = tok_rows.join(covered, ["_id", "_pos"], "left")
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.max("_n").alias("n_tokens"),
+            F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_dup_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_cov").isNull(), F.struct("_pos", "_tok"))
+                        )
+                    ),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long"),
+            F.col("n_dup_tokens").cast("long"),
+            "text_dedup",
+        )
     )

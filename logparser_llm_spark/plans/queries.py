@@ -1823,6 +1823,71 @@ def q_region_rollup_sql(sf: str) -> str:
     """
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring dedup (operators/dedup.py:
+    exact_substring_dedup — ExactSubstr from Lee et al. 2022, the
+    training-data cleanup the n-gram/MinHash family cannot express:
+    SPAN-level removal, not document-level): every run of >=5 tokens
+    occurring more than once anywhere in the corpus loses all but its
+    globally-first occurrence. Per doc: (n_tokens, n_dup_tokens, md5 of
+    the span-removed text) — the md5 makes removal positions and
+    first-occurrence ties cross-engine verifiable, not just counts."""
+    from ..operators.dedup import exact_substring_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    out = exact_substring_dedup(d, "doc_id", "text", k=5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_dup_tokens",
+        F.md5("text_dedup").alias("dedup_md5"),
+    )
+
+
+def q_exact_substring_sql(sf: str) -> str:
+    return """
+        with toks as (
+          select doc_id, unnest(string_split(coalesce(text,''),' ')) as tok,
+                 generate_subscripts(string_split(coalesce(text,''),' '),1) as pos,
+                 len(string_split(coalesce(text,''),' ')) as n_tokens
+          from documents
+        ),
+        grams as (
+          select a.doc_id, a.pos, md5(string_agg(b.tok,' ' order by b.pos)) as h
+          from toks a join toks b
+            on b.doc_id = a.doc_id and b.pos between a.pos and a.pos+4
+          group by a.doc_id, a.pos having count(*) = 5
+        ),
+        ranked as (
+          select doc_id, pos,
+                 count(*) over (partition by h) as cnt,
+                 row_number() over (partition by h order by doc_id, pos) as rk
+          from grams
+        ),
+        dupw as (select doc_id, pos as s, pos+4 as e
+                 from ranked where cnt >= 2 and rk > 1),
+        isl as (
+          select doc_id, s, e,
+                 case when s > coalesce(max(e) over (partition by doc_id
+                      order by s rows between unbounded preceding and 1 preceding),
+                      -1) then 1 else 0 end as ng
+          from dupw
+        ),
+        grp as (select doc_id, s, e,
+                       sum(ng) over (partition by doc_id order by s
+                                     rows unbounded preceding) as g
+                from isl),
+        iv as (select doc_id, min(s) as s, max(e) as e from grp group by doc_id, g),
+        covered as (select doc_id, unnest(generate_series(s, e)) as pos from iv)
+        select t.doc_id, cast(max(t.n_tokens) as bigint) as n_tokens,
+               cast(count(c.pos) as bigint) as n_dup_tokens,
+               md5(coalesce(string_agg(case when c.pos is null then t.tok end,
+                                       ' ' order by t.pos), '')) as dedup_md5
+        from toks t left join covered c on c.doc_id = t.doc_id and c.pos = t.pos
+        group by t.doc_id
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1872,6 +1937,8 @@ QUERIES: dict[str, tuple] = {
     "per_sink_topk": (q_per_sink_topk, q_per_sink_topk_sql),
     "para_dedup": (q_para_dedup, q_para_dedup_sql),
     "source_cap": (q_source_cap, q_source_cap_sql),
+    # r5: span-level ExactSubstr dedup (Lee et al. 2022)
+    "exact_substring": (q_exact_substring, q_exact_substring_sql),
     # r5: the vote's OUTCOME is analytically pinned on these corpora, so
     # both slot-vote queries carry full oracles (the fixpoint algorithm's
     # gates stay in pytest — see the q_parse_route_agg_slotvote docstring)

@@ -396,3 +396,85 @@ def test_dedup_paragraphs_custom_separator(spark):
     assert outd["text_dedup"] == "x.y" and outd["n_paras"] == 3
     with _pytest.raises(ValueError, match="quoting terminator"):
         dedup_paragraphs(docs, "doc_id", "text", sep="\\E")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (ExactSubstr, Lee et al. 2022) — round 5
+# ---------------------------------------------------------------------------
+
+
+def _ess(spark, rows, **kw):
+    from logparser_llm_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = exact_substring_dedup(df, "doc_id", "text", **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_exact_substring_keep_first_removes_later_occurrence_only(spark):
+    shared = "a b c d e"  # one exact 5-gram
+    rows = [(0, shared + " x y"), (1, "p q " + shared)]
+    got = _ess(spark, rows, k=5)
+    # doc 0 holds the globally-first occurrence (min (id, pos)) — untouched
+    assert got[0]["n_dup_tokens"] == 0
+    assert got[0]["text_dedup"] == "a b c d e x y"
+    # doc 1 loses the span, keeps its own prefix
+    assert got[1]["n_dup_tokens"] == 5
+    assert got[1]["text_dedup"] == "p q"
+
+
+def test_exact_substring_keep_first_false_removes_every_occurrence(spark):
+    shared = "a b c d e"
+    rows = [(0, shared + " x y"), (1, "p q " + shared)]
+    got = _ess(spark, rows, k=5, keep_first=False)
+    assert got[0]["text_dedup"] == "x y"
+    assert got[1]["text_dedup"] == "p q"
+    assert got[0]["n_dup_tokens"] == got[1]["n_dup_tokens"] == 5
+
+
+def test_exact_substring_overlapping_windows_merge_into_one_span(spark):
+    # a 6-token shared run = two overlapping 5-gram windows -> ONE merged
+    # interval of 6 covered tokens, not 10
+    shared = "a b c d e f"
+    rows = [(0, shared), (1, "z " + shared + " w")]
+    got = _ess(spark, rows, k=5)
+    assert got[0]["n_dup_tokens"] == 0
+    assert got[1]["n_dup_tokens"] == 6
+    assert got[1]["text_dedup"] == "z w"
+
+
+def test_exact_substring_within_doc_repetition_counts(spark):
+    # the duplicated run occurs twice INSIDE one document
+    rows = [(7, "a b c d e q q a b c d e")]
+    got = _ess(spark, rows, k=5)
+    assert got[7]["n_tokens"] == 12
+    assert got[7]["n_dup_tokens"] == 5
+    assert got[7]["text_dedup"] == "a b c d e q q"
+
+
+def test_exact_substring_fully_covered_doc_survives_with_empty_text(spark):
+    shared = "a b c d e"
+    rows = [(0, shared + " tail"), (1, shared)]
+    got = _ess(spark, rows, k=5)
+    assert set(got) == {0, 1}
+    assert got[1]["n_dup_tokens"] == 5
+    assert got[1]["text_dedup"] == ""
+
+
+def test_exact_substring_short_and_null_docs_pass_through(spark):
+    rows = [(0, "a b c"), (1, None), (2, "")]
+    got = _ess(spark, rows, k=5)
+    assert got[0]["n_dup_tokens"] == 0 and got[0]["text_dedup"] == "a b c"
+    # NULL coalesces to '' -> split gives [''] -> 1 token, no k-gram
+    for i in (1, 2):
+        assert got[i]["n_tokens"] == 1
+        assert got[i]["n_dup_tokens"] == 0
+        assert got[i]["text_dedup"] == ""
+
+
+def test_exact_substring_k_below_two_raises(spark):
+    from logparser_llm_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        exact_substring_dedup(df, "doc_id", "text", k=1)

@@ -179,3 +179,15 @@ def test_knn_and_ann_queries_have_no_cartesian(spark):
     plan = physical_plan(q_ann_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
     assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_reuses_token_and_window_subtrees(spark):
+    """exact_substring_dedup's token frame feeds the window builder AND
+    the final reassembly; the window frame feeds the stats groupBy AND
+    the join probe. Both are persisted (the ngram_jaccard r3 lesson) —
+    the plan must read the cached subtrees instead of re-running
+    tokenize+gram-build per branch."""
+    from logparser_llm_spark.plans.queries import q_exact_substring
+
+    plan = physical_plan(q_exact_substring(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3, "persisted token/window frames not reused"
