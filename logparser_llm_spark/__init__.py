@@ -80,6 +80,10 @@ def __getattr__(name):
         "synth_image_corpus": ("logparser_llm_spark.operators.multimodal", "synth_image_corpus"),
         "ensure_flagship_corpus": ("logparser_llm_spark.plans.queries", "ensure_flagship_corpus"),
         "exact_substring_dedup": ("logparser_llm_spark.operators.dedup", "exact_substring_dedup"),
+        "parse_mp4": ("logparser_llm_spark.operators.media", "parse_mp4"),
+        "parse_mp3": ("logparser_llm_spark.operators.media", "parse_mp3"),
+        "media_metadata": ("logparser_llm_spark.operators.media", "media_metadata"),
+        "synth_media_corpus": ("logparser_llm_spark.operators.media", "synth_media_corpus"),
     }
     if name in api:
         import importlib

@@ -20,8 +20,11 @@ uncompressed formats are decoded FOR REAL in pure numpy/struct —
 - **video** as a concatenated-BMP stream (each BMP header declares its
   byte size, so frames can be walked without an index — the MJPEG idea).
 
-Remaining compressed formats (MP3/MP4, arithmetic/12-bit JPEG, exotic
-PNG flavors) dispatch to PIL/ffmpeg behind an import-try and raise
+MP4/MP3 CONTAINER demux (box walk / frame walk → duration, track
+layout, codec fourcc, sample counts and rates) is real and native in
+``operators/media.py`` (round 5). Remaining codec-PAYLOAD decodes
+(H.264/AAC/MP3 audio, arithmetic/12-bit JPEG, exotic PNG flavors)
+dispatch to PIL/ffmpeg behind an import-try and raise
 ``NotImplementedError`` when the libraries are absent — honestly
 stubbed, never silently faked. The legacy ``fake=True`` path keeps the
 md5-derived stand-ins for plumbing tests.

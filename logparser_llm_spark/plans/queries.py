@@ -1888,6 +1888,68 @@ def q_exact_substring_sql(sf: str) -> str:
     """
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MP4/MP3 container demux over a SEEDED media corpus
+    (operators/media.py — the container half of the r4 "MP3/MP4
+    library-gated" gap, closed natively): one deterministic MP4 (even
+    doc_id) or MP3 (odd doc_id) payload per documents row, encoded AND
+    demuxed distributed (mapInPandas over a pruned (id, binary)
+    projection, explicit 32-way spread past the single-file sf table),
+    one unified metadata row per payload.
+
+    Full DuckDB oracle via the pinning pattern: the synthesizers'
+    metadata is closed-form in doc_id (see make_synth_mp4/make_synth_mp3
+    docstrings), so the oracle derives every column arithmetically while
+    Spark must round-trip box-writer → box-walker (MP4) and
+    frame-writer → frame-walker (MP3) to reproduce it — a wrong
+    fixed-point shift, box traversal, or frame-length formula breaks the
+    hash."""
+    from ..operators.media import media_metadata, synth_media_corpus
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return media_metadata(synth_media_corpus(d, "doc_id"), "doc_id", "media")
+
+
+def q_media_metadata_sql(sf: str) -> str:
+    return """
+        with base as (
+          select doc_id,
+                 20 + doc_id % 40 as nf,
+                 case doc_id % 3 when 0 then 44100 when 1 then 48000
+                      else 32000 end as sr,
+                 1 + (doc_id % 4) // 2 as mp4_streams
+          from documents
+        )
+        select doc_id,
+          case when doc_id % 2 = 0 then 'mp4' else 'mp3' end as container,
+          cast(case when doc_id % 2 = 0 then 1500 + doc_id % 700
+               else (nf * 1152 * 1000) // sr end as bigint) as duration_ms,
+          cast(case when doc_id % 2 = 0 then mp4_streams else 1 end
+               as bigint) as n_streams,
+          case when doc_id % 2 = 0 then 'avc1' else 'mp3' end as codec,
+          cast(case when doc_id % 2 = 0
+               then (10 + doc_id % 20)
+                    + case when mp4_streams = 2 then 30 + doc_id % 25 else 0 end
+               else nf * 1152 end as bigint) as n_samples,
+          cast(case when doc_id % 2 = 0
+               then case when mp4_streams = 2
+                    then 44100 + ((doc_id // 2) % 2) * 3900 else 0 end
+               else sr end as bigint) as sample_rate,
+          cast(case when doc_id % 2 = 0 then 0
+               when doc_id % 4 = 3
+               then (128 * ((nf + 1) // 2) + 192 * (nf // 2)) // nf
+               else case doc_id % 3 when 0 then 128 when 1 then 192
+                    else 256 end end as bigint) as bitrate_kbps,
+          cast(case when doc_id % 2 = 0 then 16 * (1 + doc_id % 8) else 0 end
+               as bigint) as width,
+          cast(case when doc_id % 2 = 0 then 16 * (1 + doc_id % 6) else 0 end
+               as bigint) as height
+        from base
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1939,6 +2001,9 @@ QUERIES: dict[str, tuple] = {
     "source_cap": (q_source_cap, q_source_cap_sql),
     # r5: span-level ExactSubstr dedup (Lee et al. 2022)
     "exact_substring": (q_exact_substring, q_exact_substring_sql),
+    # r5: native MP4/MP3 container demux, oracle pinned on the
+    # closed-form synth metadata (see q_media_metadata docstring)
+    "media_metadata": (q_media_metadata, q_media_metadata_sql),
     # r5: the vote's OUTCOME is analytically pinned on these corpora, so
     # both slot-vote queries carry full oracles (the fixpoint algorithm's
     # gates stay in pytest — see the q_parse_route_agg_slotvote docstring)
