@@ -73,6 +73,9 @@ HEADLINE = [
     "slotvote_routes",
     "parse_route_agg_multisplit",
     "image_features_agg",
+    # round 5 (late): span-level ExactSubstr dedup + MP4/MP3 demux
+    "exact_substring",
+    "media_metadata",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
