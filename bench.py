@@ -73,9 +73,11 @@ HEADLINE = [
     "slotvote_routes",
     "parse_route_agg_multisplit",
     "image_features_agg",
-    # round 5 (late): span-level ExactSubstr dedup + MP4/MP3 demux
+    # round 5 (late): span-level ExactSubstr dedup + MP4/MP3 demux,
+    # portable HyperLogLog distinct sketch
     "exact_substring",
     "media_metadata",
+    "hll_distinct",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

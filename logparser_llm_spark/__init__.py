@@ -84,6 +84,10 @@ def __getattr__(name):
         "parse_mp3": ("logparser_llm_spark.operators.media", "parse_mp3"),
         "media_metadata": ("logparser_llm_spark.operators.media", "media_metadata"),
         "synth_media_corpus": ("logparser_llm_spark.operators.media", "synth_media_corpus"),
+        "hll_registers": ("logparser_llm_spark.operators.sketch", "hll_registers"),
+        "hll_merge": ("logparser_llm_spark.operators.sketch", "hll_merge"),
+        "hll_estimate": ("logparser_llm_spark.operators.sketch", "hll_estimate"),
+        "hll_distinct": ("logparser_llm_spark.operators.sketch", "hll_distinct"),
     }
     if name in api:
         import importlib

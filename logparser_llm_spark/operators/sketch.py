@@ -1,0 +1,254 @@
+"""Mergeable distinct-count sketches: a portable HyperLogLog.
+
+The canonical 100 TB counting problem — "distinct users per key over a
+corpus that does not fit anywhere" — needs a sketch, not a count
+(distinct): exact distinct shuffles every (key, value) pair; a
+HyperLogLog shuffles at most ``m`` integers per key, is map-side
+partially aggregable (register max combines in the scan stage), and
+sketches from different days/partitions UNION by element-wise max, so
+rollups (hour → day → month) never rescan the raw data. The reference
+has no sketch surface (its scale ceiling is one process); this module
+is part of the repo's beyond-reference training-data-pipeline tier,
+next to dedup/ANN (SURVEY §2 "beyond" block).
+
+Design constraints, in priority order:
+
+1. **Portable** — like every cross-engine artifact in this repo
+   (functions/hashing.py), the hash is md5: Spark, DuckDB and Python
+   ``hashlib`` compute bit-identical registers, so the registered
+   query's oracle is a FULL hash-green DuckDB recompute of the sketch
+   itself, not a tolerance band. We take the first 15 hex chars = 60
+   bits, the widest md5 prefix that fits a signed BIGINT in both
+   engines (16 chars can overflow to negative).
+2. **Deterministic estimate** — the HLL estimate is kept to ONE
+   floating-point division per group: the harmonic sum is computed in
+   exact integer arithmetic (``Σ 2^(K−ρ_j)`` with K = max possible ρ,
+   so every addend is an integer ≤ 2^K and the BIGINT sum is exact),
+   and only the final ``alpha·m²·2^K / S`` happens in IEEE doubles —
+   identical in the JVM and DuckDB. The ``ln``-based linear-counting
+   branch (small cardinalities) is implemented but its cross-engine
+   parity is only ulp-level (libm vs JVM); the registered query's
+   corpus is asserted (tests) to stay on the division branch.
+3. **Scale shape** — ``hll_registers`` is a single groupBy(key, idx)
+   max: partially aggregable, skew-free (register index is uniform by
+   construction), output ≤ m rows per key. No UDF anywhere.
+
+Precision ``p`` gives m = 2^p registers and ~1.04/√m relative error:
+p=12 (default, 4096 registers) ≈ 1.6%; the registered query uses p=8
+(256 registers ≈ 6.5%) so the zero-register/branch structure is
+exercised at test-data cardinalities.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: the widest md5 prefix whose unsigned value
+# always fits a signed 64-bit integer in Spark, DuckDB and Python.
+HASH_HEX_CHARS = 15
+HASH_BITS = 4 * HASH_HEX_CHARS
+
+DEFAULT_P = 12
+
+
+def _check_p(p: int) -> int:
+    if not isinstance(p, int) or not (4 <= p <= 16):
+        raise ValueError(f"HLL precision p must be an int in [4, 16], got {p!r}")
+    return p
+
+
+def _alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet et al. 2007, Fig. 3."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _estimate_const(p: int) -> float:
+    """alpha_m * m^2 * 2^K as one double — the numerator of the raw
+    estimate. K = (60 - p) + 1 is the maximum possible register value,
+    the scaling that makes the harmonic denominator an exact integer."""
+    m = 1 << p
+    k = (HASH_BITS - p) + 1
+    return _alpha(m) * m * m * float(2**k)
+
+
+def hll_registers(
+    df: DataFrame, key_cols: Sequence[str], value_col: str, p: int = DEFAULT_P
+) -> DataFrame:
+    """Build per-key HLL registers: key_cols + (reg_idx, rho).
+
+    ρ = 1 + number of leading zeros of the low ``60-p`` hash bits
+    (``60-p+1`` if they are all zero); reg_idx = the high ``p`` bits.
+    One partially-aggregable groupBy-max; absent (idx) rows ARE the
+    zero registers and are materialized only at estimate time. NULL
+    values are skipped (count-distinct semantics). The value column
+    must already be a string with an engine-agnostic rendering (cast
+    numerics explicitly, as the sampling module requires of its keys).
+    """
+    _check_p(p)
+    wbits = HASH_BITS - p
+    mask = (1 << wbits) - 1
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, HASH_HEX_CHARS), 16, 10).cast(
+        "bigint"
+    )
+    idx = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit(mask))
+    rho = (
+        F.when(w > 0, F.lit(wbits + 1) - F.length(F.bin(w)))
+        .otherwise(F.lit(wbits + 1))
+        .cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*key_cols, idx.alias("reg_idx"), rho.alias("rho"))
+        .groupBy(*key_cols, "reg_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(reg_df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Union of sketches = element-wise register max. Feed it the
+    unioned register frames of any number of :func:`hll_registers`
+    outputs (built with the SAME p) — e.g. daily sketches rolling up
+    to monthly without rescanning raw data."""
+    return reg_df.groupBy(*key_cols, "reg_idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    reg_df: DataFrame, key_cols: Sequence[str], p: int = DEFAULT_P
+) -> DataFrame:
+    """Per-key cardinality estimate from a register frame.
+
+    Output: key_cols + ``n_registers`` (= m), ``zero_registers``,
+    ``est_distinct`` (BIGINT). Exact-integer harmonic sum; one double
+    division (see module docstring); linear-counting fallback below
+    2.5·m with zero registers present, exactly the published
+    small-range correction.
+    """
+    _check_p(p)
+    m = 1 << p
+    k = (HASH_BITS - p) + 1
+    const = _estimate_const(p)
+    # Σ 2^(K-ρ) over SEEN registers, exact in BIGINT (ρ ∈ [1, K] here;
+    # the 2^K addend belongs to zero registers, added arithmetically).
+    addend = F.expr(f"shiftleft(cast(1 as bigint), {k} - rho)")
+    seen = reg_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_seen"),
+        F.sum(addend).alias("_s_seen"),
+    )
+    zero = F.lit(m).cast("bigint") - F.col("_seen")
+    s_total = (F.col("_s_seen") + zero * F.lit(1 << k).cast("bigint")).cast("double")
+    est_raw = F.lit(const) / s_total
+    est_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zero.cast("double"))
+    est = F.when((est_raw <= 2.5 * m) & (zero > 0), est_lc).otherwise(est_raw)
+    return seen.select(
+        *key_cols,
+        F.lit(m).cast("bigint").alias("n_registers"),
+        zero.cast("bigint").alias("zero_registers"),
+        F.round(est).cast("bigint").alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_cols: Sequence[str], value_col: str, p: int = DEFAULT_P
+) -> DataFrame:
+    """registers → estimate in one call (the common single-pass use)."""
+    return hll_estimate(hll_registers(df, key_cols, value_col, p), key_cols, p)
+
+
+def hll_estimate_sql(
+    table: str, group_expr: str, value_expr: str, p: int, group_alias: str = "grp"
+) -> str:
+    """DuckDB rendering of registers+estimate over ``table`` — the
+    oracle half. Kept in lockstep with the three Spark/Python
+    renderings above; a change to one desynchronizes the registered
+    query's hash parity."""
+    _check_p(p)
+    m = 1 << p
+    wbits = HASH_BITS - p
+    k = wbits + 1
+    mask = (1 << wbits) - 1
+    const = repr(_estimate_const(p))
+    return f"""
+      with hll_h as (
+        select {group_expr} as {group_alias},
+               ('0x' || substr(md5({value_expr}), 1, {HASH_HEX_CHARS}))::BIGINT as h
+        from {table}
+        where {value_expr} is not null
+      ),
+      hll_r as (
+        select {group_alias}, h >> {wbits} as reg_idx,
+               max(case when (h & {mask}) > 0
+                        then {wbits + 1} - length(bin(h & {mask}))
+                        else {wbits + 1} end) as rho
+        from hll_h group by 1, 2
+      ),
+      hll_a as (
+        select {group_alias}, count(*) as seen,
+               cast(sum(1::BIGINT << ({k} - rho)) as bigint) as s_seen
+        from hll_r group by 1
+      ),
+      hll_e as (
+        select {group_alias}, {m} - seen as zero_registers,
+               cast(s_seen + ({m} - seen) * (1::BIGINT << {k}) as double) as s_total
+        from hll_a
+      )
+      select {group_alias}, cast({m} as bigint) as n_registers,
+             cast(zero_registers as bigint) as zero_registers,
+             cast(round(case when {const} / s_total <= {2.5 * m}
+                              and zero_registers > 0
+                             then {m} * ln({m} / cast(zero_registers as double))
+                             else {const} / s_total end) as bigint) as est_distinct
+      from hll_e
+    """
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python rendering (tests / driver-side spot checks)
+
+
+def hll_registers_py(values: Iterable[str], p: int = DEFAULT_P) -> dict[int, int]:
+    _check_p(p)
+    wbits = HASH_BITS - p
+    mask = (1 << wbits) - 1
+    regs: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:HASH_HEX_CHARS], 16)
+        idx = h >> wbits
+        w = h & mask
+        rho = (wbits + 1 - w.bit_length()) if w else (wbits + 1)
+        if rho > regs.get(idx, 0):
+            regs[idx] = rho
+    return regs
+
+
+def hll_estimate_py(regs: dict[int, int], p: int = DEFAULT_P) -> dict:
+    """Python rendering of :func:`hll_estimate` for one key. Returns
+    the same fields plus ``raw_branch`` (True when the division branch
+    was taken — the branch whose cross-engine parity is exact)."""
+    _check_p(p)
+    m = 1 << p
+    k = (HASH_BITS - p) + 1
+    zero = m - len(regs)
+    s_total = sum(1 << (k - rho) for rho in regs.values()) + zero * (1 << k)
+    est_raw = _estimate_const(p) / float(s_total)
+    raw_branch = not (est_raw <= 2.5 * m and zero > 0)
+    est = est_raw if raw_branch else m * math.log(m / float(zero))
+    return {
+        "n_registers": m,
+        "zero_registers": zero,
+        "est_distinct": int(round(est)),
+        "raw_branch": raw_branch,
+    }

@@ -1950,6 +1950,77 @@ def q_media_metadata_sql(sf: str) -> str:
     """
 
 
+# Precision for the registered HLL query: m = 256 registers (~6.5%
+# expected error). Deliberately SMALL so the zero-register accounting
+# and branch structure are exercised at test-data cardinalities; the
+# operator default is p=12. The per-group cardinalities (~1,600
+# user-days at sf0.01, more at sf0.1) keep every group on the
+# raw-division branch — the branch whose cross-engine parity is exact —
+# asserted in tests/test_sketch.py::test_registered_corpus_stays_on_raw_branch.
+HLL_QUERY_P = 8
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate distinct count (portable HyperLogLog,
+    operators/sketch.py): distinct (user, day) pairs per event_type.
+
+    THE 100 TB counting shape: exact count(distinct) shuffles every
+    (key, value) pair and cannot pre-aggregate; the sketch shuffles at
+    most m=2^p integers per key, combines map-side, and sketches union
+    across days/partitions by register max (``hll_merge``) so rollups
+    never rescan raw data. The md5 register construction is
+    bit-identical in Spark, DuckDB and Python, and the estimate is one
+    IEEE double division per group (exact-integer harmonic sum), so the
+    oracle recomputes the SKETCH itself — hash parity, no tolerance.
+
+    The ``exact_distinct`` column is the accuracy demonstration for
+    this small-scale query; at corpus scale you drop it (dropping it is
+    the point of the sketch).
+    """
+    from ..operators.sketch import hll_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    user_day = F.concat(
+        F.col("user_id").cast("bigint").cast("string"),
+        F.lit("|"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    base = ev.select("event_type", user_day.alias("user_day"))
+    est = hll_distinct(base, ["event_type"], "user_day", p=HLL_QUERY_P)
+    exact = base.groupBy("event_type").agg(
+        F.countDistinct("user_day").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_registers", "zero_registers", "est_distinct", "exact_distinct"
+    )
+
+
+def q_hll_distinct_sql(sf: str) -> str:
+    from ..operators.sketch import hll_estimate_sql
+
+    est_sql = hll_estimate_sql(
+        "base",
+        "event_type",
+        "user_id::BIGINT::VARCHAR || '|' || strftime(ts, '%Y-%m-%d')",
+        HLL_QUERY_P,
+        group_alias="event_type",
+    )
+    return f"""
+        with base as (select event_type, user_id, ts from events),
+        est as ({est_sql}),
+        exact as (
+          select event_type,
+                 cast(count(distinct user_id::BIGINT::VARCHAR || '|'
+                            || strftime(ts, '%Y-%m-%d')) as bigint)
+                   as exact_distinct
+          from base group by 1
+        )
+        select est.event_type, est.n_registers, est.zero_registers,
+               est.est_distinct, exact.exact_distinct
+        from est join exact using (event_type)
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2004,6 +2075,9 @@ QUERIES: dict[str, tuple] = {
     # r5: native MP4/MP3 container demux, oracle pinned on the
     # closed-form synth metadata (see q_media_metadata docstring)
     "media_metadata": (q_media_metadata, q_media_metadata_sql),
+    # r5: portable HyperLogLog — the oracle recomputes the sketch
+    # itself (md5 registers are engine-identical; see q_hll_distinct)
+    "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
     # r5: the vote's OUTCOME is analytically pinned on these corpora, so
     # both slot-vote queries carry full oracles (the fixpoint algorithm's
     # gates stay in pytest — see the q_parse_route_agg_slotvote docstring)

@@ -191,3 +191,16 @@ def test_exact_substring_reuses_token_and_window_subtrees(spark):
 
     plan = physical_plan(q_exact_substring(spark, SF))
     assert plan.count("InMemoryTableScan") >= 3, "persisted token/window frames not reused"
+
+
+def test_hll_sketch_is_partial_agg_jvm_only(spark):
+    """The HLL register build must combine map-side (that's the sketch's
+    whole scale story) and never leave the JVM."""
+    from logparser_llm_spark.operators.sketch import hll_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", F.col("doc_id").cast("bigint").cast("string").alias("id")
+    )
+    facts = plan_facts(hll_distinct(docs, ["source"], "id", p=8))
+    assert facts["partial_aggregate"], "register max must combine map-side"
+    assert not facts["python_udf"] and not facts["map_in_pandas"]

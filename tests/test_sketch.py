@@ -1,0 +1,165 @@
+"""HyperLogLog sketch tests: three-way register/estimate parity (Spark /
+Python / DuckDB), the merge-by-max union property, published accuracy
+bounds, and the raw-branch guard that keeps the registered query's
+cross-engine comparison on the exact-parity code path.
+
+(The registered ``hll_distinct`` query itself is additionally covered by
+the registry-wide oracle test in test_queries_oracle.py.)
+"""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.sketch import (
+    HASH_BITS,
+    hll_distinct,
+    hll_estimate,
+    hll_estimate_py,
+    hll_estimate_sql,
+    hll_merge,
+    hll_registers,
+    hll_registers_py,
+)
+
+
+def _values_df(spark, values, group="a"):
+    return spark.createDataFrame(
+        [(group, v) for v in values], "g string, v string"
+    )
+
+
+def test_registers_match_python(spark):
+    vals = [f"user-{i}" for i in range(500)] * 2  # duplicates must not matter
+    regs = hll_registers(_values_df(spark, vals), ["g"], "v", p=8)
+    got = {r["reg_idx"]: r["rho"] for r in regs.collect()}
+    assert got == hll_registers_py(vals, p=8)
+
+
+def test_estimate_three_way_parity(spark):
+    vals = [f"item:{i * 7}" for i in range(1200)]
+    df = _values_df(spark, vals)
+    est = hll_estimate(hll_registers(df, ["g"], "v", p=8), ["g"], p=8)
+    srow = est.collect()[0].asDict()
+
+    prow = hll_estimate_py(hll_registers_py(vals, p=8), p=8)
+
+    con = duckdb.connect()
+    con.execute("create table t (v varchar)")
+    con.executemany("insert into t values (?)", [(v,) for v in vals])
+    orow = con.execute(hll_estimate_sql("t", "'a'", "v", 8)).fetchdf().to_dict(
+        "records"
+    )[0]
+
+    for field in ("n_registers", "zero_registers", "est_distinct"):
+        assert srow[field] == prow[field] == orow[field], field
+
+
+def test_merge_equals_union(spark):
+    """Union of sketches == sketch of union, register for register —
+    the property that makes day→month rollups rescan-free."""
+    a = [f"a-{i}" for i in range(400)]
+    b = [f"b-{i}" for i in range(300)] + a[:100]  # overlapping
+    ra = hll_registers(_values_df(spark, a), ["g"], "v", p=8)
+    rb = hll_registers(_values_df(spark, b), ["g"], "v", p=8)
+    merged = {
+        r["reg_idx"]: r["rho"] for r in hll_merge(ra.union(rb), ["g"]).collect()
+    }
+    whole = {
+        r["reg_idx"]: r["rho"]
+        for r in hll_registers(_values_df(spark, a + b), ["g"], "v", p=8).collect()
+    }
+    assert merged == whole
+
+
+@pytest.mark.parametrize("n", [500, 20000])
+def test_estimate_accuracy_within_published_bound(n):
+    p = 12
+    m = 1 << p
+    est = hll_estimate_py(
+        hll_registers_py((f"v{i}" for i in range(n)), p=p), p=p
+    )["est_distinct"]
+    # 1.04/sqrt(m) is the published stddev; 5 sigma on a fixed corpus
+    assert abs(est / n - 1) < 5 * 1.04 / math.sqrt(m)
+
+
+def test_linear_counting_branch_at_tiny_cardinality():
+    out = hll_estimate_py(hll_registers_py([f"x{i}" for i in range(10)], p=12), p=12)
+    assert out["raw_branch"] is False  # small-range correction taken
+    assert out["est_distinct"] == 10  # linear counting is ~exact here
+
+
+def test_null_values_skipped(spark):
+    vals = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None)], "g string, v string"
+    )
+    got = {r["reg_idx"]: r["rho"] for r in hll_registers(df, ["g"], "v", p=8).collect()}
+    assert got == hll_registers_py(vals, p=8) == hll_registers_py(vals + [None], p=8)
+
+
+def test_p_validation():
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        hll_registers_py([], p=3)
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        hll_estimate_sql("t", "g", "v", 17)
+
+
+def test_per_key_sketches_are_independent(spark):
+    df = spark.createDataFrame(
+        [("k1", f"v{i}") for i in range(50)] + [("k2", f"w{i}") for i in range(80)],
+        "g string, v string",
+    )
+    rows = {
+        r["g"]: r.asDict()
+        for r in hll_estimate(hll_registers(df, ["g"], "v", p=8), ["g"], p=8).collect()
+    }
+    assert rows["k1"]["est_distinct"] == hll_estimate_py(
+        hll_registers_py([f"v{i}" for i in range(50)], p=8), p=8
+    )["est_distinct"]
+    assert rows["k2"]["est_distinct"] == hll_estimate_py(
+        hll_registers_py([f"w{i}" for i in range(80)], p=8), p=8
+    )["est_distinct"]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_registered_corpus_stays_on_raw_branch(sf):
+    """The registered query's oracle parity is exact only on the
+    raw-division branch (the ln branch is ulp-portable, not bit-pinned);
+    assert every event_type group at both driver scales stays on it."""
+    from logparser_llm_spark.plans.queries import HLL_QUERY_P
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "select event_type, user_id::BIGINT::VARCHAR || '|' || "
+        "strftime(ts, '%Y-%m-%d') as ud "
+        f"from parquet_scan('{sf}/events.parquet')"
+    ).fetchall()
+    groups: dict[str, list] = {}
+    for et, ud in rows:
+        groups.setdefault(et, []).append(ud)
+    assert groups
+    for et, vals in groups.items():
+        out = hll_estimate_py(hll_registers_py(vals, p=HLL_QUERY_P), p=HLL_QUERY_P)
+        assert out["raw_branch"] is True, (sf, et, out)
+
+
+def test_hash_prefix_fits_signed_bigint():
+    """15 hex chars = 60 bits by construction — the invariant that keeps
+    the register hash positive in both engines' BIGINT."""
+    assert HASH_BITS == 60
+    regs = hll_registers_py([f"v{i}" for i in range(1000)], p=4)
+    assert all(0 <= idx < 16 for idx in regs)
+    assert all(1 <= rho <= (60 - 4) + 1 for rho in regs.values())
+
+
+def test_one_pass_convenience_matches_two_step(spark):
+    vals = [f"v{i}" for i in range(200)]
+    df = _values_df(spark, vals)
+    one = hll_distinct(df, ["g"], "v", p=8).collect()[0].asDict()
+    two = hll_estimate(hll_registers(df, ["g"], "v", p=8), ["g"], p=8).collect()[
+        0
+    ].asDict()
+    assert one == two
