@@ -78,6 +78,7 @@ HEADLINE = [
     "exact_substring",
     "media_metadata",
     "hll_distinct",
+    "bm25_topk",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -88,6 +88,7 @@ def __getattr__(name):
         "hll_merge": ("logparser_llm_spark.operators.sketch", "hll_merge"),
         "hll_estimate": ("logparser_llm_spark.operators.sketch", "hll_estimate"),
         "hll_distinct": ("logparser_llm_spark.operators.sketch", "hll_distinct"),
+        "bm25_topk": ("logparser_llm_spark.operators.ranking", "bm25_topk"),
     }
     if name in api:
         import importlib

@@ -1,0 +1,234 @@
+"""Ranked retrieval over a document corpus: distributed BM25.
+
+The training-data-pipeline use: given a probe query ("find documents
+about X"), score every document with Okapi BM25 (the Robertson/Lucene
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant) and return the
+top-k. The reference engine has no retrieval surface; this sits in the
+repo's beyond-reference tier next to dedup/ANN/sketches.
+
+Scale shape (the part that must survive 100 TB):
+
+- ONE token explode feeds a single partially-aggregable
+  ``groupBy(doc, query-term-or-null)`` count; from that small pre-agg
+  frame both the per-doc length and the per-(doc, term) tf are derived
+  — the raw token stream is never shuffled twice (the pre-agg frame is
+  persisted MEMORY_AND_DISK across its two consumers).
+- Per-term document frequencies and the global (N, avgdl) row are
+  broadcast — the only shuffles are the token pre-agg and the doc-keyed
+  tf⋈dl join; the final top-k is a TakeOrdered, not a global sort.
+- No UDF anywhere; every expression is JVM codegen.
+
+Cross-engine determinism (the oracle story): tf, dl, df and N are exact
+integers in any engine; avgdl is one double division; each per-term
+score is a short fixed shape of IEEE double ops mirrored textually in
+the DuckDB oracle; and — the trick that removes float-summation order
+from the contract — per-term scores are quantized to integer
+micro-units (``round(score·10⁶)``) BEFORE the per-doc sum, so the
+aggregate is an order-free integer sum. The only residual cross-engine
+wiggle is the ≤1-ulp libm-vs-JVM difference inside ``ln``, which after
+1e6 quantization has never flipped a value on the test corpora (the
+registry oracle hash would catch it loudly if it ever did).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"  # identical semantics in Java regex and RE2
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def query_terms(query: str) -> list[str]:
+    """Distinct lowercase query terms, tokenized like the corpus."""
+    terms = sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
+    if not terms:
+        raise ValueError(f"query {query!r} contains no indexable terms")
+    return terms
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    *,
+    top_k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-``top_k`` documents for ``query`` by BM25.
+
+    Output: ``rnk`` (1-based, ties broken by ascending id — fully
+    deterministic because it orders on the quantized score),
+    ``<id_col>``, ``score_e6`` (BM25 in integer micro-units),
+    ``n_terms_hit``. Documents containing no query term are absent
+    (standard retrieval semantics).
+    """
+    terms = query_terms(query)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("term"),
+    ).where(F.col("term") != "")
+    # One shuffle: per-doc counts keyed by (doc, query-term-or-null).
+    # The null bucket carries every non-query token, so this frame is
+    # |docs| × (|terms|+1) at most — tiny relative to the token stream.
+    qt = F.when(F.col("term").isin(terms), F.col("term"))
+    ag = (
+        toks.groupBy(id_col, qt.alias("qt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = ag.groupBy(id_col).agg(F.sum("c").alias("dl"))
+    tf = ag.where(F.col("qt").isNotNull()).select(
+        id_col, F.col("qt").alias("term"), F.col("c").alias("tf")
+    )
+    # Global stats: one row, broadcast into the scoring join.
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    term_score = (idf * F.col("tf")) / (F.col("tf") + norm)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            # quantize BEFORE summing: integer sums are order-free
+            F.round(term_score * 1_000_000).cast("bigint").alias("ts_e6"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("ts_e6").alias("score_e6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    ranked = (
+        scored.orderBy(F.desc("score_e6"), F.col(id_col))
+        .limit(top_k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_e6"), F.col(id_col))
+            ).cast("bigint"),
+        )
+    )
+    return ranked.select("rnk", id_col, "score_e6", "n_terms_hit")
+
+
+def bm25_topk_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    query: str,
+    *,
+    top_k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> str:
+    """DuckDB rendering of :func:`bm25_topk` — kept textually in
+    lockstep (same op shapes, same quantize-then-sum), the oracle half
+    of the registered query."""
+    terms = query_terms(query)
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+      with bm_toks as (
+        select {id_expr} as doc_id,
+               unnest(list_filter(regexp_split_to_array(lower({text_expr}),
+                                                        '{TOKEN_SPLIT_RE}'),
+                                  x -> x <> '')) as term
+        from {table}
+      ),
+      bm_ag as (
+        select doc_id,
+               case when term in ({terms_sql}) then term end as qt,
+               count(*) as c
+        from bm_toks group by 1, 2
+      ),
+      bm_dl as (select doc_id, sum(c) as dl from bm_ag group by 1),
+      bm_stats as (
+        select count(*) as n_docs,
+               cast(sum(dl) as double) / count(*) as avgdl
+        from bm_dl
+      ),
+      bm_tf as (
+        select doc_id, qt as term, c as tf from bm_ag where qt is not null
+      ),
+      bm_df as (select term, count(*) as df from bm_tf group by 1),
+      bm_sc as (
+        select bm_tf.doc_id,
+               cast(round(
+                 (ln(1.0 + (bm_stats.n_docs - bm_df.df + 0.5) / (bm_df.df + 0.5))
+                  * bm_tf.tf)
+                 / (bm_tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * bm_dl.dl
+                                          / bm_stats.avgdl))
+                 * 1000000) as bigint) as ts_e6
+        from bm_tf
+        join bm_df using (term)
+        join bm_dl using (doc_id)
+        cross join bm_stats
+      ),
+      bm_g as (
+        select doc_id, cast(sum(ts_e6) as bigint) as score_e6,
+               cast(count(*) as bigint) as n_terms_hit
+        from bm_sc group by 1
+      )
+      select cast(row_number() over (order by score_e6 desc, doc_id)
+                  as bigint) as rnk,
+             doc_id, score_e6, n_terms_hit
+      from bm_g
+      order by score_e6 desc, doc_id
+      limit {top_k}
+    """
+
+
+def bm25_score_py(
+    docs: dict[object, str],
+    query: str,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> dict[object, int]:
+    """Pure-Python rendering (tests): id → score_e6 for docs hitting
+    ≥1 query term, same quantize-then-sum contract."""
+    import math
+
+    terms = query_terms(query)
+    tok = {
+        i: [t for t in re.split(TOKEN_SPLIT_RE, (txt or "").lower()) if t]
+        for i, txt in docs.items()
+    }
+    n = len(tok)
+    avgdl = sum(len(ts) for ts in tok.values()) / float(n)
+    dfreq = {
+        t: sum(1 for ts in tok.values() if t in ts) for t in terms
+    }
+    out: dict[object, int] = {}
+    for i, ts in tok.items():
+        total = 0
+        hit = False
+        for t in terms:
+            tf = ts.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = (idf * tf) / (tf + k1 * ((1.0 - b) + b * len(ts) / avgdl))
+            total += int(round(s * 1_000_000))
+        if hit:
+            out[i] = total
+    return out

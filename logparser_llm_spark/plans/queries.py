@@ -2021,6 +2021,40 @@ def q_hll_distinct_sql(sf: str) -> str:
     """
 
 
+# The registered retrieval probe. Multi-term so per-doc scores sum
+# across terms (exercising the quantize-then-sum contract), with terms
+# spanning different document frequencies.
+BM25_QUERY = "hash join spark"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 ranked retrieval (operators/ranking.py): top-10
+    documents for a fixed probe query.
+
+    Scale shape: one token explode → one partially-aggregable
+    (doc, query-term-or-null) count from which BOTH per-doc length and
+    tf derive (the token stream is never shuffled twice); df and the
+    (N, avgdl) row broadcast; TakeOrdered top-k. The oracle recomputes
+    the full scoring pipeline in DuckDB; per-term scores are quantized
+    to integer micro-units BEFORE the per-doc sum, so cross-engine
+    float-summation order is out of the contract (module docstring).
+    """
+    from ..operators.ranking import bm25_topk
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return bm25_topk(d, "doc_id", "text", BM25_QUERY, top_k=10)
+
+
+def q_bm25_topk_sql(sf: str) -> str:
+    from ..operators.ranking import bm25_topk_sql
+
+    return bm25_topk_sql(
+        "documents", "doc_id::BIGINT", "text", BM25_QUERY, top_k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2078,6 +2112,8 @@ QUERIES: dict[str, tuple] = {
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
+    # r5: BM25 ranked retrieval, full scoring recompute in DuckDB
+    "bm25_topk": (q_bm25_topk, q_bm25_topk_sql),
     # r5: the vote's OUTCOME is analytically pinned on these corpora, so
     # both slot-vote queries carry full oracles (the fixpoint algorithm's
     # gates stay in pytest — see the q_parse_route_agg_slotvote docstring)

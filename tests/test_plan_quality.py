@@ -204,3 +204,17 @@ def test_hll_sketch_is_partial_agg_jvm_only(spark):
     facts = plan_facts(hll_distinct(docs, ["source"], "id", p=8))
     assert facts["partial_aggregate"], "register max must combine map-side"
     assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+def test_bm25_reuses_token_preagg_and_stays_jvm(spark):
+    """The (doc, query-term-or-null) pre-agg frame must be computed once
+    and served from cache to both its consumers (dl and tf), and the
+    whole scoring plan must stay JVM-side with map-side combine."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    df = QUERIES["bm25_topk"][0](spark, SF)
+    plan = physical_plan(df)
+    facts = plan_facts(df)
+    assert facts["partial_aggregate"]
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    assert plan.count("InMemoryTableScan") >= 2, plan[-2000:]

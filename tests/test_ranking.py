@@ -1,0 +1,118 @@
+"""BM25 ranked-retrieval tests: Spark vs pure-Python scoring parity,
+ranking-semantics sanity (idf dominance, length normalization, tie
+breaks), edge cases, and the cross-engine contract at both driver
+scales (the registered query is additionally covered by the
+registry-wide oracle test at sf0.01)."""
+
+import duckdb
+import pytest
+
+from logparser_llm_spark.operators.ranking import (
+    bm25_score_py,
+    bm25_topk,
+    bm25_topk_sql,
+    query_terms,
+)
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id bigint, text string"
+    )
+
+
+CORPUS = {
+    1: "hash join is the fast join for big tables",
+    2: "sort merge join handles skew with spill",
+    3: "spark uses hash partitioning for the shuffle",
+    4: "broadcast the small side and keep the hash map in memory",
+    5: "window functions rank rows per partition",
+    6: "hash hash hash join join spark spark spark spark",
+}
+
+
+def test_spark_matches_python_scores(spark):
+    out = {
+        r["doc_id"]: (r["score_e6"], r["n_terms_hit"])
+        for r in bm25_topk(
+            _df(spark, CORPUS), "doc_id", "text", "hash join spark", top_k=10
+        ).collect()
+    }
+    py = bm25_score_py(CORPUS, "hash join spark")
+    assert set(out) == set(py)
+    for i, s in py.items():
+        assert out[i][0] == s, i
+    assert 5 not in out  # no query term → absent
+
+
+def test_rank_order_and_tie_break(spark):
+    rows = bm25_topk(
+        _df(spark, CORPUS), "doc_id", "text", "hash join spark", top_k=10
+    ).collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["score_e6"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # the stuffed doc wins
+    assert rows[0]["doc_id"] == 6
+
+
+def test_rare_term_idf_dominates():
+    docs = {i: "common filler words here" for i in range(1, 10)}
+    docs[1] = "common rare"
+    docs[2] = "common common"  # tf=2 of the common term
+    scores = bm25_score_py(docs, "rare common")
+    assert scores[1] > scores[2]
+
+
+def test_length_normalization():
+    docs = {
+        1: "target " + "pad " * 40,
+        2: "target pad",
+    }
+    scores = bm25_score_py(docs, "target")
+    assert scores[2] > scores[1]
+
+
+def test_empty_query_rejected():
+    with pytest.raises(ValueError, match="no indexable terms"):
+        query_terms("  ;; ")
+
+
+def test_null_and_empty_text_excluded(spark):
+    docs = dict(CORPUS)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()] + [(98, None), (99, "")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["score_e6"]
+        for r in bm25_topk(df, "doc_id", "text", "hash join spark", top_k=20).collect()
+    }
+    assert 98 not in out and 99 not in out
+    # and they don't perturb N/avgdl: scores equal the corpus-only run
+    py = bm25_score_py(docs, "hash join spark")
+    assert out == py
+
+
+def test_top_k_truncates(spark):
+    out = bm25_topk(
+        _df(spark, CORPUS), "doc_id", "text", "hash join spark", top_k=2
+    ).collect()
+    assert len(out) == 2 and out[0]["rnk"] == 1 and out[1]["rnk"] == 2
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_oracle_parity_at_scale(spark, sf):
+    """Cross-engine hash contract at BOTH driver scales — guards the
+    ≤1-ulp ln wiggle the module docstring documents (more docs = more
+    chances for a quantization-boundary flip)."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    sdf = QUERIES["bm25_topk"][0](spark, sf)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from parquet_scan('{sf}/documents.parquet')"
+    )
+    orows = sorted(tuple(r) for r in con.execute(QUERIES["bm25_topk"][1](sf)).fetchall())
+    assert srows == orows
