@@ -79,6 +79,8 @@ HEADLINE = [
     "media_metadata",
     "hll_distinct",
     "bm25_topk",
+    "cms_counts",
+    "asof_lastpurchase",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -89,6 +89,10 @@ def __getattr__(name):
         "hll_estimate": ("logparser_llm_spark.operators.sketch", "hll_estimate"),
         "hll_distinct": ("logparser_llm_spark.operators.sketch", "hll_distinct"),
         "bm25_topk": ("logparser_llm_spark.operators.ranking", "bm25_topk"),
+        "cms_build": ("logparser_llm_spark.operators.sketch", "cms_build"),
+        "cms_merge": ("logparser_llm_spark.operators.sketch", "cms_merge"),
+        "cms_estimate": ("logparser_llm_spark.operators.sketch", "cms_estimate"),
+        "asof_join": ("logparser_llm_spark.operators.joins", "asof_join"),
     }
     if name in api:
         import importlib

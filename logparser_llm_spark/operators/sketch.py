@@ -214,6 +214,161 @@ def hll_estimate_sql(
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation
+#
+# The companion sketch to HLL: "how often does value v occur" over a
+# stream too large to count exactly per value. D independent hash rows
+# of W counters; point estimate = min over rows; union of sketches =
+# element-wise SUM (mergeable map-side, like every aggregate here).
+# Estimates are deterministic OVERcounts (est ≥ true, never under).
+# Unlike HLL there is no floating point anywhere — the cross-engine
+# contract is exact integer equality by construction.
+
+
+def _check_cms(depth: int, width: int) -> None:
+    if not (isinstance(depth, int) and 1 <= depth <= 16):
+        raise ValueError(f"CMS depth must be an int in [1, 16], got {depth!r}")
+    if not (isinstance(width, int) and 2 <= width <= 1 << 24):
+        raise ValueError(f"CMS width must be an int in [2, 2^24], got {width!r}")
+
+
+def _cms_bucket_expr(depth_col, value_col, width: int):
+    """Row-d bucket: md5('<d>|<value>') first 8 hex chars mod width —
+    the repo's shared portable bucket hash (functions/hashing.py) with
+    the depth index salted into the key, giving D independent hash
+    functions from one md5 family."""
+    key = F.concat(depth_col.cast("string"), F.lit("|"), F.col(value_col))
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint"),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build a Count-Min sketch of the ``value_col`` stream: one row
+    per non-empty (depth_i, bucket) with its count. NULL values are
+    skipped. One partially-aggregable groupBy over a depth-expanded
+    stream (D rows per input row; D is 4 — the expansion happens
+    inside the scan stage, never shuffled raw)."""
+    _check_cms(depth, width)
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_i")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col), d)
+        .select(
+            F.col("depth_i").cast("int").alias("depth_i"),
+            _cms_bucket_expr(F.col("depth_i"), value_col, width).alias("bucket"),
+        )
+        .groupBy("depth_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(cms_df: DataFrame) -> DataFrame:
+    """Union of sketches = element-wise counter sum. Feed the unioned
+    row frames of any number of :func:`cms_build` outputs (same
+    depth/width)."""
+    return cms_df.groupBy("depth_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms_df: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the count of every probe value: min over the D
+    rows of the addressed counters (absent counter = 0). Output:
+    ``<value_col>``, ``est_count``. The probe side is expected small
+    (it drives a broadcast-able D-way expansion)."""
+    _check_cms(depth, width)
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_i")
+    addressed = probes.select(F.col(value_col), d).select(
+        value_col,
+        F.col("depth_i").cast("int").alias("depth_i"),
+        _cms_bucket_expr(F.col("depth_i"), value_col, width).alias("bucket"),
+    )
+    return (
+        addressed.join(cms_df, ["depth_i", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )
+
+
+def cms_sql(
+    stream_cte: str,
+    value_expr: str,
+    probes_cte: str,
+    probe_expr: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB rendering of build+estimate: ``stream_cte``/``probes_cte``
+    are CTE names already defined in the enclosing WITH; returns the
+    chained CTE body ``cms_c, cms_e`` where ``cms_e(v, est_count)`` is
+    the estimate relation. Exact integer parity with the Spark path."""
+    _check_cms(depth, width)
+    bucket = (
+        "(('0x' || substr(md5(cast(d.depth_i as varchar) || '|' || {v}), 1, 8))"
+        f"::BIGINT % {width})"
+    )
+    return f"""
+      cms_d as (select unnest(range({depth})) as depth_i),
+      cms_c as (
+        select d.depth_i, {bucket.format(v=value_expr)} as bucket, count(*) as cnt
+        from {stream_cte} cross join cms_d d
+        where {value_expr} is not null
+        group by 1, 2
+      ),
+      cms_e as (
+        select p.{probe_expr} as v,
+               cast(min(coalesce(c.cnt, 0)) as bigint) as est_count
+        from {probes_cte} p
+        cross join cms_d d
+        left join cms_c c
+          on c.depth_i = d.depth_i
+         and c.bucket = {bucket.format(v=f"p.{probe_expr}")}
+        group by 1
+      )
+    """
+
+
+def cms_build_py(values: Iterable[str], *, depth: int = 4, width: int = 1024) -> dict:
+    _check_cms(depth, width)
+    counters: dict[tuple[int, int], int] = {}
+    for v in values:
+        if v is None:
+            continue
+        for d in range(depth):
+            key = f"{d}|{v}".encode()
+            b = int(hashlib.md5(key).hexdigest()[:8], 16) % width
+            counters[(d, b)] = counters.get((d, b), 0) + 1
+    return counters
+
+
+def cms_estimate_py(
+    counters: dict, value: str, *, depth: int = 4, width: int = 1024
+) -> int:
+    _check_cms(depth, width)
+    return min(
+        counters.get(
+            (d, int(hashlib.md5(f"{d}|{value}".encode()).hexdigest()[:8], 16) % width),
+            0,
+        )
+        for d in range(depth)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pure-Python rendering (tests / driver-side spot checks)
 
 

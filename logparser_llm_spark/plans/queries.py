@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from ..config import DEFAULT_CONFIG
 from ..functions.cleaning import (
@@ -2055,6 +2056,142 @@ def q_bm25_topk_sql(sf: str) -> str:
     )
 
 
+# Count-Min probe set: common vocabulary spanning a range of true
+# frequencies plus one absent term (pins the zero/absent-counter path).
+CMS_PROBE_TERMS = [
+    "join", "hash", "row", "batch", "scan", "customer",
+    "spark", "window", "vector", "merge", "stream", "zzzmissing",
+]
+# Width deliberately SMALL (64 counters/row over a ~30-word vocabulary)
+# so collisions actually occur and the registered rows demonstrate the
+# est ≥ exact overcount contract; depth 4. Production default is 1024.
+CMS_QUERY_DEPTH, CMS_QUERY_WIDTH = 4, 64
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (operators/sketch.py): how
+    often does each probe term occur in the documents token stream.
+
+    The mergeable counting sketch for streams too wide to count per
+    value: D·W integer counters, union = element-wise sum (map-side
+    combinable), point estimate = min over D addressed counters —
+    always ≥ the true count, never under. No floating point anywhere:
+    the DuckDB oracle reproduces every counter and estimate EXACTLY.
+    The ``exact_count`` column is the accuracy demonstration (est ≥
+    exact, equal when the term's D counters are collision-free).
+    """
+    from ..operators.ranking import TOKEN_SPLIT_RE
+    from ..operators.sketch import cms_build, cms_estimate
+
+    d = _read(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)).alias("term"))
+        .where(F.col("term") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cms = cms_build(toks, "term", depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBE_TERMS], "term string")
+    est = cms_estimate(
+        cms, probes, "term", depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH
+    )
+    exact = (
+        toks.where(F.col("term").isin(CMS_PROBE_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        "est_count",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("exact_count"),
+    )
+
+
+def q_cms_counts_sql(sf: str) -> str:
+    from ..operators.sketch import cms_sql
+
+    terms_list = ", ".join(f"'{t}'" for t in CMS_PROBE_TERMS)
+    body = cms_sql(
+        "toks", "term", "probes", "term",
+        depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH,
+    )
+    return f"""
+        with toks as (
+          select unnest(list_filter(regexp_split_to_array(lower(text),
+                                                          '[^a-z0-9]+'),
+                                    x -> x <> '')) as term
+          from documents
+        ),
+        probes as (select unnest([{terms_list}]) as term),
+        {body},
+        exact as (
+          select term, count(*) as c from toks
+          where term in ({terms_list}) group by 1
+        )
+        select cms_e.v as term, cms_e.est_count,
+               cast(coalesce(exact.c, 0) as bigint) as exact_count
+        from cms_e left join exact on exact.term = cms_e.v
+    """
+
+
+def q_asof_lastpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): every error event paired with
+    the same user's most recent purchase at-or-before it.
+
+    The merge-shape point-in-time join: one shuffle on user_id, one
+    window sort, running last(purchase) carry — no non-equi join, no
+    row multiplication. The right side is reduced to one row per
+    (user, ts) first (max-struct keeps the highest event_id) so the
+    at-same-ts winner is deterministic. The DuckDB oracle uses the
+    native ASOF LEFT JOIN — an INDEPENDENT algorithm (binary-search
+    probe) validating the window construction, inclusive-tie semantics
+    included."""
+    from ..operators.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("m.event_id").alias("purchase_id"),
+            F.col("m.value").alias("purchase_value"),
+        )
+    )
+    out = asof_join(errors, purchases, ["user_id"], "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        e2(F.col("purchase_value"), "purchase_value_e2"),
+    )
+
+
+def q_asof_lastpurchase_sql(sf: str) -> str:
+    return """
+        with errors as (
+          select event_id, user_id, ts from events where event_type = 'error'
+        ),
+        purchases as (
+          select user_id, ts,
+                 arg_max(event_id, event_id) as purchase_id,
+                 arg_max(value, event_id) as purchase_value
+          from events where event_type = 'purchase'
+          group by user_id, ts
+        )
+        select e.event_id, e.user_id, p.purchase_id,
+               cast(round(p.purchase_value * 100) as bigint)
+                 as purchase_value_e2
+        from errors e
+        asof left join purchases p
+          on e.user_id = p.user_id and e.ts >= p.ts
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2114,6 +2251,11 @@ QUERIES: dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
     # r5: BM25 ranked retrieval, full scoring recompute in DuckDB
     "bm25_topk": (q_bm25_topk, q_bm25_topk_sql),
+    # r5: Count-Min sketch — all-integer, exact cross-engine parity
+    "cms_counts": (q_cms_counts, q_cms_counts_sql),
+    # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
+    # independent algorithm for the same semantics)
+    "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
     # r5: the vote's OUTCOME is analytically pinned on these corpora, so
     # both slot-vote queries carry full oracles (the fixpoint algorithm's
     # gates stay in pytest — see the q_parse_route_agg_slotvote docstring)

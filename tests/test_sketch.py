@@ -163,3 +163,103 @@ def test_one_pass_convenience_matches_two_step(spark):
         0
     ].asDict()
     assert one == two
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+
+
+def test_cms_counters_match_python(spark):
+    from logparser_llm_spark.operators.sketch import cms_build, cms_build_py
+
+    vals = [f"t{i % 17}" for i in range(300)]
+    got = {
+        (r["depth_i"], r["bucket"]): r["cnt"]
+        for r in cms_build(_values_df(spark, vals), "v", depth=4, width=32).collect()
+    }
+    assert got == cms_build_py(vals, depth=4, width=32)
+
+
+def test_cms_estimate_overcounts_never_under(spark):
+    from logparser_llm_spark.operators.sketch import cms_build, cms_estimate
+
+    vals = [f"t{i % 17}" for i in range(300)]
+    truth = {v: vals.count(v) for v in set(vals)}
+    cms = cms_build(_values_df(spark, vals), "v", depth=4, width=16)  # collide hard
+    probes = spark.createDataFrame([(v,) for v in truth], "v string")
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(cms, probes, "v", depth=4, width=16).collect()
+    }
+    assert all(est[v] >= c for v, c in truth.items())
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    from logparser_llm_spark.operators.sketch import cms_build, cms_estimate
+
+    vals = [f"val-{i % 10}" for i in range(200)]
+    cms = cms_build(_values_df(spark, vals), "v", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [(v,) for v in set(vals)] + [("absent",)], "v string"
+    )
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(cms, probes, "v", depth=4, width=4096).collect()
+    }
+    assert est["absent"] == 0
+    assert all(est[v] == 20 for v in set(vals))
+
+
+def test_cms_merge_equals_combined_build(spark):
+    from logparser_llm_spark.operators.sketch import cms_build, cms_merge
+
+    a, b = [f"x{i % 5}" for i in range(60)], [f"y{i % 7}" for i in range(80)]
+    ca = cms_build(_values_df(spark, a), "v", depth=3, width=32)
+    cb = cms_build(_values_df(spark, b), "v", depth=3, width=32)
+    merged = {
+        (r["depth_i"], r["bucket"]): r["cnt"]
+        for r in cms_merge(ca.union(cb)).collect()
+    }
+    whole = {
+        (r["depth_i"], r["bucket"]): r["cnt"]
+        for r in cms_build(_values_df(spark, a + b), "v", depth=3, width=32).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_null_skipped_and_validation(spark):
+    from logparser_llm_spark.operators.sketch import (
+        cms_build, cms_build_py, cms_estimate_py)
+
+    df = spark.createDataFrame([("g", "a"), ("g", None)], "g string, v string")
+    got = {
+        (r["depth_i"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "v", depth=2, width=16).collect()
+    }
+    assert got == cms_build_py(["a"], depth=2, width=16)
+    with pytest.raises(ValueError, match="depth"):
+        cms_build_py([], depth=0)
+    with pytest.raises(ValueError, match="width"):
+        cms_estimate_py({}, "x", depth=2, width=1)
+
+
+def test_cms_registered_probe_invariants():
+    """The registered query's est ≥ exact contract, recomputed in pure
+    Python over the actual sf0.01 corpus (independent of both engines)."""
+    from logparser_llm_spark.operators.sketch import cms_build_py, cms_estimate_py
+    from logparser_llm_spark.plans.queries import (
+        CMS_PROBE_TERMS, CMS_QUERY_DEPTH, CMS_QUERY_WIDTH)
+    import re as _re
+
+    con = duckdb.connect()
+    texts = [
+        t for (t,) in con.execute(
+            "select text from parquet_scan('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+    ]
+    toks = [w for t in texts for w in _re.split("[^a-z0-9]+", t.lower()) if w]
+    cms = cms_build_py(toks, depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH)
+    for term in CMS_PROBE_TERMS:
+        est = cms_estimate_py(cms, term, depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH)
+        assert est >= toks.count(term)
+    assert toks.count("zzzmissing") == 0
