@@ -82,18 +82,13 @@ def _estimate_const(p: int) -> float:
     return _alpha(m) * m * m * float(2**k)
 
 
-def hll_registers(
-    df: DataFrame, key_cols: Sequence[str], value_col: str, p: int = DEFAULT_P
-) -> DataFrame:
-    """Build per-key HLL registers: key_cols + (reg_idx, rho).
+def hll_register_exprs(value_col: str, p: int = DEFAULT_P):
+    """(reg_idx, rho) column expressions over a raw row — the shared
+    building block of the batch groupBy (:func:`hll_registers`) and the
+    streaming windowed aggregation (streaming/incremental.py).
 
     ρ = 1 + number of leading zeros of the low ``60-p`` hash bits
     (``60-p+1`` if they are all zero); reg_idx = the high ``p`` bits.
-    One partially-aggregable groupBy-max; absent (idx) rows ARE the
-    zero registers and are materialized only at estimate time. NULL
-    values are skipped (count-distinct semantics). The value column
-    must already be a string with an engine-agnostic rendering (cast
-    numerics explicitly, as the sampling module requires of its keys).
     """
     _check_p(p)
     wbits = HASH_BITS - p
@@ -108,6 +103,21 @@ def hll_registers(
         .otherwise(F.lit(wbits + 1))
         .cast("int")
     )
+    return idx, rho
+
+
+def hll_registers(
+    df: DataFrame, key_cols: Sequence[str], value_col: str, p: int = DEFAULT_P
+) -> DataFrame:
+    """Build per-key HLL registers: key_cols + (reg_idx, rho).
+
+    One partially-aggregable groupBy-max; absent (idx) rows ARE the
+    zero registers and are materialized only at estimate time. NULL
+    values are skipped (count-distinct semantics). The value column
+    must already be a string with an engine-agnostic rendering (cast
+    numerics explicitly, as the sampling module requires of its keys).
+    """
+    idx, rho = hll_register_exprs(value_col, p)
     return (
         df.where(F.col(value_col).isNotNull())
         .select(*key_cols, idx.alias("reg_idx"), rho.alias("rho"))

@@ -97,3 +97,49 @@ def windowed_template_counts(
             "doc_count",
         )
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming approximate-distinct state: HLL registers per
+    (tumbling window, key), maintained by ONE watermarked streaming
+    aggregation (max per register — monotone, so update-mode re-emits
+    only ever raise a register).
+
+    The REGISTERS are the streaming output on purpose: they are the
+    mergeable form (windows/partitions/days union by element-wise max,
+    operators/sketch.hll_merge), so a sink table of registers rolls up
+    to any coarser window without rescanning the stream. Finish with
+    ``operators.sketch.hll_estimate`` at read time — a cheap driver- or
+    batch-side step over ≤ 2^p rows per (window, key). Per-(window,key)
+    state is ≤ 2^p small integers, bounded regardless of stream length;
+    late rows beyond the watermark are dropped like every windowed
+    aggregate here.
+    """
+    from ..operators.sketch import hll_register_exprs
+
+    idx, rho = hll_register_exprs(value_col, p)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(key_col),
+            idx.alias("reg_idx"),
+        )
+        .agg(F.max(rho).alias("rho"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "reg_idx",
+            "rho",
+        )
+    )

@@ -306,3 +306,69 @@ def test_windowed_counts_streaming_append_drops_late_rows(spark, tmp_path):
     # the 13:00 window is still open (watermark never passed its end) —
     # append mode must not have emitted it
     assert not any(ws == t0 + dt.timedelta(hours=3) for ws, _ in rows)
+
+
+def test_windowed_hll_registers_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL registers per (window, key) across two
+    micro-batches: the latest register values must equal a BATCH
+    hll_registers run over the union, and the finished estimates must
+    match batch hll_estimate (update-mode re-emits are max-monotone, so
+    taking max per register collapses them correctly)."""
+    import datetime as dt
+
+    from logparser_llm_spark.operators.sketch import hll_estimate, hll_registers
+    from logparser_llm_spark.streaming.incremental import windowed_hll_registers
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 3, 1, 10, 0, 0)
+    wave1 = [
+        ("click", f"u{i % 40}", base + dt.timedelta(minutes=i % 50)) for i in range(150)
+    ]
+    wave2 = [
+        ("click", f"v{i % 25}", base + dt.timedelta(minutes=60 + i % 50))
+        for i in range(100)
+    ] + [("view", f"u{i % 15}", base + dt.timedelta(minutes=i % 50)) for i in range(60)]
+    schema = "event_type string, user string, ts timestamp"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    regs = windowed_hll_registers(
+        stream, "event_type", "user", ts_col="ts", window="1 hour",
+        watermark="10 minutes", p=8,
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.sql(
+        "select window_start, event_type, reg_idx, max(rho) as rho "
+        "from hll_regs group by 1, 2, 3"
+    )
+    batch = spark.read.parquet(src)
+    want = hll_registers(
+        batch.select(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+            "user",
+        ),
+        ["window_start", "event_type"],
+        "user",
+        p=8,
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+
+    est_stream = as_set(
+        hll_estimate(got, ["window_start", "event_type"], p=8)
+    )
+    est_batch = as_set(hll_estimate(want, ["window_start", "event_type"], p=8))
+    assert est_stream == est_batch and len(est_batch) >= 3
