@@ -81,6 +81,7 @@ HEADLINE = [
     "bm25_topk",
     "cms_counts",
     "asof_lastpurchase",
+    "purchase_attribution",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

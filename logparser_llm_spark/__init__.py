@@ -93,6 +93,7 @@ def __getattr__(name):
         "cms_merge": ("logparser_llm_spark.operators.sketch", "cms_merge"),
         "cms_estimate": ("logparser_llm_spark.operators.sketch", "cms_estimate"),
         "asof_join": ("logparser_llm_spark.operators.joins", "asof_join"),
+        "interval_join": ("logparser_llm_spark.operators.joins", "interval_join"),
         "windowed_hll_registers": (
             "logparser_llm_spark.streaming.incremental",
             "windowed_hll_registers",

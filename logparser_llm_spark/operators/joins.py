@@ -106,6 +106,93 @@ def asof_join(
     )
 
 
+DEFAULT_MAX_BUCKETS_PER_INTERVAL = 1024
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket_width: int,
+    right_prefix: str = "",
+    max_buckets_per_interval: int = DEFAULT_MAX_BUCKETS_PER_INTERVAL,
+) -> DataFrame:
+    """Range (interval containment) join: every (point, interval) pair
+    with equal keys and ``start ≤ point ≤ end`` — the other non-equi
+    join Spark executes as a row-multiplying nested loop if written
+    naively.
+
+    Grid-bucketed instead: each interval is exploded to the
+    ``bucket_width``-sized grid cells it covers, each point addresses
+    its single cell, and the pair meets in an ordinary EQUI-join on
+    (keys, cell) followed by the exact containment filter. A pair
+    matches in exactly one cell (the point's), so no dedup is needed.
+    Cost: |intervals| × (span/bucket_width + 1) exploded rows — pick
+    ``bucket_width`` near the typical span so that factor stays ~2.
+    An interval spanning more than ``max_buckets_per_interval`` cells
+    raises at execution time (``raise_error``) rather than silently
+    exploding the join — re-bucket or split such outliers upstream.
+
+    Ordering columns must be numeric (epoch seconds/days, not raw
+    timestamps); empty/invalid intervals (start > end) match nothing.
+    Output: all point columns + interval payload columns (with
+    ``right_prefix``; collisions raise, as in :func:`asof_join`).
+    """
+    on = list(on)
+    for c in on + [point_col]:
+        if c not in points.columns:
+            raise ValueError(f"column {c!r} must exist in the points frame")
+    for c in on + [start_col, end_col]:
+        if c not in intervals.columns:
+            raise ValueError(f"column {c!r} must exist in the intervals frame")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    payload = [c for c in intervals.columns if c not in on]
+    clash = {right_prefix + c for c in payload} & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns {sorted(clash)} collide with point columns; "
+            "pass right_prefix"
+        )
+
+    b0 = F.floor(F.col(start_col) / bucket_width).cast("bigint")
+    b1 = F.floor(F.col(end_col) / bucket_width).cast("bigint")
+    span = b1 - b0 + 1
+    cells = F.when(span <= max_buckets_per_interval, F.sequence(b0, b1)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: an interval spans more than "
+                    f"{max_buckets_per_interval} buckets of width "
+                    f"{bucket_width} (span="
+                ),
+                span.cast("string"),
+                F.lit("); re-bucket or split it upstream"),
+            )
+        )
+    )
+    r = intervals.where(F.col(start_col) <= F.col(end_col)).select(
+        *on,
+        F.explode(cells).alias("_cell"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    l = points.select(
+        "*", F.floor(F.col(point_col) / bucket_width).cast("bigint").alias("_cell")
+    )
+    joined = l.join(r, on + ["_cell"]).where(
+        (F.col(f"_r_{start_col}") <= F.col(point_col))
+        & (F.col(point_col) <= F.col(f"_r_{end_col}"))
+    )
+    return joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"_r_{c}").alias(right_prefix + c) for c in payload],
+    )
+
+
 def _ddl(df: DataFrame) -> str:
     return ", ".join(f"{name}: {dtype}" for name, dtype in df.dtypes)
 

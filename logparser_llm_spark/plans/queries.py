@@ -2192,6 +2192,73 @@ def q_asof_lastpurchase_sql(sf: str) -> str:
     """
 
 
+ATTRIBUTION_WINDOW_S = 7200  # clicks within 2h after a purchase
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (operators/joins.py:interval_join): count
+    clicks inside each purchase's 2-hour attribution window, per user.
+
+    The grid-bucketed equi-join shape — each window explodes to ≤2
+    grid cells (bucket_width = window length), each click addresses
+    one cell, containment filtered after an ordinary hash join — where
+    the naive ``BETWEEN`` formulation is a nested-loop row multiplier.
+    The DuckDB oracle runs exactly that naive inequality join (its
+    IEJoin handles it fine at oracle scale), independently validating
+    the bucketing algebra, boundary inclusivity included."""
+    from ..operators.joins import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("w_start"),
+        (F.unix_timestamp("ts") + ATTRIBUTION_WINDOW_S).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("ct")
+    )
+    pairs = interval_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ct",
+        "w_start",
+        "w_end",
+        bucket_width=ATTRIBUTION_WINDOW_S,
+    )
+    counts = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("c"))
+    return purchases.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_clicks"),
+    )
+
+
+def q_purchase_attribution_sql(sf: str) -> str:
+    return f"""
+        with purchases as (
+          select event_id as purchase_id, user_id,
+                 cast(floor(epoch(ts)) as bigint) as w_start
+          from events where event_type = 'purchase'
+        ),
+        clicks as (
+          select user_id, cast(floor(epoch(ts)) as bigint) as ct
+          from events where event_type = 'click'
+        ),
+        m as (
+          select p.purchase_id, count(*) as c
+          from purchases p join clicks c
+            on c.user_id = p.user_id
+           and c.ct between p.w_start and p.w_start + {ATTRIBUTION_WINDOW_S}
+          group by 1
+        )
+        select p.purchase_id, p.user_id,
+               cast(coalesce(m.c, 0) as bigint) as n_clicks
+        from purchases p left join m using (purchase_id)
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2256,6 +2323,8 @@ QUERIES: dict[str, tuple] = {
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
+    # r5: grid-bucketed range join vs the oracle's naive inequality join
+    "purchase_attribution": (q_purchase_attribution, q_purchase_attribution_sql),
     # r5: the vote's OUTCOME is analytically pinned on these corpora, so
     # both slot-vote queries carry full oracles (the fixpoint algorithm's
     # gates stay in pytest — see the q_parse_route_agg_slotvote docstring)

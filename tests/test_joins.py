@@ -127,3 +127,92 @@ def test_plan_is_single_shuffle_no_nested_loop(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     facts = plan_facts(out)
     assert not facts["python_udf"]
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+
+
+def _brute_interval(points, intervals):
+    out = []
+    for k, t, v in points:
+        for kk, s, e, name in intervals:
+            if kk == k and s <= t <= e:
+                out.append((v, name))
+    return sorted(out)
+
+
+def test_interval_join_randomized_vs_brute_force(spark):
+    from logparser_llm_spark.operators.joins import interval_join
+
+    rng = random.Random(23)
+    points = [(rng.randrange(5), rng.randrange(500), f"p{i}") for i in range(200)]
+    intervals = []
+    for i in range(80):
+        s = rng.randrange(500)
+        intervals.append((rng.randrange(5), s, s + rng.randrange(60), f"i{i}"))
+    p_df = _mk(spark, points, "k bigint, t bigint, v string")
+    i_df = _mk(spark, intervals, "k bigint, s bigint, e bigint, name string")
+    for bw in (7, 64, 1000):  # incl. bucket >> span and bucket << span
+        got = sorted(
+            (r["v"], r["name"])
+            for r in interval_join(
+                p_df, i_df, ["k"], "t", "s", "e", bucket_width=bw
+            ).collect()
+        )
+        assert got == _brute_interval(points, intervals), bw
+
+
+def test_interval_join_boundaries_inclusive_and_invalid_dropped(spark):
+    from logparser_llm_spark.operators.joins import interval_join
+
+    p_df = _mk(spark, [(1, 5, "lo"), (1, 9, "hi"), (1, 4, "out")],
+               "k bigint, t bigint, v string")
+    i_df = _mk(spark, [(1, 5, 9, "iv"), (1, 50, 40, "invalid")],
+               "k bigint, s bigint, e bigint, name string")
+    got = sorted(
+        (r["v"], r["name"])
+        for r in interval_join(p_df, i_df, ["k"], "t", "s", "e", bucket_width=4).collect()
+    )
+    assert got == [("hi", "iv"), ("lo", "iv")]
+
+
+def test_interval_join_span_cap_raises(spark):
+    from logparser_llm_spark.operators.joins import interval_join
+
+    p_df = _mk(spark, [(1, 5, "p")], "k bigint, t bigint, v string")
+    i_df = _mk(spark, [(1, 0, 10_000_000, "huge")],
+               "k bigint, s bigint, e bigint, name string")
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(
+            p_df, i_df, ["k"], "t", "s", "e",
+            bucket_width=8, max_buckets_per_interval=10,
+        ).collect()
+
+
+def test_interval_join_validations_and_prefix(spark):
+    from logparser_llm_spark.operators.joins import interval_join
+
+    p_df = _mk(spark, [(1, 5, "p")], "k bigint, t bigint, name string")
+    i_df = _mk(spark, [(1, 0, 9, "iv")], "k bigint, s bigint, e bigint, name string")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(p_df, i_df, ["k"], "t", "s", "e", bucket_width=8)
+    out = interval_join(
+        p_df, i_df, ["k"], "t", "s", "e", bucket_width=8, right_prefix="iv_"
+    ).collect()
+    assert out[0]["iv_name"] == "iv" and out[0]["name"] == "p"
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(p_df, i_df, ["k"], "t", "s", "e", bucket_width=0)
+    with pytest.raises(ValueError, match="must exist"):
+        interval_join(p_df.drop("t"), i_df, ["k"], "t", "s", "e", bucket_width=8)
+
+
+def test_interval_join_plan_is_equi_join_no_nested_loop(spark):
+    from logparser_llm_spark.operators.joins import interval_join
+
+    p_df = _mk(spark, [(1, 5, "p")], "k bigint, t bigint, v string")
+    i_df = _mk(spark, [(1, 0, 9, "iv")], "k bigint, s bigint, e bigint, name string")
+    out = interval_join(p_df, i_df, ["k"], "t", "s", "e", bucket_width=8)
+    plan = physical_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert not plan_facts(out)["python_udf"]
