@@ -114,3 +114,51 @@ def test_jvm_matches_python_on_hypothesis_corpus(spark):
     for r in rows:
         assert r["c"] == clean_text(r["t"]), repr(r["t"])
         assert r["p"] == extract_template(clean_text(r["t"])), repr(r["t"])
+
+
+# ---------------------------------------------------------------------------
+# sketch properties (r5): pure-Python renderings, which the Spark/DuckDB
+# paths are pinned to bit-for-bit elsewhere (test_sketch.py)
+
+short_vals = st.lists(st.text(max_size=12), max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_vals, short_vals)
+def test_hll_union_is_register_max(a, b):
+    from logparser_llm_spark.operators.sketch import hll_registers_py
+
+    ra, rb = hll_registers_py(a, p=6), hll_registers_py(b, p=6)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == hll_registers_py(a + b, p=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_vals)
+def test_hll_registers_are_multiset_insensitive(vals):
+    from logparser_llm_spark.operators.sketch import hll_registers_py
+
+    assert hll_registers_py(vals, p=6) == hll_registers_py(vals * 2, p=6)
+    assert hll_registers_py(vals, p=6) == hll_registers_py(list(reversed(vals)), p=6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(short_vals)
+def test_cms_never_undercounts(vals):
+    from logparser_llm_spark.operators.sketch import cms_build_py, cms_estimate_py
+
+    cms = cms_build_py(vals, depth=3, width=8)  # tiny → heavy collisions
+    for v in set(vals):
+        assert cms_estimate_py(cms, v, depth=3, width=8) >= vals.count(v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(short_vals, short_vals)
+def test_cms_merge_is_counter_sum(a, b):
+    from logparser_llm_spark.operators.sketch import cms_build_py
+
+    ca, cb = cms_build_py(a, depth=3, width=16), cms_build_py(b, depth=3, width=16)
+    merged: dict = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cms_build_py(a + b, depth=3, width=16)
