@@ -82,6 +82,8 @@ HEADLINE = [
     "cms_counts",
     "asof_lastpurchase",
     "purchase_attribution",
+    # round 5 (late): native Layer II audio-payload decode
+    "audio_decode",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -8,8 +8,11 @@ the image half: an ISO BMFF (MP4, ISO/IEC 14496-12) box walker and an
 MPEG audio (MP3, ISO/IEC 11172-3) frame-header walker need no codec
 library — they are pure byte-structure parsing — so stream metadata
 (duration, track layout, codec fourcc, sample counts/rates) is now REAL
-and tested. Only the codec *payload* decode (H.264/AAC macroblocks, MP3
-subband synthesis) remains NotImplementedError-gated, honestly.
+and tested. The audio-PAYLOAD half is closed too: MPEG-1 Layer II
+subband synthesis decodes natively through ``operators/mpeg_audio.py``
+(:func:`decode_mpeg_audio`). Only H.264/AAC macroblock decode and the
+MP3 Layer III pipeline (Huffman/IMDCT) remain
+NotImplementedError-gated, honestly.
 
 Contract shared with the image codecs: corrupt or truncated input raises
 ``ValueError`` (never struct.error/IndexError); structurally valid but
@@ -411,11 +414,48 @@ def parse_mp3(payload: bytes, allow_truncated_tail: bool = False) -> dict:
 
 def decode_mp3_audio(payload: bytes) -> None:
     """PCM decode needs the Layer III pipeline (Huffman, requantize,
-    IMDCT, polyphase synthesis) — honestly gated."""
+    IMDCT, polyphase synthesis) — honestly gated. Layer II payloads DO
+    decode natively: use :func:`decode_mpeg_audio`."""
     raise NotImplementedError(
-        "mp3: audio decode requires a Layer III synthesis pipeline; "
-        "parse_mp3 provides the frame/stream metadata"
+        "mp3: Layer III audio decode requires the Huffman/IMDCT pipeline; "
+        "parse_mp3 provides the frame/stream metadata and "
+        "decode_mpeg_audio PCM-decodes Layer II payloads"
     )
+
+
+def decode_mpeg_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-decode an MPEG audio payload → (pcm (n, nch) float64,
+    sample_rate). Strips a leading ID3v2 tag, then decodes MPEG-1
+    Layer II through the pure-numpy subband codec
+    (operators/mpeg_audio.py). Layer I/III payloads raise
+    NotImplementedError (the honest residual gate); corrupt payloads
+    raise ValueError."""
+    from .mpeg_audio import decode_mp2
+
+    off = 0
+    if payload[:3] == b"ID3":
+        off = _id3v2_size(payload, 0)
+    return decode_mp2(payload[off:])
+
+
+def make_synth_mp2_audio(doc_id: int) -> bytes:
+    """Deterministic REAL Layer II audio for ``doc_id``: a pure tone at
+    the center of subband k = 3 + doc_id % 12 (f = (2k+1)·sr/128) at
+    sr = [44100, 48000, 32000][doc_id % 3], 2 + doc_id % 3 frames,
+    192 kbps mono — so the DECODED stream's dominant subband, sample
+    count, and rate are all closed-form in doc_id (the pinned-oracle
+    pattern of make_synth_mp4/mp3, but here the pin survives a full
+    quantize→pack→parse→dequantize round trip, not just the demux
+    layer)."""
+    from .mpeg_audio import SAMPLES_PER_FRAME, encode_mp2
+
+    doc_id = int(doc_id)
+    sr = _SR[3][doc_id % 3]
+    k = 3 + doc_id % 12
+    n = (2 + doc_id % 3) * SAMPLES_PER_FRAME
+    t = np.arange(n) / sr
+    pcm = 0.6 * np.sin(2.0 * np.pi * ((2 * k + 1) * sr / 128.0) * t)
+    return encode_mp2(pcm, sr, 192)
 
 
 def make_synth_mp3(doc_id: int) -> bytes:
@@ -541,4 +581,63 @@ def media_metadata(
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         _extract, schema=MEDIA_META_SCHEMA
+    )
+
+
+def synth_audio_corpus(
+    df: DataFrame, id_col: str = "doc_id", partitions: int = 32
+) -> DataFrame:
+    """(id) → (id, audio binary) of REAL Layer II streams
+    (make_synth_mp2_audio), distributed with the same single-split
+    guard as synth_media_corpus."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].astype("int64"),
+                    "audio": [make_synth_mp2_audio(int(i)) for i in batch[id_col]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col))
+        .repartition(partitions)
+        .mapInPandas(_gen, schema=f"{id_col} bigint, audio binary")
+    )
+
+
+def audio_decode_stats(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "audio"
+) -> DataFrame:
+    """Full PCM decode of a Layer II binary column → one stats row per
+    payload: (id, sample_rate, nch, n_samples, dominant_subband). The
+    dominant subband is the argmax of mean dequantized subband energy —
+    it depends on the ENTIRE decode path (header parse, bit allocation,
+    scfsi, scalefactors, grouped codes, dequantization), which is what
+    lets a pure-SQL oracle pin it when the corpus is synthesized with
+    closed-form tone placement."""
+    from .mpeg_audio import decode_mp2_subbands
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i, p in zip(batch[id_col], batch[binary_col]):
+                sub, sr, nch = decode_mp2_subbands(bytes(p))
+                energy = (sub**2).mean(axis=(0, 1))
+                rows.append(
+                    (int(i), sr, nch, sub.shape[1] * 32, int(np.argmax(energy)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "nch", "n_samples",
+                         "dominant_subband"],
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        _stats,
+        schema=(
+            f"{id_col} bigint, sample_rate bigint, nch bigint, "
+            "n_samples bigint, dominant_subband bigint"
+        ),
     )

@@ -22,8 +22,11 @@ uncompressed formats are decoded FOR REAL in pure numpy/struct —
 
 MP4/MP3 CONTAINER demux (box walk / frame walk → duration, track
 layout, codec fourcc, sample counts and rates) is real and native in
-``operators/media.py`` (round 5). Remaining codec-PAYLOAD decodes
-(H.264/AAC/MP3 audio, arithmetic/12-bit JPEG, exotic PNG flavors)
+``operators/media.py`` (round 5), and MPEG-1 Layer II audio PAYLOAD
+decode is a real pure-numpy subband codec in
+``operators/mpeg_audio.py`` (round 5, encode + decode). Remaining
+codec-PAYLOAD decodes
+(H.264/AAC/MP3-Layer-III audio, arithmetic/12-bit JPEG, exotic PNG flavors)
 dispatch to PIL/ffmpeg behind an import-try and raise
 ``NotImplementedError`` when the libraries are absent — honestly
 stubbed, never silently faked. The legacy ``fake=True`` path keeps the

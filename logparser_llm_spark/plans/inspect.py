@@ -54,7 +54,7 @@ def _main() -> None:
                  "parse_route_agg_slotvote",
                  # round 5
                  "slotvote_routes", "parse_route_agg_multisplit",
-                 "image_features_agg"]:
+                 "image_features_agg", "audio_decode"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")

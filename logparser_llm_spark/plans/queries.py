@@ -1951,6 +1951,44 @@ def q_media_metadata_sql(sf: str) -> str:
     """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MPEG-1 Layer II PCM decode over a SEEDED audio corpus
+    (operators/mpeg_audio.py — the audio-PAYLOAD half of the r4
+    "MP3/MP4 library-gated" gap, closed natively like JPEG closed the
+    image half): one REAL Layer II stream per documents row
+    (make_synth_mp2_audio, a pure tone centered in subband
+    3 + doc_id % 12), encoded AND entropy-decoded distributed
+    (two chained mapInPandas stages over a pruned id projection, 32-way
+    spread past the single-file sf table), one stats row per payload.
+
+    Full DuckDB oracle via the pinning pattern, one level deeper than
+    media_metadata's demux pin: the reported ``dominant_subband`` is the
+    argmax of DECODED subband energy, so reproducing the closed-form
+    3 + doc_id % 12 requires the whole codec round trip — filterbank
+    analysis, bit allocation, scalefactor/scfsi coding, grouped-code
+    packing, then the decoder's independent parse and dequantization.
+    A bug anywhere in that chain moves energy to the wrong subband (or
+    raises) and breaks the hash."""
+    from ..operators.media import audio_decode_stats, synth_audio_corpus
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return audio_decode_stats(synth_audio_corpus(d, "doc_id"), "doc_id", "audio")
+
+
+def q_audio_decode_sql(sf: str) -> str:
+    return """
+        select doc_id,
+               cast(case doc_id % 3 when 0 then 44100 when 1 then 48000
+                    else 32000 end as bigint) as sample_rate,
+               cast(1 as bigint) as nch,
+               cast((2 + doc_id % 3) * 1152 as bigint) as n_samples,
+               cast(3 + doc_id % 12 as bigint) as dominant_subband
+        from documents
+    """
+
+
 # Precision for the registered HLL query: m = 256 registers (~6.5%
 # expected error). Deliberately SMALL so the zero-register accounting
 # and branch structure are exercised at test-data cardinalities; the
@@ -2313,6 +2351,9 @@ QUERIES: dict[str, tuple] = {
     # r5: native MP4/MP3 container demux, oracle pinned on the
     # closed-form synth metadata (see q_media_metadata docstring)
     "media_metadata": (q_media_metadata, q_media_metadata_sql),
+    # r5: native Layer II PCM decode — the oracle pins the DECODED
+    # dominant subband (see q_audio_decode docstring)
+    "audio_decode": (q_audio_decode, q_audio_decode_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
