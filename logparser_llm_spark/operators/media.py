@@ -426,8 +426,8 @@ def decode_mp3_audio(payload: bytes) -> None:
 def decode_mpeg_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM-decode an MPEG audio payload → (pcm (n, nch) float64,
     sample_rate). Strips a leading ID3v2 tag, then decodes MPEG-1
-    Layer II through the pure-numpy subband codec
-    (operators/mpeg_audio.py). Layer I/III payloads raise
+    Layer I or II through the pure-numpy subband codec
+    (operators/mpeg_audio.py). Layer III payloads raise
     NotImplementedError (the honest residual gate); corrupt payloads
     raise ValueError."""
     from .mpeg_audio import decode_mp2

@@ -1,4 +1,4 @@
-"""MPEG-1 Audio Layer II codec (encode + decode) in pure numpy.
+"""MPEG-1 Audio Layer I + II codec (encode + decode) in pure numpy.
 
 Closes the audio-payload half of the long-standing "MP3/MP4
 library-gated" gap the way operators/jpeg.py closed images: a real,
@@ -56,8 +56,11 @@ SAMPLES_PER_FRAME = 1152
 GRANULES = 12  # × 3 subband samples each
 DELAY = 481  # analysis+synthesis filterbank delay in samples
 
+L1_SAMPLES_PER_FRAME = 384
+
 _SR_V1 = {44100: 0, 48000: 1, 32000: 2}
 _BR_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+_BR_L1 = [0] + [32 * i for i in range(1, 15)]
 
 # scalefactor table B.1 in closed form (index 0..62)
 SCALEFACTORS = 2.0 * np.power(2.0, -np.arange(63) / 3.0)
@@ -134,6 +137,7 @@ def _step_costs(table_key: str) -> tuple[tuple[int, ...], ...]:
 def _quant_ab(levels: int) -> tuple[float, float, int]:
     """Closed-form Table C.2: nbits = bit_length(L), a = L/2^nbits,
     b = a − 1."""
+    levels = int(levels)
     nbits = levels.bit_length()
     a = levels / float(1 << nbits)
     return a, a - 1.0, nbits
@@ -459,6 +463,189 @@ def _encode_frame(rows, table, table_key, sblimit, frame_bytes, header, nch):
     return w.pad_to(frame_bytes), dq
 
 
+def _gather_fields(
+    body: bytes, start_bit: int, widths: list[int], repeats: int
+) -> np.ndarray:
+    """Vectorized bitfield extraction: ``repeats`` repetitions of the
+    fixed ``widths`` slot pattern starting at ``start_bit`` →
+    (repeats, len(widths)) int64. Fields are ≤16 bits, so offset+width
+    always fits the 4-byte big-endian window read per field."""
+    w = np.tile(np.array(widths, dtype=np.int64), repeats)
+    off = np.concatenate([[0], np.cumsum(w)[:-1]]) + start_bit
+    if int(off[-1] + w[-1]) > 8 * len(body):
+        raise ValueError("mpeg audio: frame body truncated mid-field")
+    buf = np.concatenate(
+        [np.frombuffer(body, dtype=np.uint8).astype(np.int64), np.zeros(4, np.int64)]
+    )
+    byte, sh = off >> 3, off & 7
+    word = (
+        (buf[byte] << 24) | (buf[byte + 1] << 16) | (buf[byte + 2] << 8) | buf[byte + 3]
+    )
+    vals = (word >> (32 - w - sh)) & ((1 << w) - 1)
+    return vals.reshape(repeats, len(widths))
+
+
+# ---------------------------------------------------------------------------
+# Layer I (shares the filterbank, quantizer closed forms, heap
+# allocator shape, bit I/O, and the pin surface with Layer II; Layer I
+# is the structurally simpler frame: 384 samples, a 4-bit allocation
+# per subband with nbits = code+1 / levels = 2^nbits − 1, ONE 6-bit
+# scalefactor per allocated subband, 12 ungrouped codes)
+
+
+def encode_mp1(
+    pcm: np.ndarray,
+    sample_rate: int,
+    bitrate_kbps: int = 192,
+    *,
+    return_dequantized: bool = False,
+):
+    """Encode PCM to an MPEG-1 Layer I stream (same conventions and pin
+    surface as :func:`encode_mp2`; input zero-padded to whole
+    384-sample frames)."""
+    if sample_rate not in _SR_V1:
+        raise ValueError(f"sample_rate must be one of {sorted(_SR_V1)}")
+    if bitrate_kbps not in _BR_L1[1:]:
+        raise ValueError(f"bitrate_kbps must be one of {_BR_L1[1:]}")
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ValueError("pcm must be (n,) mono or (n, 1|2)")
+    nch = x.shape[1]
+    if np.max(np.abs(x), initial=0.0) > 2.0:
+        raise ValueError("pcm must be normalized to roughly [-1, 1]")
+
+    nfr = max(1, -(-x.shape[0] // L1_SAMPLES_PER_FRAME))
+    x = np.vstack([x, np.zeros((nfr * L1_SAMPLES_PER_FRAME - x.shape[0], nch))])
+    sub = np.stack([analysis_subbands(x[:, ch]) for ch in range(nch)], axis=0)
+
+    frame_bytes = (12000 * bitrate_kbps // sample_rate) * 4  # 4-byte slots
+    header = (
+        (0x7FF << 21)
+        | (0b11 << 19)  # MPEG-1
+        | (0b11 << 17)  # Layer I
+        | (1 << 16)  # no CRC
+        | (_BR_L1.index(bitrate_kbps) << 12)
+        | (_SR_V1[sample_rate] << 10)
+        | ((0b11 if nch == 1 else 0b00) << 6)
+    )
+    out = bytearray()
+    dq_frames = []
+    for f in range(nfr):
+        rows = sub[:, f * 12 : (f + 1) * 12, :]  # (nch, 12, 32)
+        frame, dq = _encode_frame_l1(rows, frame_bytes, header, nch)
+        out += frame
+        if return_dequantized:
+            dq_frames.append(dq)
+    if return_dequantized:
+        return bytes(out), np.concatenate(dq_frames, axis=1)
+    return bytes(out)
+
+
+def _encode_frame_l1(rows, frame_bytes, header, nch):
+    maxabs = np.abs(rows).max(axis=1)  # (nch, 32)
+    scf = _pick_scf(maxabs)  # (nch, 32)
+
+    alloc = np.zeros((nch, 32), dtype=np.int64)
+    budget = frame_bytes * 8 - 32 - 4 * 32 * nch
+    power = (rows**2).mean(axis=1).tolist()
+    heap = [(-power[ch][sb], sb, ch) for ch in range(nch) for sb in range(32)]
+    heapq.heapify(heap)
+    while heap:
+        _, sb, ch = heapq.heappop(heap)
+        idx = int(alloc[ch, sb])
+        if idx >= 14:
+            continue
+        cost = (12 * 2 + 6) if idx == 0 else 12
+        if cost > budget:
+            continue
+        budget -= cost
+        alloc[ch, sb] = idx + 1
+        lv = (1 << (idx + 2)) - 1  # levels at the NEW index
+        heapq.heappush(heap, (-power[ch][sb] / (lv * lv), sb, ch))
+
+    dq = np.zeros((nch, 12, 32))
+    codes_all = np.zeros((nch, 12, 32), dtype=np.int64)
+    for ch in range(nch):
+        for sb in range(32):
+            idx = alloc[ch, sb]
+            if not idx:
+                continue
+            levels = (1 << (idx + 1)) - 1
+            a, b, nbits = _quant_ab(levels)
+            sf = SCALEFACTORS[scf[ch, sb]]
+            d = (rows[ch, :, sb] / sf) * a + b
+            c = np.clip(
+                np.floor((d + 1.0) * 0.5 * (1 << nbits)).astype(np.int64),
+                0,
+                levels - 1,
+            )
+            codes_all[ch, :, sb] = c
+            dd = (c + 0.5) * 2.0 / (1 << nbits) - 1.0
+            dq[ch, :, sb] = (dd - b) / a * sf
+
+    w = _BitWriter()
+    w.write(header, 32)
+    for sb in range(32):
+        for ch in range(nch):
+            w.write(int(alloc[ch, sb]), 4)
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                w.write(int(scf[ch, sb]), 6)
+    code_list = codes_all.tolist()
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                idx = alloc[ch, sb]
+                if idx:
+                    w.write(code_list[ch][s][sb], int(idx) + 1)
+    return w.pad_to(frame_bytes), dq
+
+
+def _decode_frame_l1(body: bytes, hdr: dict) -> np.ndarray:
+    nch = hdr["nch"]
+    r = _BitReader(body)
+    alloc = np.zeros((nch, 32), dtype=np.int64)
+    for sb in range(32):
+        for ch in range(nch):
+            idx = r.read(4)
+            if idx == 15:
+                raise ValueError("mpeg audio: forbidden Layer I allocation code 15")
+            alloc[ch, sb] = idx
+    scf = np.zeros((nch, 32), dtype=np.int64)
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                s = r.read(6)
+                if s > 62:
+                    raise ValueError("mpeg audio: scalefactor index out of range")
+                scf[ch, sb] = s
+    pattern = []
+    widths = []
+    for sb in range(32):
+        for ch in range(nch):
+            idx = int(alloc[ch, sb])
+            if idx:
+                pattern.append((ch, sb, len(widths), idx))
+                widths.append(idx + 1)
+    out = np.zeros((nch, 12, 32))
+    if not pattern:
+        return out
+    vals = _gather_fields(body, r.pos, widths, 12)
+    for ch, sb, p, idx in pattern:
+        levels = (1 << (idx + 1)) - 1
+        codes = vals[:, p]
+        if np.any(codes >= levels):
+            raise ValueError("mpeg audio: sample code out of range")
+        a, b, nbits = _quant_ab(levels)
+        sf = SCALEFACTORS[scf[ch, sb]]
+        d = (codes + 0.5) * 2.0 / (1 << nbits) - 1.0
+        out[ch, :, sb] = (d - b) / a * sf
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Layer II decoder
 
@@ -480,36 +667,43 @@ def _parse_header(data: bytes, off: int) -> dict:
         raise ValueError("mpeg audio: free-format/reserved header fields")
     mode = (h >> 6) & 3
     sr = [44100, 48000, 32000][sr_idx]
-    if layer != 2:
+    if layer == 3:
         raise NotImplementedError(
-            f"layer {layer} payload decode not implemented (Layer III needs "
-            "the Huffman/IMDCT pipeline; this module decodes Layer II)"
+            "layer 3 payload decode not implemented (Layer III needs "
+            "the Huffman/IMDCT pipeline; this module decodes Layers I and II)"
         )
-    br = _BR_L2[br_idx]
+    pad = (h >> 9) & 1
+    if layer == 1:
+        br = _BR_L1[br_idx]
+        frame_bytes = (12000 * br // sr + pad) * 4
+    else:
+        br = _BR_L2[br_idx]
+        frame_bytes = (144000 * br) // sr + pad
     return {
         "layer": layer,
         "bitrate_kbps": br,
         "sample_rate": sr,
         "nch": 1 if mode == 0b11 else 2,
-        "padding": (h >> 9) & 1,
-        "frame_bytes": (144000 * br) // sr + ((h >> 9) & 1),
+        "padding": pad,
+        "frame_bytes": frame_bytes,
         "crc": ((h >> 16) & 1) == 0,
     }
 
 
 def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MPEG-1 Layer II stream → (pcm (n, nch) float64,
+    """Decode an MPEG-1 Layer I or II stream → (pcm (n, nch) float64,
     sample_rate). Raises ValueError on corrupt streams and
-    NotImplementedError for Layer I/III payloads."""
+    NotImplementedError for Layer III payloads."""
     sub, sr, nch = decode_mp2_subbands(data)
     pcm = np.stack([synthesis_pcm(sub[ch]) for ch in range(nch)], axis=1)
     return pcm, sr
 
 
 def decode_mp2_subbands(data: bytes) -> tuple[np.ndarray, int, int]:
-    """Entropy-decode to DEQUANTIZED subband samples (nch, rows, 32)
-    without synthesis — the bit-exact pin surface for tests (the
-    encoder's quantize→dequantize values must reproduce exactly)."""
+    """Entropy-decode a Layer I or II stream to DEQUANTIZED subband
+    samples (nch, rows, 32) without synthesis — the bit-exact pin
+    surface for tests (the encoder's quantize→dequantize values must
+    reproduce exactly)."""
     if len(data) < 4:
         raise ValueError("mpeg audio: stream shorter than one header")
     off = 0
@@ -521,10 +715,15 @@ def decode_mp2_subbands(data: bytes) -> tuple[np.ndarray, int, int]:
         hdr = _parse_header(data, off)
         if meta is None:
             meta = hdr
+        elif hdr["layer"] != meta["layer"]:
+            raise ValueError("mpeg audio: mixed-layer stream")
         if off + hdr["frame_bytes"] > len(data):
             raise ValueError("mpeg audio: truncated final frame")
         body = data[off + 4 + (2 if hdr["crc"] else 0) : off + hdr["frame_bytes"]]
-        frames.append(_decode_frame(body, hdr))
+        frames.append(
+            _decode_frame_l1(body, hdr) if hdr["layer"] == 1
+            else _decode_frame(body, hdr)
+        )
         off += hdr["frame_bytes"]
     sub = np.concatenate(frames, axis=1)
     return sub, meta["sample_rate"], meta["nch"]
@@ -569,27 +768,47 @@ def _decode_frame(body: bytes, hdr: dict) -> np.ndarray:
             else:
                 scf[ch, 0, sb] = tx[0]
                 scf[ch, 1, sb] = scf[ch, 2, sb] = tx[1]
+    # The sample section is FIXED-WIDTH once the allocation is known
+    # (Layer II has no Huffman), and the per-granule slot pattern is
+    # identical across all 12 granules — so the whole section is one
+    # static bit layout: compute every field's offset, gather them all
+    # with one vectorized extraction, then dequantize per (ch, sb)
+    # with the same IEEE float-op order the encoder's pin uses.
+    pattern = []  # (ch, sb, slot_pos, grouped, levels) per allocated cell
+    widths = []
+    for sb in range(sblimit):
+        for ch in range(nch):
+            idx = alloc[ch, sb]
+            if not idx:
+                continue
+            levels = table[sb][1][idx]
+            grouped, bits = _code_bits(levels)
+            pattern.append((ch, sb, len(widths), grouped, levels))
+            if grouped:
+                widths.append(bits)
+            else:
+                widths.extend([bits // 3] * 3)
+
     out = np.zeros((nch, 36, 32))
-    for gr in range(GRANULES):
-        for sb in range(sblimit):
-            for ch in range(nch):
-                idx = alloc[ch, sb]
-                if not idx:
-                    continue
-                levels = table[sb][1][idx]
-                a, b, nbits = _quant_ab(levels)
-                grouped, bits = _code_bits(levels)
-                if grouped:
-                    g = r.read(bits)
-                    codes = [g % levels, (g // levels) % levels, g // (levels * levels)]
-                    if codes[2] >= levels:
-                        raise ValueError("mpeg audio: grouped code out of range")
-                else:
-                    codes = [r.read(nbits) for _ in range(3)]
-                    if any(c >= levels for c in codes):
-                        raise ValueError("mpeg audio: sample code out of range")
-                sf = SCALEFACTORS[scf[ch, gr // 4, sb]]
-                for k, c in enumerate(codes):
-                    d = (c + 0.5) * 2.0 / (1 << nbits) - 1.0
-                    out[ch, gr * 3 + k, sb] = (d - b) / a * sf
+    if not pattern:
+        return out
+    vals = _gather_fields(body, r.pos, widths, GRANULES)
+
+    part_sf_row = np.repeat(np.arange(3), 4)  # granule → scf part
+    for ch, sb, p, grouped, levels in pattern:
+        if grouped:
+            g = vals[:, p]
+            codes = np.stack(
+                [g % levels, (g // levels) % levels, g // (levels * levels)], axis=1
+            )
+            if np.any(codes[:, 2] >= levels):
+                raise ValueError("mpeg audio: grouped code out of range")
+        else:
+            codes = vals[:, p : p + 3]
+            if np.any(codes >= levels):
+                raise ValueError("mpeg audio: sample code out of range")
+        a, b, nbits = _quant_ab(levels)
+        sf = SCALEFACTORS[scf[ch, part_sf_row, sb]]  # (12,)
+        d = (codes + 0.5) * 2.0 / (1 << nbits) - 1.0
+        out[ch, :, sb] = ((d - b) / a * sf[:, None]).reshape(36)
     return out

@@ -17,11 +17,13 @@ from logparser_llm_spark.operators.media import (
 )
 from logparser_llm_spark.operators.mpeg_audio import (
     DELAY,
+    L1_SAMPLES_PER_FRAME,
     SAMPLES_PER_FRAME,
     _scfsi_of,
     analysis_subbands,
     decode_mp2,
     decode_mp2_subbands,
+    encode_mp1,
     encode_mp2,
     synthesis_pcm,
 )
@@ -117,6 +119,56 @@ def test_scfsi_exercised_on_varying_signal():
     stream, dq = encode_mp2(x, 44100, 192, return_dequantized=True)
     sub, *_ = decode_mp2_subbands(stream)
     assert np.array_equal(sub, dq)
+
+
+@pytest.mark.parametrize("sr,br", [(44100, 192), (48000, 384), (32000, 96)])
+def test_layer1_pin_surface_bit_exact(sr, br):
+    n = L1_SAMPLES_PER_FRAME * 5
+    x = _mix(n, sr)
+    stream, dq = encode_mp1(x, sr, br, return_dequantized=True)
+    sub, sr2, nch = decode_mp2_subbands(stream)
+    assert (sr2, nch) == (sr, 1)
+    assert sub.shape == dq.shape == (1, 60, 32)
+    assert np.array_equal(sub, dq)
+
+
+def test_layer1_stereo_round_trip():
+    n = L1_SAMPLES_PER_FRAME * 6
+    x = _mix(n, 44100)
+    xs = np.stack([x, np.roll(x, 50)], axis=1)
+    stream, dq = encode_mp1(xs, 44100, 384, return_dequantized=True)
+    sub, _, nch = decode_mp2_subbands(stream)
+    assert nch == 2
+    assert np.array_equal(sub, dq)
+    pcm, sr = decode_mp2(stream)
+    assert sr == 44100
+    assert _snr(xs[: n - DELAY, 0], pcm[DELAY:n, 0]) > 15.0
+
+
+def test_layer1_frame_walker_interop():
+    n = L1_SAMPLES_PER_FRAME * 3
+    m = parse_mp3(encode_mp1(_mix(n, 44100), 44100, 256))
+    assert (m["layer"], m["version"]) == (1, "MPEG1")
+    assert m["n_frames"] == 3
+    assert m["n_samples"] == n
+    assert m["cbr"] and m["bitrate_kbps"] == 256
+
+
+def test_layer1_corrupt_contracts():
+    stream = encode_mp1(_mix(L1_SAMPLES_PER_FRAME, 44100), 44100, 192)
+    with pytest.raises(ValueError):
+        decode_mp2(stream[:-3])
+    bad = bytearray(stream)
+    bad[4] |= 0xF0  # first allocation nibble = forbidden code 15
+    with pytest.raises(ValueError):
+        decode_mp2(bytes(bad))
+
+
+def test_mixed_layer_stream_rejected():
+    s1 = encode_mp1(_mix(L1_SAMPLES_PER_FRAME, 44100), 44100, 192)
+    s2 = encode_mp2(_mix(SAMPLES_PER_FRAME, 44100), 44100, 192)
+    with pytest.raises(ValueError):
+        decode_mp2_subbands(s1 + s2)
 
 
 def test_corrupt_contracts():
