@@ -82,8 +82,11 @@ HEADLINE = [
     "cms_counts",
     "asof_lastpurchase",
     "purchase_attribution",
-    # round 5 (late): native Layer II audio-payload decode
+    # round 5 (late): native Layer II audio-payload decode, link-graph
+    # PageRank, URL canonicalization
     "audio_decode",
+    "pagerank",
+    "url_canonicalize",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -93,6 +96,7 @@ LARGE_RESULT = {
     "grok_parse", "pii_redact", "repetition_signals",
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
+    "pagerank", "url_canonicalize",
 }
 
 

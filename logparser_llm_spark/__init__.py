@@ -84,11 +84,16 @@ def __getattr__(name):
         "parse_mp3": ("logparser_llm_spark.operators.media", "parse_mp3"),
         "media_metadata": ("logparser_llm_spark.operators.media", "media_metadata"),
         "synth_media_corpus": ("logparser_llm_spark.operators.media", "synth_media_corpus"),
+        "encode_mp1": ("logparser_llm_spark.operators.mpeg_audio", "encode_mp1"),
         "encode_mp2": ("logparser_llm_spark.operators.mpeg_audio", "encode_mp2"),
         "decode_mp2": ("logparser_llm_spark.operators.mpeg_audio", "decode_mp2"),
         "decode_mpeg_audio": ("logparser_llm_spark.operators.media", "decode_mpeg_audio"),
         "audio_decode_stats": ("logparser_llm_spark.operators.media", "audio_decode_stats"),
         "synth_audio_corpus": ("logparser_llm_spark.operators.media", "synth_audio_corpus"),
+        "pagerank_integer": ("logparser_llm_spark.operators.graph", "pagerank_integer"),
+        "canonicalize_url": ("logparser_llm_spark.functions.web", "canonicalize_url"),
+        "host_of": ("logparser_llm_spark.functions.web", "host_of"),
+        "registrable_domain": ("logparser_llm_spark.functions.web", "registrable_domain"),
         "hll_registers": ("logparser_llm_spark.operators.sketch", "hll_registers"),
         "hll_merge": ("logparser_llm_spark.operators.sketch", "hll_merge"),
         "hll_estimate": ("logparser_llm_spark.operators.sketch", "hll_estimate"),

@@ -1989,6 +1989,125 @@ def q_audio_decode_sql(sf: str) -> str:
     """
 
 
+PAGERANK_ITERATIONS = 4
+
+
+def _pagerank_edges_cte() -> str:
+    """DuckDB edge generator mirroring q_pagerank's Spark-side synth:
+    node u links to (u·7 + 3j + 1) mod N for j = 0..(u mod 3), so every
+    page has 1-3 deterministic out-links and outdeg is closed-form."""
+    return """
+        select d.doc_id as src,
+               (d.doc_id * 7 + 3 * j.j + 1)
+                 % (select count(*) from documents) as dst,
+               1 + d.doc_id % 3 as outdeg
+        from documents d, generate_series(0, 2) as j(j)
+        where j.j <= d.doc_id % 3
+    """
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators/graph.py) over a SEEDED
+    link graph on the documents table: node u links to
+    (u·7 + 3j + 1) mod N for j = 0..(u mod 3). Four damped iterations
+    (d = 85/100, scale 10⁹) entirely in int64 — per-edge contributions
+    are floor divisions and per-node inflow is an integer sum, so the
+    result is bit-exact under any partitioning and any engine: the
+    DuckDB oracle unrolls the same four iterations as CTEs
+    (graph.pagerank_oracle_sql, generated by the same module so the two
+    formulations cannot drift) and the driver hash must match exactly —
+    no tolerance, unlike float PageRank where distributed sum order
+    makes exact comparison impossible."""
+    from ..operators.graph import pagerank_integer
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 7 + F.col("j") * 3 + 1) % F.lit(n)).alias("dst"),
+        )
+    )
+    ranks = pagerank_integer(edges, nodes=d, iterations=PAGERANK_ITERATIONS)
+    return ranks.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("pr").cast("bigint").alias("pr"),
+    )
+
+
+def q_pagerank_sql(sf: str) -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(
+        "documents", "doc_id", _pagerank_edges_cte(),
+        iterations=PAGERANK_ITERATIONS,
+    )
+    return f"select node as doc_id, pr from ({inner})"
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/web.py) over SEEDED messy crawl
+    URLs: each documents row gets a deterministic URL whose spelling
+    varies by doc_id — upper/lower scheme (mod 2), upper/lower host
+    (mod 3), explicit :443 default port (mod 4), utm tracking params
+    (mod 2), fragment (mod 5) — while the canonical form is the SAME
+    closed-form string for every variation class. The Spark side runs
+    the real canonicalizer chain (trim, case-fold scheme+authority
+    only, default-port strip, fragment strip, tracking-param removal
+    with separator tidy-up) plus host/registrable-domain extraction;
+    the DuckDB oracle derives the expected canonical string
+    arithmetically from (doc_id, source) — so any regex-chain bug on
+    any variation class breaks the hash. Adversarial single-URL cases
+    (multipart ccTLD domains, userinfo, schemeless inputs) are pinned
+    in tests/test_web.py."""
+    from ..functions.web import canonicalize_url, host_of, registrable_domain
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        sid,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), sid, F.lit("&utm_campaign=x")),
+        ).otherwise(F.concat(F.lit("?id="), sid)),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_url(messy)
+    host = host_of(canon)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        canon.alias("canon_url"),
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
+    )
+
+
+def q_url_canonicalize_sql(sf: str) -> str:
+    return """
+        select doc_id,
+               'https://' || source || '.example.com/Articles/'
+                 || cast(doc_id as varchar) || '?id=' || cast(doc_id as varchar)
+                 as canon_url,
+               source || '.example.com' as host,
+               'example.com' as domain
+        from documents
+    """
+
+
 # Precision for the registered HLL query: m = 256 registers (~6.5%
 # expected error). Deliberately SMALL so the zero-register accounting
 # and branch structure are exercised at test-data cardinalities; the
@@ -2354,6 +2473,12 @@ QUERIES: dict[str, tuple] = {
     # r5: native Layer II PCM decode — the oracle pins the DECODED
     # dominant subband (see q_audio_decode docstring)
     "audio_decode": (q_audio_decode, q_audio_decode_sql),
+    # r5: integer-arithmetic PageRank — bit-exact cross-engine, oracle
+    # unrolled by the same module (see q_pagerank docstring)
+    "pagerank": (q_pagerank, q_pagerank_sql),
+    # r5: URL canonicalization over seeded messy URLs — oracle derives
+    # the expected canonical string arithmetically
+    "url_canonicalize": (q_url_canonicalize, q_url_canonicalize_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
