@@ -87,6 +87,7 @@ HEADLINE = [
     "audio_decode",
     "pagerank",
     "url_canonicalize",
+    "html_extract",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -96,7 +97,7 @@ LARGE_RESULT = {
     "grok_parse", "pii_redact", "repetition_signals",
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
-    "pagerank", "url_canonicalize",
+    "pagerank", "url_canonicalize", "html_extract",
 }
 
 

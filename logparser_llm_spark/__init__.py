@@ -91,6 +91,10 @@ def __getattr__(name):
         "audio_decode_stats": ("logparser_llm_spark.operators.media", "audio_decode_stats"),
         "synth_audio_corpus": ("logparser_llm_spark.operators.media", "synth_audio_corpus"),
         "pagerank_integer": ("logparser_llm_spark.operators.graph", "pagerank_integer"),
+        "html_to_text": ("logparser_llm_spark.functions.html", "html_to_text"),
+        "html_title": ("logparser_llm_spark.functions.html", "html_title"),
+        "html_links": ("logparser_llm_spark.functions.html", "html_links"),
+        "html_meta": ("logparser_llm_spark.functions.html", "html_meta"),
         "canonicalize_url": ("logparser_llm_spark.functions.web", "canonicalize_url"),
         "host_of": ("logparser_llm_spark.functions.web", "host_of"),
         "registrable_domain": ("logparser_llm_spark.functions.web", "registrable_domain"),

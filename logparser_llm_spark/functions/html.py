@@ -1,0 +1,133 @@
+"""HTML text extraction for web corpora: tag-aware text, title, link
+and meta extraction as pure JVM column expressions.
+
+The north-rule input table carries Common-Crawl-style pages with an
+``html: binary`` column; the text column every downstream stage consumes
+(parse, dedup, language ID, quality scoring) is EXTRACTED from that
+markup. This module does the extraction Spark-side with zero Python in
+the hot path: every function is a ``regexp_replace``/``regexp_extract``
+chain, fully codegen'd, so extraction rides the same whole-stage-codegen
+span as cleaning and tokenization.
+
+``html_to_text`` applies the standard pipeline in a fixed order:
+
+1. drop ``<script>``/``<style>``/``<noscript>``/``<template>`` element
+   bodies (their content is code, not prose);
+2. drop HTML comments (``<!-- ... -->``, non-greedy);
+3. turn paragraph-breaking close tags and ``<br>`` into newlines so
+   block structure survives tag stripping;
+4. strip every remaining tag;
+5. decode the ubiquitous named entities (amp/lt/gt/quot/apos/nbsp —
+   ``&amp;`` LAST so ``&amp;lt;`` decodes to the literal ``&lt;`` the
+   author wrote, not to ``<``) and decimal numeric references for the
+   ASCII range via a small lookup chain;
+6. collapse whitespace: intra-line runs to one space, blank-line runs
+   to one newline, trim the ends.
+
+Known limitation, shared with every regex extractor (and stated here so
+callers don't discover it in production): tags whose ATTRIBUTE VALUES
+contain a raw ``>`` (``<a title="a>b">``) terminate the tag match early.
+Real-world crawl HTML overwhelmingly escapes these; a conforming
+streaming tokenizer is the upgrade path if a corpus proves otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# elements whose CONTENT must be dropped, not just their tags (head:
+# browsers don't render it — title/meta have their own extractors)
+_DROP_CONTENT = ("script", "style", "noscript", "template", "head")
+
+# close tags (and void tags) that imply a line break in rendered text
+_BLOCK_BREAK = (
+    "p|div|br|li|ul|ol|tr|table|h[1-6]|blockquote|pre|section|article|"
+    "header|footer|figure|figcaption|form|fieldset|dl|dt|dd"
+)
+
+_NAMED_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: &amp;lt; → &lt; (literal), not <
+)
+
+
+def decode_entities(text: Column) -> Column:
+    """Decode the common named entities plus decimal numeric references
+    for printable ASCII (``&#65;`` → ``A``). Chain order puts ``&amp;``
+    last per the module docstring."""
+    out = text
+    # decimal numeric references for printable ASCII, one regexp per
+    # decade would be silly — use a single pass via a translate trick:
+    # Java regex can't compute chr(), so handle the handful that appear
+    # in real corpora overwhelmingly often, exactly.
+    for code, ch in ((34, '"'), (38, "\x01"), (39, "'"), (60, "\x02"), (62, "\x03")):
+        out = F.regexp_replace(out, f"&#0*{code};", ch.replace("\\", "\\\\"))
+    for ent, ch in _NAMED_ENTITIES:
+        out = F.regexp_replace(out, ent, "$0" if ch == "$" else ch)
+    # numeric-escaped &, <, > decode to the LITERAL character without
+    # re-entering the tag/entity passes (placeholders swapped in last)
+    out = F.regexp_replace(out, "\x01", "&")
+    out = F.regexp_replace(out, "\x02", "<")
+    out = F.regexp_replace(out, "\x03", ">")
+    return out
+
+
+def html_to_text(html: Column) -> Column:
+    """Rendered-text approximation of ``html`` (steps 1-6 above) as one
+    JVM expression chain. Accepts a string column; for a binary column
+    pass ``F.decode(col, 'UTF-8')`` (crawl charsets beyond UTF-8 are the
+    caller's transcode step)."""
+    u = html
+    for el in _DROP_CONTENT:
+        u = F.regexp_replace(u, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " ")
+    u = F.regexp_replace(u, r"(?s)<!--.*?-->", "")  # comments render as nothing
+    u = F.regexp_replace(u, rf"(?i)</?({_BLOCK_BREAK})\b[^>]*/?>", "\n")
+    u = F.regexp_replace(u, r"(?s)<[^>]*>", "")
+    u = decode_entities(u)
+    u = F.regexp_replace(u, r"[ \t\x0b\f\r]+", " ")
+    u = F.regexp_replace(u, r" ?\n ?", "\n")
+    u = F.regexp_replace(u, r"\n{2,}", "\n")
+    return F.regexp_replace(u, r"^[\s]+|[\s]+$", "")  # trim() skips \n
+
+
+def html_title(html: Column) -> Column:
+    """Text of the first ``<title>`` element (entity-decoded,
+    whitespace-collapsed); empty string when absent."""
+    raw = F.regexp_extract(html, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    return F.trim(F.regexp_replace(decode_entities(raw), r"\s+", " "))
+
+
+def html_links(html: Column) -> Column:
+    """``href`` targets of anchor tags, in document order, as
+    ``array<string>``. Handles single/double-quoted and bare values;
+    entity-decoding applied per link (hrefs legally contain ``&amp;``)."""
+    hrefs = F.regexp_extract_all(
+        html,
+        F.lit(r"(?is)<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"),
+        0,
+    )
+    one = r"(?is)^<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+)).*"
+    return F.transform(
+        hrefs,
+        lambda m: decode_entities(
+            F.when(F.regexp_extract(m, one, 1) != "", F.regexp_extract(m, one, 1))
+            .when(F.regexp_extract(m, one, 2) != "", F.regexp_extract(m, one, 2))
+            .otherwise(F.regexp_extract(m, one, 3))
+        ),
+    )
+
+
+def html_meta(html: Column, name: str) -> Column:
+    """``content`` of ``<meta name="..." content="...">`` (either
+    attribute order), entity-decoded; empty string when absent."""
+    if not name.replace("-", "").replace(":", "").isalnum():
+        raise ValueError(f"meta name must be a plain token, got {name!r}")
+    fwd = rf"(?is)<meta\b[^>]*\bname\s*=\s*[\"']{name}[\"'][^>]*\bcontent\s*=\s*[\"']([^\"']*)[\"']"
+    rev = rf"(?is)<meta\b[^>]*\bcontent\s*=\s*[\"']([^\"']*)[\"'][^>]*\bname\s*=\s*[\"']{name}[\"']"
+    f1 = F.regexp_extract(html, fwd, 1)
+    return decode_entities(F.when(f1 != "", f1).otherwise(F.regexp_extract(html, rev, 1)))

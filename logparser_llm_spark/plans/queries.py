@@ -2108,6 +2108,115 @@ def q_url_canonicalize_sql(sf: str) -> str:
     """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction (functions/html.py) over SEEDED markup: each
+    documents row is rendered into a full page — head with entity-bearing
+    title and a meta tag whose attribute order flips by doc_id, body with
+    a comment (mod 4), a script block (mod 2) and a style block (mod 3)
+    that must NOT leak into the text, the doc text in a <p>, and
+    (doc_id mod 3 + 1) anchor links whose hrefs carry an &amp; entity.
+    The Spark side runs the real extractor chain (content-drop, block
+    breaks, tag strip, entity decode, whitespace collapse) plus title /
+    links / meta extraction; the DuckDB oracle derives every expected
+    value arithmetically from (doc_id, text, source) — the rendered text,
+    link count, first decoded href and meta content are all closed-form —
+    so a regex bug on any variation class breaks the hash. Single-page
+    adversarial pins (uppercase tags, &amp;lt; double-escape, bare hrefs,
+    attribute-order-flipped meta) live in tests/test_html.py."""
+    from ..functions.html import html_links, html_meta, html_title, html_to_text
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sid = F.col("doc_id").cast("string")
+    amp = F.when(F.col("doc_id") % 2 == 0, F.lit("&#38;")).otherwise(F.lit("&amp;"))
+    meta = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<meta name="author" content="writer '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta content="writer '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('" name="author">'),
+        )
+    )
+    links = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 3),
+            lambda j: F.concat(
+                F.lit('<div><a href="https://'),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                sid,
+                F.lit("?a=1&amp;j="),
+                j.cast("string"),
+                F.lit('">more</a></div>'),
+            ),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        amp,
+        F.lit(" "),
+        sid,
+        F.lit("</title>"),
+        meta,
+        F.lit("</head><body>"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("<!-- hidden <b>c</b> -->")).otherwise(
+            F.lit("")
+        ),
+        F.lit("<h1>Doc "),
+        amp,
+        F.lit(" "),
+        sid,
+        F.lit("</h1>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<SCRIPT>var x = "<p>not text</p>";</SCRIPT>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("<style>body { color: red; }</style>")
+        ).otherwise(F.lit("")),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><p>end of "),
+        F.col("source"),
+        F.lit("</p>"),
+        links,
+        F.lit("</body></html>"),
+    )
+    html = F.encode(page, "UTF-8")  # the input_hint column is binary
+    text_col = F.decode(html, "UTF-8")
+    lk = html_links(text_col)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        html_title(text_col).alias("title"),
+        html_to_text(text_col).alias("body_text"),
+        F.size(lk).cast("bigint").alias("n_links"),
+        F.element_at(lk, 1).alias("first_link"),
+        html_meta(text_col, "author").alias("author"),
+    )
+
+
+def q_html_extract_sql(sf: str) -> str:
+    return """
+        select doc_id,
+               'Doc & ' || cast(doc_id as varchar) as title,
+               'Doc & ' || cast(doc_id as varchar) || chr(10) || text
+                 || chr(10) || 'end of ' || source
+                 || repeat(chr(10) || 'more', cast(doc_id % 3 + 1 as int))
+                 as body_text,
+               doc_id % 3 + 1 as n_links,
+               'https://' || source || '.example.com/p/'
+                 || cast(doc_id as varchar) || '?a=1&j=0' as first_link,
+               'writer ' || cast(doc_id % 7 as varchar) as author
+        from documents
+    """
+
+
 # Precision for the registered HLL query: m = 256 registers (~6.5%
 # expected error). Deliberately SMALL so the zero-register accounting
 # and branch structure are exercised at test-data cardinalities; the
@@ -2479,6 +2588,9 @@ QUERIES: dict[str, tuple] = {
     # r5: URL canonicalization over seeded messy URLs — oracle derives
     # the expected canonical string arithmetically
     "url_canonicalize": (q_url_canonicalize, q_url_canonicalize_sql),
+    # r5: HTML text/title/link/meta extraction over seeded markup —
+    # oracle derives the rendered text closed-form (see q_html_extract)
+    "html_extract": (q_html_extract, q_html_extract_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
