@@ -88,6 +88,7 @@ HEADLINE = [
     "pagerank",
     "url_canonicalize",
     "html_extract",
+    "warc_extract",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -97,7 +98,7 @@ LARGE_RESULT = {
     "grok_parse", "pii_redact", "repetition_signals",
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
-    "pagerank", "url_canonicalize", "html_extract",
+    "pagerank", "url_canonicalize", "html_extract", "warc_extract",
 }
 
 

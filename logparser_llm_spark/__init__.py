@@ -91,6 +91,10 @@ def __getattr__(name):
         "audio_decode_stats": ("logparser_llm_spark.operators.media", "audio_decode_stats"),
         "synth_audio_corpus": ("logparser_llm_spark.operators.media", "synth_audio_corpus"),
         "pagerank_integer": ("logparser_llm_spark.operators.graph", "pagerank_integer"),
+        "parse_warc": ("logparser_llm_spark.sources.warc", "parse_warc"),
+        "write_warc_record": ("logparser_llm_spark.sources.warc", "write_warc_record"),
+        "warc_records": ("logparser_llm_spark.sources.warc", "warc_records"),
+        "synth_warc_corpus": ("logparser_llm_spark.sources.warc", "synth_warc_corpus"),
         "html_to_text": ("logparser_llm_spark.functions.html", "html_to_text"),
         "html_title": ("logparser_llm_spark.functions.html", "html_title"),
         "html_links": ("logparser_llm_spark.functions.html", "html_links"),

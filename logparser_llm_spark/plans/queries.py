@@ -2217,6 +2217,56 @@ def q_html_extract_sql(sf: str) -> str:
     """
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round trip (sources/warc.py) at Common-Crawl
+    shape: the documents table is serialized into real WARC files (25
+    docs/file; a warcinfo record plus one HTTP-response record per doc;
+    even file_ids gzip-per-record, odd plain — both reader paths on
+    every run), the files are exploded back into records distributed
+    (mapInPandas, file = unit of parallelism exactly as on a cluster),
+    and the HTTP payloads are parsed JVM-side (status via
+    regexp_extract, body after the first CRLF-CRLF). Every output field
+    is closed-form in (doc_id, text, source) — url, status, date, body
+    length and body md5 — so the DuckDB oracle recomputes them
+    arithmetically and a framing/compression/HTTP bug anywhere in the
+    writer→parser chain breaks the hash. Byte-level format pins and
+    corrupt-input contracts live in tests/test_warc.py."""
+    from ..sources.warc import synth_warc_corpus, warc_records
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    files = synth_warc_corpus(docs, docs_per_file=25)
+    recs = warc_records(files).filter(F.col("warc_type") == "response")
+    payload = F.decode(F.col("payload"), "UTF-8")
+    body = F.regexp_replace(payload, r"(?s)^.*?\r\n\r\n", "")
+    return recs.select(
+        F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.regexp_extract(payload, r"^HTTP/1\.1 (\d+)", 1).cast("int").alias("status"),
+        F.col("warc_date").alias("warc_date"),
+        F.length(body).cast("bigint").alias("body_len"),
+        F.md5(F.encode(body, "UTF-8")).alias("body_md5"),
+    )
+
+
+def q_warc_extract_sql(sf: str) -> str:
+    return """
+        select doc_id,
+               'https://' || source || '.example.com/p/'
+                 || cast(doc_id as varchar) as url,
+               cast(case when doc_id % 10 = 7 then 404 else 200 end as int)
+                 as status,
+               '2024-01-' || lpad(cast(doc_id % 28 + 1 as varchar), 2, '0')
+                 || 'T00:00:00Z' as warc_date,
+               cast(length('<html><body><p>' || text || '</p></body></html>')
+                 as bigint) as body_len,
+               md5('<html><body><p>' || text || '</p></body></html>')
+                 as body_md5
+        from documents
+    """
+
+
 # Precision for the registered HLL query: m = 256 registers (~6.5%
 # expected error). Deliberately SMALL so the zero-register accounting
 # and branch structure are exercised at test-data cardinalities; the
@@ -2591,6 +2641,9 @@ QUERIES: dict[str, tuple] = {
     # r5: HTML text/title/link/meta extraction over seeded markup —
     # oracle derives the rendered text closed-form (see q_html_extract)
     "html_extract": (q_html_extract, q_html_extract_sql),
+    # r5: WARC container write→explode→HTTP-parse round trip — every
+    # field closed-form in the documents row (see q_warc_extract)
+    "warc_extract": (q_warc_extract, q_warc_extract_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
