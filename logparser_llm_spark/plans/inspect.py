@@ -54,7 +54,9 @@ def _main() -> None:
                  "parse_route_agg_slotvote",
                  # round 5
                  "slotvote_routes", "parse_route_agg_multisplit",
-                 "image_features_agg", "audio_decode"]:
+                 "image_features_agg", "audio_decode",
+                 "pagerank", "url_canonicalize", "html_extract",
+                 "warc_extract"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")
