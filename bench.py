@@ -167,6 +167,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], list[str]]:
         times[name] = round(best, 3)
         if is_tainted:
             tainted.append(name)
+        # operators persist() shared subtrees and hand the frame to the
+        # caller, so cached blocks outlive the query; repeat passes of
+        # the SAME query legitimately reuse them (Spark's CacheManager
+        # matches by logical plan — that steady-state path is what the
+        # recorded baselines measure), but they must not leak into the
+        # NEXT query's storage budget: leaky, the last suite rows read
+        # ~2× their isolated times (measured on bm25_topk: 5.96s at the
+        # end of a leaky 59-query suite vs 2.98s isolated).
+        spark.catalog.clearCache()
     return times, tainted
 
 
