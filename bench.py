@@ -89,6 +89,7 @@ HEADLINE = [
     "url_canonicalize",
     "html_extract",
     "warc_extract",
+    "bloom_frontier",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -99,6 +100,7 @@ LARGE_RESULT = {
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
+    "bloom_frontier",
 }
 
 

@@ -110,6 +110,9 @@ def __getattr__(name):
         "cms_build": ("logparser_llm_spark.operators.sketch", "cms_build"),
         "cms_merge": ("logparser_llm_spark.operators.sketch", "cms_merge"),
         "cms_estimate": ("logparser_llm_spark.operators.sketch", "cms_estimate"),
+        "bloom_build": ("logparser_llm_spark.operators.sketch", "bloom_build"),
+        "bloom_merge": ("logparser_llm_spark.operators.sketch", "bloom_merge"),
+        "bloom_contains": ("logparser_llm_spark.operators.sketch", "bloom_contains"),
         "asof_join": ("logparser_llm_spark.operators.joins", "asof_join"),
         "interval_join": ("logparser_llm_spark.operators.joins", "interval_join"),
         "windowed_hll_registers": (

@@ -1,4 +1,6 @@
-"""Mergeable distinct-count sketches: a portable HyperLogLog.
+"""Mergeable sketches: portable HyperLogLog (distinct counts),
+Count-Min (frequencies) and Bloom filter (membership) — one family,
+one shared md5 hash convention.
 
 The canonical 100 TB counting problem — "distinct users per key over a
 corpus that does not fit anywhere" — needs a sketch, not a count
@@ -417,3 +419,187 @@ def hll_estimate_py(regs: dict[int, int], p: int = DEFAULT_P) -> dict:
         "est_distinct": int(round(est)),
         "raw_branch": raw_branch,
     }
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership third of the mergeable-sketch trio
+# (HLL: how many distinct; CMS: how often; Bloom: have we SEEN it).
+# The canonical crawl use is the frontier seen-set: 10^11 urls do not
+# fit a hash set anywhere, but a Bloom filter answers "maybe seen /
+# definitely new" in m bits with union = bitwise OR — partial filters
+# built per partition/day combine without rescanning anything, and a
+# false positive only means a url is needlessly skipped, never
+# re-fetched work lost. Same portability contract as HLL/CMS: the bit
+# positions come from the shared md5 bucket hash, so Spark, DuckDB and
+# Python set bit-identical words and the registered query's oracle is
+# an exact recompute, not a statistical bound.
+#
+# Representation: a sparse table (word_idx, bits) with 60 bits per
+# word — the repo's signed-BIGINT-safe width convention (a 1 << 63
+# mask is negative in two's complement; staying ≤ 1 << 59 keeps every
+# word positive and engine-comparison trivial). Absent word = all
+# zero. k hash functions are the depth-salted md5 family, exactly as
+# CMS rows.
+
+BLOOM_BITS_PER_WORD = 60
+
+
+def _check_bloom(m_bits: int, k: int) -> None:
+    if not (isinstance(m_bits, int) and 64 <= m_bits <= 1 << 32):
+        raise ValueError(f"bloom m_bits must be an int in [64, 2^32], got {m_bits!r}")
+    if not (isinstance(k, int) and 1 <= k <= 16):
+        raise ValueError(f"bloom k must be an int in [1, 16], got {k!r}")
+
+
+def _bloom_pos(hash_i_col, value_col, m_bits: int):
+    """Bit position of hash i for a value: the shared md5 bucket hash
+    mod m_bits (identical to the CMS row hash family)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(hash_i_col.cast("string"), F.lit("|"), F.col(value_col))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(m_bits),
+    )
+
+
+# a bit position splits into a 60-bit word index and an in-word mask;
+# computed from a materialized `pos` column (shiftleft needs a SQL expr
+# for a column shift amount)
+_BLOOM_WORD = f"cast(pos div {BLOOM_BITS_PER_WORD} as bigint)"
+_BLOOM_MASK = f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_BITS_PER_WORD} as int))"
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, *, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter of the ``value_col`` stream: one row per
+    non-empty (word_idx, bits). NULLs are skipped. One partially
+    aggregable groupBy over a k-expanded stream (the expansion happens
+    inside the scan stage; at most m_bits/60 rows ever shuffle, however
+    large the input)."""
+    _check_bloom(m_bits, k)
+    h = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col), h)
+        .select(_bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"))
+        .select(
+            F.expr(_BLOOM_WORD).alias("word_idx"),
+            F.expr(_BLOOM_MASK).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(bloom_df: DataFrame) -> DataFrame:
+    """Union of filters = per-word bitwise OR. Feed the unioned row
+    frames of any number of :func:`bloom_build` outputs (same
+    m_bits/k)."""
+    return bloom_df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    bloom_df: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Membership test for every probe value: present iff ALL k
+    addressed bits are set (absent word = zero). Output:
+    ``<value_col>``, ``maybe_present`` (boolean — true can be a false
+    positive, false is definitive). The probe side drives a k-way
+    expansion and a join on word_idx; the filter side is at most
+    m_bits/60 rows, so Spark broadcasts it."""
+    _check_bloom(m_bits, k)
+    h = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
+    addressed = (
+        probes.select(F.col(value_col), h)
+        .select(value_col, _bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"))
+        .select(value_col, F.expr(_BLOOM_WORD).alias("word_idx"), F.expr(_BLOOM_MASK).alias("mask"))
+    )
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast(
+        "int"
+    )
+    return (
+        addressed.join(bloom_df, "word_idx", "left")
+        .select(value_col, hit.alias("hit"))
+        .groupBy(value_col)
+        .agg((F.min("hit") == 1).alias("maybe_present"))
+    )
+
+
+def bloom_sql(
+    stream_cte: str,
+    value_expr: str,
+    probes_cte: str,
+    probe_expr: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> str:
+    """DuckDB rendering of build+contains: returns the chained CTE body
+    ``bloom_h, bloom_w, bloom_e`` where ``bloom_e(v, maybe_present)``
+    is the membership relation. Exact bit parity with the Spark path."""
+    _check_bloom(m_bits, k)
+    pos = (
+        "(('0x' || substr(md5(cast(h.hash_i as varchar) || '|' || {v}), 1, 8))"
+        f"::BIGINT % {m_bits})"
+    )
+    word = f"({pos} // {BLOOM_BITS_PER_WORD})"
+    mask = f"(1::BIGINT << ({pos} % {BLOOM_BITS_PER_WORD})::INT)"
+    return f"""
+      bloom_h as (select unnest(range({k})) as hash_i),
+      bloom_w as (
+        select {word.format(v=value_expr)} as word_idx,
+               bit_or({mask.format(v=value_expr)}) as bits
+        from {stream_cte} cross join bloom_h h
+        where {value_expr} is not null
+        group by 1
+      ),
+      bloom_e as (
+        select p.{probe_expr} as v,
+               min(case when coalesce(w.bits, 0) & {mask.format(v=f"p.{probe_expr}")}
+                        <> 0 then 1 else 0 end) = 1 as maybe_present
+        from {probes_cte} p
+        cross join bloom_h h
+        left join bloom_w w
+          on w.word_idx = {word.format(v=f"p.{probe_expr}")}
+        group by 1
+      )
+    """
+
+
+def bloom_build_py(
+    values: Iterable[str], *, m_bits: int = 1 << 20, k: int = 5
+) -> dict[int, int]:
+    _check_bloom(m_bits, k)
+    words: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        for i in range(k):
+            pos = int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:8], 16) % m_bits
+            w, b = divmod(pos, BLOOM_BITS_PER_WORD)
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+def bloom_contains_py(
+    words: dict[int, int], value: str, *, m_bits: int = 1 << 20, k: int = 5
+) -> bool:
+    _check_bloom(m_bits, k)
+    for i in range(k):
+        pos = int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:8], 16) % m_bits
+        w, b = divmod(pos, BLOOM_BITS_PER_WORD)
+        if not words.get(w, 0) & (1 << b):
+            return False
+    return True

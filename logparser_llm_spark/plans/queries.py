@@ -2267,6 +2267,76 @@ def q_warc_extract_sql(sf: str) -> str:
     """
 
 
+# Bloom sizing for the registered frontier query: 2^15 bits / k=4 —
+# small enough that the sf0.1 seen-set (25k urls, ~3 bits load/bit)
+# produces real false positives alongside the definitive negatives, so
+# the rows demonstrate BOTH output classes; production frontier filters
+# size m at ~14.4 bits/url for 0.1% fp.
+BLOOM_M_BITS, BLOOM_K = 1 << 15, 4
+
+
+def q_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier seen-set via the portable Bloom filter
+    (operators/sketch.py): the membership third of the sketch trio
+    (HLL = how many distinct, CMS = how often, Bloom = have we SEEN
+    it). The filter is built over the urls of even-doc_id documents
+    (the "already crawled" half — at most m_bits/60 rows ever shuffle,
+    however large the crawl), then EVERY document's url is probed:
+    ``maybe_present`` true can be a false positive, false is a
+    definitive never-seen. All bit positions come from the shared md5
+    bucket hash and words are 60-bit signed-BIGINT-safe integers, so
+    the DuckDB oracle (sketch.bloom_sql — generated by the same module)
+    recomputes the exact words and verdicts: zero tolerance, and the
+    no-false-negative law (seen ⇒ maybe_present) is hash-checked row by
+    row rather than asserted."""
+    from ..operators.sketch import bloom_build, bloom_contains
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    probes = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    seen = probes.filter(F.col("doc_id") % 2 == 0).select("url")
+    bl = bloom_build(seen, "url", m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    res = bloom_contains(
+        bl, probes.select("url"), "url", m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+    return probes.join(res, "url").select(
+        "doc_id",
+        "url",
+        "maybe_present",
+        (F.col("doc_id") % 2 == 0).alias("seen"),
+    )
+
+
+def q_bloom_frontier_sql(sf: str) -> str:
+    from ..operators.sketch import bloom_sql
+
+    body = bloom_sql(
+        "seen", "v", "pv", "v", m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+    return f"""
+        with probes as (
+          select doc_id,
+                 'https://' || source || '.example.com/p/'
+                   || cast(doc_id as varchar) as url
+          from documents
+        ),
+        pv as (select url as v from probes),
+        seen as (select url as v from probes where doc_id % 2 = 0),
+        {body}
+        select p.doc_id, p.url, e.maybe_present, p.doc_id % 2 = 0 as seen
+        from probes p join bloom_e e on e.v = p.url
+    """
+
+
 # Precision for the registered HLL query: m = 256 registers (~6.5%
 # expected error). Deliberately SMALL so the zero-register accounting
 # and branch structure are exercised at test-data cardinalities; the
@@ -2644,6 +2714,9 @@ QUERIES: dict[str, tuple] = {
     # r5: WARC container write→explode→HTTP-parse round trip — every
     # field closed-form in the documents row (see q_warc_extract)
     "warc_extract": (q_warc_extract, q_warc_extract_sql),
+    # r5: crawl-frontier Bloom filter — oracle recomputes the exact
+    # words and verdicts (see q_bloom_frontier)
+    "bloom_frontier": (q_bloom_frontier, q_bloom_frontier_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),

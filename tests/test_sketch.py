@@ -263,3 +263,108 @@ def test_cms_registered_probe_invariants():
         est = cms_estimate_py(cms, term, depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH)
         assert est >= toks.count(term)
     assert toks.count("zzzmissing") == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (the membership third of the trio)
+
+
+def test_bloom_words_match_python(spark):
+    from logparser_llm_spark.operators.sketch import bloom_build, bloom_build_py
+
+    vals = [f"url{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.word_idx: r.bits for r in bloom_build(df, "v", m_bits=2048, k=4).collect()}
+    assert got == bloom_build_py(vals, m_bits=2048, k=4)
+
+
+def test_bloom_contains_no_false_negative_and_python_parity(spark):
+    from logparser_llm_spark.operators.sketch import (
+        bloom_build,
+        bloom_build_py,
+        bloom_contains,
+        bloom_contains_py,
+    )
+
+    vals = [f"u{i}" for i in range(200)]
+    probes = vals[:40] + [f"absent{i}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    pf = spark.createDataFrame([(p,) for p in probes], "v string")
+    bl = bloom_build(df, "v", m_bits=4096, k=4)
+    got = {
+        r.v: r.maybe_present
+        for r in bloom_contains(bl, pf, "v", m_bits=4096, k=4).collect()
+    }
+    words = bloom_build_py(vals, m_bits=4096, k=4)
+    assert got == {p: bloom_contains_py(words, p, m_bits=4096, k=4) for p in probes}
+    assert all(got[v] for v in vals[:40])  # seen ⇒ maybe_present, always
+
+
+def test_bloom_saturated_filter_reports_false_positives(spark):
+    from logparser_llm_spark.operators.sketch import bloom_build, bloom_contains
+
+    # 64 bits for 100 values: essentially every probe collides — the
+    # "maybe" in maybe_present is a real output class, not a name
+    df = spark.createDataFrame([(f"v{i}",) for i in range(100)], "v string")
+    pf = spark.createDataFrame([("never-inserted",)], "v string")
+    bl = bloom_build(df, "v", m_bits=64, k=2)
+    [r] = bloom_contains(bl, pf, "v", m_bits=64, k=2).collect()
+    assert r.maybe_present  # false positive, by construction
+
+
+def test_bloom_merge_equals_combined_build(spark):
+    from logparser_llm_spark.operators.sketch import bloom_build, bloom_merge
+
+    vals = [f"w{i}" for i in range(240)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    full = {r.word_idx: r.bits for r in bloom_build(df, "v", m_bits=2048, k=3).collect()}
+    h1 = bloom_build(df.limit(120), "v", m_bits=2048, k=3)
+    h2 = bloom_build(df.subtract(df.limit(120)), "v", m_bits=2048, k=3)
+    merged = {r.word_idx: r.bits for r in bloom_merge(h1.union(h2)).collect()}
+    assert merged == full
+
+
+def test_bloom_duckdb_word_parity(spark):
+    from logparser_llm_spark.operators.sketch import bloom_build, bloom_sql
+
+    vals = [f"url{i}" for i in range(150)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.word_idx: r.bits for r in bloom_build(df, "v", m_bits=1024, k=5).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "create table stream as select 'url' || cast(range as varchar) as v "
+        "from range(150)"
+    )
+    con.execute("create table pr as select 'url0' as v")
+    sql = (
+        "with " + bloom_sql("stream", "v", "pr", "v", m_bits=1024, k=5)
+        + " select word_idx, bits from bloom_w"
+    )
+    assert dict(con.sql(sql).fetchall()) == got
+
+
+def test_bloom_null_skipped_and_validation(spark):
+    from logparser_llm_spark.operators.sketch import (
+        bloom_build,
+        bloom_build_py,
+        bloom_contains,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+    got = {r.word_idx: r.bits for r in bloom_build(df, "v", m_bits=512, k=3).collect()}
+    assert got == bloom_build_py(["a", "b"], m_bits=512, k=3)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, "v", m_bits=32, k=3)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_contains(df, df, "v", m_bits=512, k=0)
+
+
+def test_bloom_words_are_signed_bigint_safe():
+    from logparser_llm_spark.operators.sketch import (
+        BLOOM_BITS_PER_WORD,
+        bloom_build_py,
+    )
+
+    assert BLOOM_BITS_PER_WORD <= 60
+    words = bloom_build_py([f"x{i}" for i in range(5000)], m_bits=128, k=8)
+    assert all(0 <= w < (1 << 63) for w in words.values())
