@@ -90,6 +90,7 @@ HEADLINE = [
     "html_extract",
     "warc_extract",
     "bloom_frontier",
+    "charset_decode",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -100,7 +101,7 @@ LARGE_RESULT = {
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
-    "bloom_frontier",
+    "bloom_frontier", "charset_decode",
 }
 
 

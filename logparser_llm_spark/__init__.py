@@ -95,6 +95,8 @@ def __getattr__(name):
         "write_warc_record": ("logparser_llm_spark.sources.warc", "write_warc_record"),
         "warc_records": ("logparser_llm_spark.sources.warc", "warc_records"),
         "synth_warc_corpus": ("logparser_llm_spark.sources.warc", "synth_warc_corpus"),
+        "sniff_charset": ("logparser_llm_spark.functions.charset", "sniff_charset"),
+        "decode_page": ("logparser_llm_spark.functions.charset", "decode_page"),
         "html_to_text": ("logparser_llm_spark.functions.html", "html_to_text"),
         "html_title": ("logparser_llm_spark.functions.html", "html_title"),
         "html_links": ("logparser_llm_spark.functions.html", "html_links"),

@@ -2267,6 +2267,82 @@ def q_warc_extract_sql(sf: str) -> str:
     """
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + transcode (functions/charset.py) over SEEDED
+    payloads: each documents row becomes binary page bytes in one of
+    four real crawl shapes by doc_id — plain UTF-8 with multibyte
+    chars, UTF-8 with BOM, UTF-16LE with BOM, and meta-declared Latin-1
+    whose bytes are INVALID UTF-8 (the case that kills a strict decode:
+    Spark 4 raises MALFORMED_CHARACTER_CODING without the sniff). The
+    Spark side builds the bytes with F.encode/BOM-concat and runs the
+    real sniff→decode chain; the DuckDB oracle states the expected
+    charset name and decoded string closed-form per class — a BOM,
+    meta-alias or fallback bug on any class breaks the hash.
+    Adversarial single-payload pins (lying utf-8 meta, windows-1252
+    alias, BOM-over-meta precedence) live in tests/test_charset.py."""
+    from ..functions.charset import decode_page, sniff_charset
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    sid = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 4
+    payload = (
+        F.when(c == 0, F.encode(F.concat(F.lit("café "), sid), "UTF-8"))
+        .when(
+            c == 1,
+            F.concat(
+                F.lit(b"\xef\xbb\xbf"),
+                F.encode(F.concat(F.lit("résumé "), sid), "UTF-8"),
+            ),
+        )
+        .when(
+            c == 2,
+            F.concat(
+                F.lit(b"\xff\xfe"),
+                F.encode(F.concat(F.lit("naïve "), sid), "UTF-16LE"),
+            ),
+        )
+        .otherwise(
+            F.encode(
+                F.concat(F.lit('<meta charset="latin-1">Ä '), sid), "ISO-8859-1"
+            )
+        )
+    )
+    text = decode_page(payload)
+    return d.select(
+        "doc_id",
+        sniff_charset(payload).alias("charset"),
+        text.alias("text"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
+def q_charset_decode_sql(sf: str) -> str:
+    return """
+        select doc_id,
+               case doc_id % 4
+                 when 0 then 'UTF-8'
+                 when 1 then 'UTF-8'
+                 when 2 then 'UTF-16LE'
+                 else 'ISO-8859-1'
+               end as charset,
+               case doc_id % 4
+                 when 0 then 'café ' || cast(doc_id as varchar)
+                 when 1 then 'résumé ' || cast(doc_id as varchar)
+                 when 2 then 'naïve ' || cast(doc_id as varchar)
+                 else '<meta charset="latin-1">Ä ' || cast(doc_id as varchar)
+               end as text,
+               cast(length(case doc_id % 4
+                 when 0 then 'café ' || cast(doc_id as varchar)
+                 when 1 then 'résumé ' || cast(doc_id as varchar)
+                 when 2 then 'naïve ' || cast(doc_id as varchar)
+                 else '<meta charset="latin-1">Ä ' || cast(doc_id as varchar)
+               end) as bigint) as n_chars
+        from documents
+    """
+
+
 # Bloom sizing for the registered frontier query: 2^15 bits / k=4 —
 # small enough that the sf0.1 seen-set (25k urls, ~3 bits load/bit)
 # produces real false positives alongside the definitive negatives, so
@@ -2717,6 +2793,9 @@ QUERIES: dict[str, tuple] = {
     # r5: crawl-frontier Bloom filter — oracle recomputes the exact
     # words and verdicts (see q_bloom_frontier)
     "bloom_frontier": (q_bloom_frontier, q_bloom_frontier_sql),
+    # r5: charset sniff + total transcode over four seeded encoding
+    # classes — oracle states charset + decoded text closed-form
+    "charset_decode": (q_charset_decode, q_charset_decode_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
