@@ -91,6 +91,7 @@ HEADLINE = [
     "warc_extract",
     "bloom_frontier",
     "charset_decode",
+    "anchor_text_agg",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -101,6 +101,7 @@ def __getattr__(name):
         "html_title": ("logparser_llm_spark.functions.html", "html_title"),
         "html_links": ("logparser_llm_spark.functions.html", "html_links"),
         "html_meta": ("logparser_llm_spark.functions.html", "html_meta"),
+        "html_anchors": ("logparser_llm_spark.functions.html", "html_anchors"),
         "canonicalize_url": ("logparser_llm_spark.functions.web", "canonicalize_url"),
         "host_of": ("logparser_llm_spark.functions.web", "host_of"),
         "registrable_domain": ("logparser_llm_spark.functions.web", "registrable_domain"),

@@ -122,6 +122,36 @@ def html_links(html: Column) -> Column:
     )
 
 
+def html_anchors(html: Column) -> Column:
+    """Anchors with their link text, in document order, as
+    ``array<struct<href: string, text: string>>`` — the raw material of
+    anchor-text aggregation (the classic web-search relevance signal:
+    what OTHER pages call a page). Anchors without an ``href`` are
+    skipped; the inner text is tag-stripped, entity-decoded and
+    whitespace-collapsed like :func:`html_to_text`."""
+    matches = F.regexp_extract_all(
+        html,
+        F.lit(r"(?is)<a\b[^>]*\bhref\s*=[^>]*>.*?</a\s*>"),
+        0,
+    )
+    href_re = r"(?is)^<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+)).*"
+    text_re = r"(?is)^<a\b[^>]*>(.*)</a\s*>$"
+
+    def one(m: Column) -> Column:
+        href = (
+            F.when(F.regexp_extract(m, href_re, 1) != "", F.regexp_extract(m, href_re, 1))
+            .when(F.regexp_extract(m, href_re, 2) != "", F.regexp_extract(m, href_re, 2))
+            .otherwise(F.regexp_extract(m, href_re, 3))
+        )
+        inner = F.regexp_replace(F.regexp_extract(m, text_re, 1), r"(?s)<[^>]*>", " ")
+        text = F.trim(F.regexp_replace(decode_entities(inner), r"\s+", " "))
+        return F.struct(
+            decode_entities(href).alias("href"), text.alias("text")
+        )
+
+    return F.transform(matches, one)
+
+
 def html_meta(html: Column, name: str) -> Column:
     """``content`` of ``<meta name="..." content="...">`` (either
     attribute order), entity-decoded; empty string when absent."""

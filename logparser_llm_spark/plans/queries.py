@@ -2267,6 +2267,68 @@ def q_warc_extract_sql(sf: str) -> str:
     """
 
 
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (functions/html.py:html_anchors): what
+    other pages CALL a page — the classic web-search relevance signal,
+    and the natural companion of the link-graph query (it reuses the
+    SAME seeded edge family as ``pagerank``: src links to
+    (src·7 + 3j + 1) mod N for j = 0..src%3). Each documents row is
+    rendered into a page whose anchors carry an entity-bearing text;
+    the distributed side extracts (href, text) pairs with the real
+    anchor parser, explodes, parses the target id back out of the href
+    and aggregates per target (in-link count, lexicographic first/last
+    anchor text). The DuckDB oracle generates the same edges from the
+    shared CTE (graph module) and states the anchor strings
+    closed-form — an extraction, entity-decode or explode bug breaks
+    the hash."""
+    from ..functions.html import html_anchors
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    links = F.transform(
+        F.sequence(F.lit(0), F.col("doc_id") % 3),
+        lambda j: F.concat(
+            F.lit('<p><a href="/p/'),
+            ((F.col("doc_id") * 7 + j * 3 + 1) % F.lit(n)).cast("string"),
+            F.lit('">site '),
+            ((F.col("doc_id") * 7 + j * 3 + 1) % F.lit(n)).cast("string"),
+            F.lit(" &amp; src "),
+            F.col("doc_id").cast("string"),
+            F.lit("</a></p>"),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><body>"), F.concat_ws("", links), F.lit("</body></html>")
+    )
+    a = d.select(F.explode(html_anchors(page)).alias("a")).select(
+        F.regexp_extract(F.col("a.href"), r"/p/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("a.text").alias("anchor"),
+    )
+    return a.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.min("anchor").alias("first_anchor"),
+        F.max("anchor").alias("last_anchor"),
+    )
+
+
+def q_anchor_text_agg_sql(sf: str) -> str:
+    return f"""
+        with edges as ({_pagerank_edges_cte()})
+        select dst as doc_id,
+               count(*) as n_inlinks,
+               min('site ' || cast(dst as varchar) || ' & src '
+                   || cast(src as varchar)) as first_anchor,
+               max('site ' || cast(dst as varchar) || ' & src '
+                   || cast(src as varchar)) as last_anchor
+        from edges
+        group by dst
+    """
+
+
 def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + transcode (functions/charset.py) over SEEDED
     payloads: each documents row becomes binary page bytes in one of
@@ -2796,6 +2858,9 @@ QUERIES: dict[str, tuple] = {
     # r5: charset sniff + total transcode over four seeded encoding
     # classes — oracle states charset + decoded text closed-form
     "charset_decode": (q_charset_decode, q_charset_decode_sql),
+    # r5: anchor-text aggregation over the shared seeded link family —
+    # oracle regenerates edges + anchor strings (see q_anchor_text_agg)
+    "anchor_text_agg": (q_anchor_text_agg, q_anchor_text_agg_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),

@@ -116,3 +116,25 @@ def test_attribute_gt_limitation_is_the_documented_one(spark):
     # value ends the tag early — the tail leaks as text
     leaked = _one(spark, '<a title="a>b" href="u">x</a>', html_to_text)
     assert "b\" href=\"u\">x" in leaked
+
+
+def test_anchors_href_and_text(spark):
+    h = ('<p><a href="/a">One &amp; two</a></p>'
+         "<a href='/b'><b>bold</b> text</a>"
+         "<a href=/c>bare</a>"
+         "<a name='no-href'>skipped</a>")
+    from logparser_llm_spark.functions.html import html_anchors
+    got = _one(spark, h, html_anchors)
+    assert [(a.href, a.text) for a in got] == [
+        ("/a", "One & two"),
+        ("/b", "bold text"),
+        ("/c", "bare"),
+    ]
+
+
+def test_anchors_multiline_and_empty(spark):
+    from logparser_llm_spark.functions.html import html_anchors
+    h = '<A HREF="/x">line1\n  line2</A>'
+    got = _one(spark, h, html_anchors)
+    assert [(a.href, a.text) for a in got] == [("/x", "line1 line2")]
+    assert _one(spark, "<p>no links</p>", html_anchors) == []
