@@ -56,7 +56,8 @@ def _main() -> None:
                  "slotvote_routes", "parse_route_agg_multisplit",
                  "image_features_agg", "audio_decode",
                  "pagerank", "url_canonicalize", "html_extract",
-                 "warc_extract"]:
+                 "warc_extract", "bloom_frontier", "charset_decode",
+                 "anchor_text_agg"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")
