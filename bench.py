@@ -92,6 +92,7 @@ HEADLINE = [
     "bloom_frontier",
     "charset_decode",
     "anchor_text_agg",
+    "robots_filter",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -102,7 +103,7 @@ LARGE_RESULT = {
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
-    "bloom_frontier", "charset_decode",
+    "bloom_frontier", "charset_decode", "robots_filter",
 }
 
 

@@ -95,6 +95,9 @@ def __getattr__(name):
         "write_warc_record": ("logparser_llm_spark.sources.warc", "write_warc_record"),
         "warc_records": ("logparser_llm_spark.sources.warc", "warc_records"),
         "synth_warc_corpus": ("logparser_llm_spark.sources.warc", "synth_warc_corpus"),
+        "parse_robots": ("logparser_llm_spark.functions.robots", "parse_robots"),
+        "robots_rules": ("logparser_llm_spark.functions.robots", "robots_rules"),
+        "robots_allowed": ("logparser_llm_spark.functions.robots", "robots_allowed"),
         "sniff_charset": ("logparser_llm_spark.functions.charset", "sniff_charset"),
         "decode_page": ("logparser_llm_spark.functions.charset", "decode_page"),
         "html_to_text": ("logparser_llm_spark.functions.html", "html_to_text"),

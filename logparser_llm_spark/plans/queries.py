@@ -2267,6 +2267,79 @@ def q_warc_extract_sql(sf: str) -> str:
     """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl-permission filtering (functions/robots.py): each
+    distinct source becomes a host with a SEEDED robots.txt — a decoy
+    ``badbot`` group that must NOT apply (group selection), a ``*``
+    group with a Disallow prefix, a LONGER Allow carve-out under it
+    (longest-match precedence), and on even-index hosts a
+    wildcard+anchor rule (``/tmp/*.bak$``) — and every documents row
+    becomes a url in one of four path classes by doc_id. The Spark side
+    parses the robots dim once (mapInPandas over hosts) and evaluates
+    the url volume pure-JVM (broadcast rule join + per-row regexp +
+    max_by precedence); the DuckDB oracle states the verdict
+    closed-form in (doc_id, host index) — group selection, precedence,
+    wildcard, anchor and the no-rule default each gate a different
+    output class, so any of those bugs breaks the hash. Adversarial
+    single-file pins (empty Disallow, rules outside a group, UA
+    substring selection) live in tests/test_robots.py."""
+    from ..functions.robots import robots_allowed, robots_rules
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    idx = F.regexp_replace("source", "src", "").cast("int")
+    robots = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/public*\n"
+            ),
+            F.when(idx % 2 == 0, F.lit("Disallow: /tmp/*.bak$\n")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots, agent="sparkbot/1.0")
+    sid = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 4
+    path = (
+        F.when(c == 0, F.concat(F.lit("/articles/"), sid))
+        .when(c == 1, F.concat(F.lit("/private/"), sid))
+        .when(c == 2, F.concat(F.lit("/private/public/"), sid))
+        .otherwise(F.concat(F.lit("/tmp/"), sid, F.lit(".bak")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    return robots_allowed(urls, rules)
+
+
+def q_robots_filter_sql(sf: str) -> str:
+    return """
+        select doc_id,
+               'https://' || source || '.example.com' ||
+               case doc_id % 4
+                 when 0 then '/articles/' || cast(doc_id as varchar)
+                 when 1 then '/private/' || cast(doc_id as varchar)
+                 when 2 then '/private/public/' || cast(doc_id as varchar)
+                 else '/tmp/' || cast(doc_id as varchar) || '.bak'
+               end as url,
+               case doc_id % 4
+                 when 0 then true
+                 when 1 then false
+                 when 2 then true
+                 else cast(replace(source, 'src', '') as int) % 2 <> 0
+               end as allowed
+        from documents
+    """
+
+
 def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/html.py:html_anchors): what
     other pages CALL a page — the classic web-search relevance signal,
@@ -2861,6 +2934,9 @@ QUERIES: dict[str, tuple] = {
     # r5: anchor-text aggregation over the shared seeded link family —
     # oracle regenerates edges + anchor strings (see q_anchor_text_agg)
     "anchor_text_agg": (q_anchor_text_agg, q_anchor_text_agg_sql),
+    # r5: RFC 9309 robots.txt filtering — verdict closed-form per
+    # (path class, host index); see q_robots_filter
+    "robots_filter": (q_robots_filter, q_robots_filter_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
