@@ -93,6 +93,7 @@ HEADLINE = [
     "charset_decode",
     "anchor_text_agg",
     "robots_filter",
+    "web_domain_rollup",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

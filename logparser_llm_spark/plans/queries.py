@@ -2340,6 +2340,89 @@ def q_robots_filter_sql(sf: str) -> str:
     """
 
 
+def q_web_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse→enrich→route→aggregate story over the WEB stack in one
+    composed query: documents become urls (same seeding as
+    ``robots_filter``), the REAL robots machinery evaluates crawl
+    permission per url, exact-dup identity comes from md5(text), and
+    everything rolls up per host — docs, crawl-allowed docs, distinct
+    texts, total chars, distinct langs. Every component the composition
+    exercises (robots verdict classes, md5 identity, the aggregates) is
+    closed-form or directly recomputable in DuckDB, so the oracle
+    checks the COMPOSITION end-to-end, not just the pieces; per-sink
+    count parity per host is exactly the north rule's acceptance
+    shape."""
+    from ..functions.robots import robots_allowed, robots_rules
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "text",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    idx = F.regexp_replace("source", "src", "").cast("int")
+    robots = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/public*\n"
+            ),
+            F.when(idx % 2 == 0, F.lit("Disallow: /tmp/*.bak$\n")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots, agent="sparkbot/1.0")
+    sid = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 4
+    path = (
+        F.when(c == 0, F.concat(F.lit("/articles/"), sid))
+        .when(c == 1, F.concat(F.lit("/private/"), sid))
+        .when(c == 2, F.concat(F.lit("/private/public/"), sid))
+        .otherwise(F.concat(F.lit("/tmp/"), sid, F.lit(".bak")))
+    )
+    urls = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    verdicts = robots_allowed(urls, rules)
+    return verdicts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("allowed").cast("bigint")).alias("n_allowed"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def q_web_domain_rollup_sql(sf: str) -> str:
+    return """
+        select source || '.example.com' as host,
+               count(*) as n_docs,
+               cast(sum(case
+                 when doc_id % 4 = 1 then 0
+                 when doc_id % 4 = 3
+                      and cast(replace(source, 'src', '') as int) % 2 = 0
+                   then 0
+                 else 1
+               end) as bigint) as n_allowed,
+               count(distinct md5(text)) as n_unique_texts,
+               cast(sum(n_chars) as bigint) as total_chars,
+               count(distinct lang) as n_langs
+        from documents
+        group by source
+    """
+
+
 def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (functions/html.py:html_anchors): what
     other pages CALL a page — the classic web-search relevance signal,
@@ -2937,6 +3020,9 @@ QUERIES: dict[str, tuple] = {
     # r5: RFC 9309 robots.txt filtering — verdict closed-form per
     # (path class, host index); see q_robots_filter
     "robots_filter": (q_robots_filter, q_robots_filter_sql),
+    # r5: composed web rollup (urls → robots → dup identity → per-host
+    # aggregates) — the north rule's per-sink count-parity shape
+    "web_domain_rollup": (q_web_domain_rollup, q_web_domain_rollup_sql),
     # r5: portable HyperLogLog — the oracle recomputes the sketch
     # itself (md5 registers are engine-identical; see q_hll_distinct)
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
