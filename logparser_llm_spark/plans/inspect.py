@@ -57,7 +57,7 @@ def _main() -> None:
                  "image_features_agg", "audio_decode",
                  "pagerank", "url_canonicalize", "html_extract",
                  "warc_extract", "bloom_frontier", "charset_decode",
-                 "anchor_text_agg"]:
+                 "anchor_text_agg", "robots_filter", "web_domain_rollup"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")
