@@ -116,6 +116,9 @@ def __getattr__(name):
         "cms_build": ("logparser_llm_spark.operators.sketch", "cms_build"),
         "cms_merge": ("logparser_llm_spark.operators.sketch", "cms_merge"),
         "cms_estimate": ("logparser_llm_spark.operators.sketch", "cms_estimate"),
+        "loghist_build": ("logparser_llm_spark.operators.sketch", "loghist_build"),
+        "loghist_merge": ("logparser_llm_spark.operators.sketch", "loghist_merge"),
+        "loghist_quantiles": ("logparser_llm_spark.operators.sketch", "loghist_quantiles"),
         "bloom_build": ("logparser_llm_spark.operators.sketch", "bloom_build"),
         "bloom_merge": ("logparser_llm_spark.operators.sketch", "bloom_merge"),
         "bloom_contains": ("logparser_llm_spark.operators.sketch", "bloom_contains"),

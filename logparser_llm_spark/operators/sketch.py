@@ -603,3 +603,220 @@ def bloom_contains_py(
         if not words.get(w, 0) & (1 << b):
             return False
     return True
+
+
+# --- Logarithmic histogram (HdrHistogram-style quantile sketch) -------
+#
+# The fourth mergeable sketch: QUANTILES. Exact percentiles over 100 TB
+# need a full sort (or a per-key value shuffle — `value_percentiles`'s
+# shape, correct but O(rows) state per key); the log histogram shuffles
+# at most a few hundred (key, bucket) counter rows per key, combines
+# map-side, and histograms from different days/partitions union by
+# counter SUM, so latency-style rollups (hour → day → month p99) never
+# rescan raw data. Same portability contract as HLL/CMS/Bloom — but
+# stronger: there is NO hash and NO floating point anywhere. The bucket
+# index is pure integer bit arithmetic (HdrHistogram's bucketing:
+# value's octave from the binary bit length + the top `sub_bits`
+# mantissa bits), the quantile rank is ceil(n·pct/100) in exact integer
+# form, and the estimate is the bucket's exact integer lower bound — so
+# Spark, DuckDB and Python agree bit for bit and the registered query's
+# oracle recomputes the sketch with zero tolerance.
+#
+# Accuracy contract: values in [0, 2^sub_bits+1) are EXACT (one bucket
+# per integer); above that, a bucket spanning [lo, lo + 2^(k-sub_bits))
+# with lo ≥ 2^k gives relative error < 2^-sub_bits (12.5% at the
+# default sub_bits=3; use 6 for ~1.6%). Buckets per key ≤
+# (63 - sub_bits + 1) · 2^sub_bits + 2^sub_bits  (~490 at sub_bits=3)
+# regardless of input size.
+
+LOGHIST_DEFAULT_SUB_BITS = 3
+
+
+def _check_loghist(sub_bits: int, percents: Sequence[int] = ()) -> None:
+    if not (isinstance(sub_bits, int) and 1 <= sub_bits <= 8):
+        raise ValueError(f"loghist sub_bits must be an int in [1, 8], got {sub_bits!r}")
+    for p in percents:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(f"loghist percents must be ints in [1, 100], got {p!r}")
+
+
+def _loghist_bucket_sql(v: str, sub_bits: int, *, duck: bool) -> str:
+    """Bucket index for non-negative integer ``v`` — the same string
+    renders in Spark SQL and DuckDB (only the bigint cast spelling and
+    shift operator differ). k = max(sub_bits, bit_length(v) - 1);
+    bucket = (k - sub_bits)·2^sub_bits + (v >> (k - sub_bits))."""
+    s = sub_bits
+    big = "::BIGINT" if duck else ""
+    k = f"greatest(cast({s} as bigint), cast(length(bin({v})) - 1 as bigint))"
+    shifted = (
+        f"(({v}){big} >> (({k}) - {s})::INT)"
+        if duck
+        else f"shiftright({v}, cast(({k}) - {s} as int))"
+    )
+    return f"(({k}) - {s}) * {1 << s} + {shifted}"
+
+
+def _loghist_lo_sql(b: str, sub_bits: int, *, duck: bool) -> str:
+    """Exact integer lower bound of bucket ``b`` (the quantile
+    representative): m = b div 2^sub_bits; m = 0 → b itself (the exact
+    region), else (b - (m-1)·2^sub_bits) << (m-1)."""
+    s = sub_bits
+    m = f"(({b}) // {1 << s})" if duck else f"(({b}) div {1 << s})"
+    w = f"(({b}) - (({m}) - 1) * {1 << s})"
+    shl = (
+        f"({w} << (({m}) - 1)::INT)"
+        if duck
+        else f"shiftleft({w}, cast(({m}) - 1 as int))"
+    )
+    return f"case when {m} = 0 then ({b}) else {shl} end"
+
+
+def loghist_build(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    *,
+    sub_bits: int = LOGHIST_DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Build per-key log-histograms of a non-negative integer column:
+    one row per non-empty (key..., bucket) with its count. NULLs are
+    skipped; a negative value raises (assert_true) rather than aliasing
+    into a wrong bucket. One partially aggregable groupBy — the counter
+    sum combines map-side inside the scan stage."""
+    _check_loghist(sub_bits)
+    bucket = F.expr(_loghist_bucket_sql("__lh_v", sub_bits, duck=False))
+    guarded = F.when(
+        F.expr("assert_true(__lh_v >= 0, 'loghist: negative value')").isNull(), bucket
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*key_cols, F.col(value_col).cast("bigint").alias("__lh_v"))
+        .select(*key_cols, guarded.alias("bucket"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def loghist_merge(hist_df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Union of histograms = per-bucket counter SUM. Feed the unioned
+    row frames of any number of :func:`loghist_build` outputs (same
+    sub_bits)."""
+    return hist_df.groupBy(*key_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def loghist_quantiles(
+    hist_df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    percents: Sequence[int] = (50, 95, 99),
+    sub_bits: int = LOGHIST_DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Finish per-key quantile estimates from a histogram: for each
+    integer percent pct, the exact lower bound of the first bucket whose
+    cumulative count reaches rank = ceil(n·pct/100). Output: key...,
+    ``n``, one ``p<pct>`` bigint column per percent. All-integer: the
+    rank uses the exact form (n·pct + 99) div 100, so engines agree bit
+    for bit. One window pass + one groupBy over ≤ a few hundred rows
+    per key."""
+    from pyspark.sql import Window
+
+    _check_loghist(sub_bits, percents)
+    w = Window.partitionBy(*key_cols).orderBy("bucket")
+    lo = _loghist_lo_sql("bucket", sub_bits, duck=False)
+    cum = hist_df.select(
+        *key_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*key_cols)).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for pct in percents:
+        rank = f"(n * {pct} + 99) div 100"
+        aggs.append(
+            F.min(F.expr(f"case when cum >= {rank} then {lo} end")).alias(f"p{pct}")
+        )
+    return cum.groupBy(*key_cols).agg(*aggs)
+
+
+def loghist_sql(
+    stream_cte: str,
+    key_expr: str,
+    value_expr: str,
+    *,
+    percents: Sequence[int] = (50, 95, 99),
+    sub_bits: int = LOGHIST_DEFAULT_SUB_BITS,
+    group_alias: str = "key",
+) -> str:
+    """DuckDB rendering of build+quantiles: returns chained CTE body
+    ``lh_hist, lh_cum, lh_q`` where ``lh_q(<group_alias>, n, p<pct>...)``
+    matches :func:`loghist_quantiles` bit for bit."""
+    _check_loghist(sub_bits, percents)
+    bucket = _loghist_bucket_sql(f"({value_expr})::BIGINT", sub_bits, duck=True)
+    lo = _loghist_lo_sql("bucket", sub_bits, duck=True)
+    cols = []
+    for pct in percents:
+        rank = f"(n * {pct} + 99) // 100"
+        cols.append(
+            f"min(case when cum >= {rank} then {lo} end) as p{pct}"
+        )
+    return f"""
+      lh_hist as (
+        select {key_expr} as {group_alias}, {bucket} as bucket,
+               count(*) as cnt
+        from {stream_cte}
+        where {value_expr} is not null
+        group by 1, 2
+      ),
+      lh_cum as (
+        select {group_alias}, bucket,
+               sum(cnt) over (partition by {group_alias} order by bucket) as cum,
+               sum(cnt) over (partition by {group_alias}) as n
+        from lh_hist
+      ),
+      lh_q as (
+        select {group_alias}, max(n)::BIGINT as n, {', '.join(cols)}
+        from lh_cum group by 1
+      )
+    """
+
+
+def loghist_bucket_py(v: int, sub_bits: int = LOGHIST_DEFAULT_SUB_BITS) -> int:
+    if v < 0:
+        raise ValueError("loghist: negative value")
+    k = max(sub_bits, v.bit_length() - 1)
+    return (k - sub_bits) * (1 << sub_bits) + (v >> (k - sub_bits))
+
+
+def loghist_lo_py(bucket: int, sub_bits: int = LOGHIST_DEFAULT_SUB_BITS) -> int:
+    m = bucket >> sub_bits
+    if m == 0:
+        return bucket
+    return (bucket - (m - 1) * (1 << sub_bits)) << (m - 1)
+
+
+def loghist_quantiles_py(
+    values: Iterable[int],
+    *,
+    percents: Sequence[int] = (50, 95, 99),
+    sub_bits: int = LOGHIST_DEFAULT_SUB_BITS,
+) -> dict:
+    _check_loghist(sub_bits, percents)
+    hist: dict[int, int] = {}
+    n = 0
+    for v in values:
+        if v is None:
+            continue
+        hist[loghist_bucket_py(v, sub_bits)] = (
+            hist.get(loghist_bucket_py(v, sub_bits), 0) + 1
+        )
+        n += 1
+    out = {"n": n}
+    cum = 0
+    remaining = sorted(percents)
+    for b in sorted(hist):
+        cum += hist[b]
+        while remaining and cum >= (n * remaining[0] + 99) // 100:
+            out[f"p{remaining.pop(0)}"] = loghist_lo_py(b, sub_bits)
+    for pct in remaining:
+        out[f"p{pct}"] = None
+    return out

@@ -2813,6 +2813,104 @@ def q_cms_counts_sql(sf: str) -> str:
     """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.py loghist):
+    p50/p95/p99 of event value (integer cents) per event_type, from an
+    HdrHistogram-style logarithmic histogram.
+
+    The fourth sketch shape: exact per-key percentiles
+    (``value_percentiles``) shuffle every (key, value) pair; the log
+    histogram shuffles at most a few hundred (key, bucket) counter rows
+    per key, combines map-side, and unions by counter sum so
+    hour→day→month latency rollups never rescan raw data. No hash and
+    no floating point anywhere (bucket = octave from binary bit length
+    + top 3 mantissa bits; rank = exact-integer ceil), so the DuckDB
+    oracle recomputes the sketch bit for bit — zero tolerance. The
+    ``p*_exact`` columns are the accuracy demonstration: same rank
+    definition over the raw values, with the contract
+    p_est ≤ p_exact < p_est·(1 + 2^-3) for values ≥ 2^4.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.sketch import loghist_build, loghist_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    est = loghist_quantiles(
+        loghist_build(base, ["event_type"], "cents"), ["event_type"]
+    ).select(
+        "event_type",
+        "n",
+        F.col("p50").alias("p50_est"),
+        F.col("p95").alias("p95_est"),
+        F.col("p99").alias("p99_est"),
+    )
+    # exact demonstration side: identical rank definition over the raw
+    # integers (min value whose cumulative count reaches ceil(n·pct/100))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = (
+        base.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            "cents",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        )
+    )
+    exacts = cum.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.expr(f"case when cum >= (n * {pct} + 99) div 100 then cents end")
+            ).alias(f"p{pct}_exact")
+            for pct in (50, 95, 99)
+        ]
+    )
+    return est.join(exacts, "event_type").select(
+        "event_type", "n", "p50_est", "p95_est", "p99_est",
+        "p50_exact", "p95_exact", "p99_exact",
+    )
+
+
+def q_quantile_sketch_sql(sf: str) -> str:
+    from ..operators.sketch import loghist_sql
+
+    body = loghist_sql(
+        "base", "event_type", "cents", percents=(50, 95, 99),
+        group_alias="event_type",
+    )
+    exact_cols = ", ".join(
+        f"min(case when cum >= (n * {pct} + 99) // 100 then cents end)"
+        f" as p{pct}_exact"
+        for pct in (50, 95, 99)
+    )
+    return f"""
+        with base as (
+          select event_type, floor(value * 100)::BIGINT as cents from events
+        ),
+        {body},
+        ecnt as (
+          select event_type, cents, count(*) as cnt
+          from base group by 1, 2
+        ),
+        ecum as (
+          select event_type, cents,
+                 sum(cnt) over (partition by event_type order by cents) as cum,
+                 sum(cnt) over (partition by event_type) as n
+          from ecnt
+        ),
+        exacts as (
+          select event_type, {exact_cols} from ecum group by 1
+        )
+        select q.event_type, q.n, q.p50 as p50_est, q.p95 as p95_est,
+               q.p99 as p99_est, e.p50_exact, e.p95_exact, e.p99_exact
+        from lh_q q join exacts e using (event_type)
+    """
+
+
 def q_asof_lastpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): every error event paired with
     the same user's most recent purchase at-or-before it.
@@ -3030,6 +3128,9 @@ QUERIES: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, q_bm25_topk_sql),
     # r5: Count-Min sketch — all-integer, exact cross-engine parity
     "cms_counts": (q_cms_counts, q_cms_counts_sql),
+    # r5: mergeable quantile sketch (HdrHistogram-style log histogram)
+    # — pure integer bit arithmetic, zero-tolerance oracle
+    "quantile_sketch": (q_quantile_sketch, q_quantile_sketch_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

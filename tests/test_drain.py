@@ -263,7 +263,12 @@ def test_merge_pool_wall_time_at_cap():
     t0 = time.perf_counter()
     merged = merge_pool(pool)
     dt = time.perf_counter() - t0
-    assert dt < 30.0, f"pool merge at 10k patterns took {dt:.1f}s"
+    # Measured 18-28s depending on host/steal (28.0s observed on an
+    # otherwise-idle round-5 host); the bound exists to catch a
+    # complexity regression (naive n² would be minutes), so keep ~2.5x
+    # slack over the worst clean measurement rather than flaking on
+    # ambient contention.
+    assert dt < 75.0, f"pool merge at 10k patterns took {dt:.1f}s"
     assert 0 < len(merged) <= len(pool)
 
 

@@ -218,3 +218,16 @@ def test_bm25_reuses_token_preagg_and_stays_jvm(spark):
     assert facts["partial_aggregate"]
     assert not facts["python_udf"] and not facts["map_in_pandas"]
     assert plan.count("InMemoryTableScan") >= 2, plan[-2000:]
+
+
+def test_loghist_sketch_is_partial_agg_jvm_only(spark):
+    """The log-histogram counter build must combine map-side (the
+    quantile sketch's whole scale story) and never leave the JVM."""
+    from logparser_llm_spark.operators.sketch import loghist_build
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", F.col("n_chars").cast("bigint").alias("v")
+    )
+    facts = plan_facts(loghist_build(docs, ["source"], "v"))
+    assert facts["partial_aggregate"], "counter sum must combine map-side"
+    assert not facts["python_udf"] and not facts["map_in_pandas"]

@@ -368,3 +368,138 @@ def test_bloom_words_are_signed_bigint_safe():
     assert BLOOM_BITS_PER_WORD <= 60
     words = bloom_build_py([f"x{i}" for i in range(5000)], m_bits=128, k=8)
     assert all(0 <= w < (1 << 63) for w in words.values())
+
+
+# --- log histogram (quantile sketch) ----------------------------------
+
+
+def test_loghist_bucket_py_invariants():
+    from hypothesis import given, settings, strategies as st
+
+    from logparser_llm_spark.operators.sketch import (
+        loghist_bucket_py,
+        loghist_lo_py,
+    )
+
+    @given(st.integers(min_value=0, max_value=(1 << 62) - 1))
+    @settings(max_examples=500, deadline=None)
+    def check(v):
+        b = loghist_bucket_py(v)
+        lo = loghist_lo_py(b)
+        assert lo <= v
+        assert loghist_bucket_py(lo) == b  # lo is in its own bucket
+        if v >= 16:
+            assert (v - lo) / v < 2 ** -3  # relative error contract
+        if v < 16:
+            assert lo == v  # exact region
+
+    check()
+    # monotone: bucket index never decreases with value
+    from logparser_llm_spark.operators.sketch import loghist_bucket_py as bp
+
+    last = -1
+    for v in list(range(0, 4096)) + [1 << 20, (1 << 20) + 1, 1 << 40]:
+        b = bp(v)
+        assert b >= last
+        last = b
+
+
+def test_loghist_spark_matches_python_and_merge_law(spark):
+    import collections
+
+    from logparser_llm_spark.operators.sketch import (
+        loghist_build,
+        loghist_merge,
+        loghist_quantiles,
+        loghist_quantiles_py,
+    )
+
+    vals = list(range(0, 3000)) + [0, 1, 15, 16, 17, (1 << 40) - 1, 1 << 40]
+    df = spark.createDataFrame(
+        [("a" if v % 3 else "b", v) for v in vals], "k string, v long"
+    )
+    hist = loghist_build(df, ["k"], "v")
+    by = collections.defaultdict(list)
+    for v in vals:
+        by["a" if v % 3 else "b"].append(v)
+    for r in loghist_quantiles(hist, ["k"]).collect():
+        py = loghist_quantiles_py(by[r["k"]])
+        assert (r["n"], r["p50"], r["p95"], r["p99"]) == (
+            py["n"], py["p50"], py["p95"], py["p99"],
+        )
+    # union law: build on disjoint halves + merge == build on the union
+    h1 = loghist_build(df.where("v % 2 = 0"), ["k"], "v")
+    h2 = loghist_build(df.where("v % 2 = 1"), ["k"], "v")
+    merged = loghist_merge(h1.unionAll(h2), ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, hist.collect()))
+
+
+def test_loghist_duckdb_renders_bit_identical():
+    import duckdb as _d
+
+    from logparser_llm_spark.operators.sketch import (
+        _loghist_bucket_sql,
+        _loghist_lo_sql,
+        loghist_bucket_py,
+        loghist_lo_py,
+        loghist_quantiles_py,
+        loghist_sql,
+    )
+
+    con = _d.connect()
+    con.execute(
+        "create table t as select unnest(range(0, 20000))::BIGINT as v "
+        "union all select unnest([1023::BIGINT, 1024, (1::BIGINT<<40)-1, "
+        "1::BIGINT<<40, 123456789012345]) as v"
+    )
+    b = _loghist_bucket_sql("v", 3, duck=True)
+    for v, got in con.execute(f"select v, {b} from t").fetchall():
+        assert got == loghist_bucket_py(v)
+    lo = _loghist_lo_sql("bucket", 3, duck=True)
+    for bk, got in con.execute(
+        f"with h as (select distinct {b} as bucket from t) select bucket, {lo} from h"
+    ).fetchall():
+        assert got == loghist_lo_py(bk)
+    body = loghist_sql("t", "'all'", "v", group_alias="k")
+    row = con.execute(f"with {body} select n, p50, p95, p99 from lh_q").fetchone()
+    vals = [r[0] for r in con.execute("select v from t").fetchall()]
+    py = loghist_quantiles_py(vals)
+    assert row == (py["n"], py["p50"], py["p95"], py["p99"])
+
+
+def test_loghist_null_skipped_negative_raises_and_validation(spark):
+    import pytest as _pt
+
+    from logparser_llm_spark.operators.sketch import (
+        loghist_build,
+        loghist_quantiles,
+        loghist_quantiles_py,
+    )
+
+    df = spark.createDataFrame([("a", 5), ("a", None), ("a", 7)], "k string, v long")
+    got = loghist_quantiles(loghist_build(df, ["k"], "v"), ["k"]).collect()
+    assert got[0]["n"] == 2  # NULL skipped
+    neg = spark.createDataFrame([("a", -1)], "k string, v long")
+    with _pt.raises(Exception, match="negative value"):
+        loghist_build(neg, ["k"], "v").collect()
+    with _pt.raises(ValueError, match="sub_bits"):
+        loghist_build(df, ["k"], "v", sub_bits=0)
+    with _pt.raises(ValueError, match="percents"):
+        loghist_quantiles(loghist_build(df, ["k"], "v"), ["k"], percents=(0,))
+    with _pt.raises(ValueError, match="negative"):
+        loghist_quantiles_py([-5])
+
+
+def test_quantile_sketch_accuracy_contract_on_registered_corpus(spark):
+    """The est-vs-exact demonstration columns obey the documented bound
+    on the actual sf0.01 corpus: p_est ≤ p_exact < p_est·(1 + 2^-3)."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["quantile_sketch"][0](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 3
+    for r in rows:
+        for pct in (50, 95, 99):
+            est, exact = r[f"p{pct}_est"], r[f"p{pct}_exact"]
+            assert est <= exact
+            if exact >= 16:
+                assert exact < est * (1 + 2 ** -3)
