@@ -122,6 +122,9 @@ def __getattr__(name):
         "bloom_build": ("logparser_llm_spark.operators.sketch", "bloom_build"),
         "bloom_merge": ("logparser_llm_spark.operators.sketch", "bloom_merge"),
         "bloom_contains": ("logparser_llm_spark.operators.sketch", "bloom_contains"),
+        "bpe_train": ("logparser_llm_spark.operators.bpe", "bpe_train"),
+        "bpe_encode": ("logparser_llm_spark.operators.bpe", "bpe_encode"),
+        "bpe_merges_df": ("logparser_llm_spark.operators.bpe", "bpe_merges_df"),
         "asof_join": ("logparser_llm_spark.operators.joins", "asof_join"),
         "interval_join": ("logparser_llm_spark.operators.joins", "interval_join"),
         "windowed_hll_registers": (

@@ -2911,6 +2911,45 @@ def q_quantile_sketch_sql(sf: str) -> str:
     """
 
 
+BPE_QUERY_MERGES = 12
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first
+    12 learned merges over the documents corpus.
+
+    The tokenizer-side training-data operator: the corpus is scanned
+    ONCE into a word frequency table; every merge round is one JVM
+    explode + partially-aggregable groupBy over that distinct-word
+    frame plus a one-row driver argmax — the same structure industrial
+    BPE trainers use (counts on the word dictionary, never the raw
+    text), so a 100 TB corpus costs one scan regardless of merge count.
+    The DuckDB oracle is the whole trainer unrolled into a CTE chain
+    GENERATED by the same module (the pagerank pattern): identical
+    doubled-separator replace semantics, identical (count desc, pair
+    asc) tiebreak, so the two formulations cannot drift and the hash is
+    zero-tolerance. Tests assert every learned pair count stays above
+    the early-stop threshold at sf0.01 AND sf0.1 (the unrolled oracle
+    has no early stop).
+    """
+    from ..operators.bpe import bpe_merges_df, bpe_train
+
+    d = _read(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=BPE_QUERY_MERGES, min_pair_count=2)
+    return bpe_merges_df(spark, merges)
+
+
+def q_bpe_merges_sql(sf: str) -> str:
+    from ..operators.bpe import bpe_sql
+
+    body = bpe_sql("documents", "text", num_merges=BPE_QUERY_MERGES)
+    return f"""
+        with {body}
+        select rank, lhs, rhs, merged, pair_count
+        from bpe_merges order by rank
+    """
+
+
 def q_asof_lastpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): every error event paired with
     the same user's most recent purchase at-or-before it.
@@ -3131,6 +3170,9 @@ QUERIES: dict[str, tuple] = {
     # r5: mergeable quantile sketch (HdrHistogram-style log histogram)
     # — pure integer bit arithmetic, zero-tolerance oracle
     "quantile_sketch": (q_quantile_sketch, q_quantile_sketch_sql),
+    # r5: distributed BPE tokenizer training — oracle is the trainer
+    # unrolled into CTEs by the same module (pagerank pattern)
+    "bpe_merges": (q_bpe_merges, q_bpe_merges_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
