@@ -116,6 +116,7 @@ def __getattr__(name):
         "cms_build": ("logparser_llm_spark.operators.sketch", "cms_build"),
         "cms_merge": ("logparser_llm_spark.operators.sketch", "cms_merge"),
         "cms_estimate": ("logparser_llm_spark.operators.sketch", "cms_estimate"),
+        "heavy_hitters_exact": ("logparser_llm_spark.operators.sketch", "heavy_hitters_exact"),
         "loghist_build": ("logparser_llm_spark.operators.sketch", "loghist_build"),
         "loghist_merge": ("logparser_llm_spark.operators.sketch", "loghist_merge"),
         "loghist_quantiles": ("logparser_llm_spark.operators.sketch", "loghist_quantiles"),

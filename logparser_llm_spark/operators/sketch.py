@@ -49,6 +49,7 @@ from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # 15 hex chars = 60 bits: the widest md5 prefix whose unsigned value
 # always fits a signed 64-bit integer in Spark, DuckDB and Python.
@@ -820,3 +821,129 @@ def loghist_quantiles_py(
     for pct in remaining:
         out[f"p{pct}"] = None
     return out
+
+
+# --- Misra-Gries heavy hitters (two-pass exact) ------------------------
+#
+# The frequency-threshold shape: "every value occurring in ≥ phi of the
+# corpus", EXACTLY, without ever shuffling the full distinct-value set
+# (ngram_topk's partial-agg + TakeOrdered shape is right for top-k but
+# still shuffles one row per distinct value — at 10^11 distinct n-grams
+# that is the bottleneck stage). Two passes:
+#
+#   1. A Misra-Gries summary per input partition (Arrow-batched
+#      mapInPandas; counter dict capacity `cap`, batched decrement =
+#      subtract the (cap+1)-th largest counter — the Agarwal et al.
+#      2013 mergeable-summaries form, guaranteeing
+#      weight(v) ≥ count_p(v) − N_p/(cap+1) per partition and therefore
+#      Σ_p weight(v) ≥ count(v) − N/(cap+1) after the merge). NO
+#      shuffle: per-partition state is ≤ cap counters however large
+#      the partition.
+#   2. The merged summaries (≤ cap·partitions tiny rows) are cut with
+#      the exact-integer soundness bound (any true heavy hitter
+#      survives), and the candidate set — ≈cap values — is recounted
+#      EXACTLY with an ordinary partially-aggregable groupBy behind a
+#      broadcast semi-join. Output = exact counts ≥ threshold, so the
+#      registered query's oracle is plain SQL (group by + having), no
+#      sketch recompute needed.
+#
+# phi is an exact rational (phi_num/phi_den) and the threshold is
+# ceil(N·phi) in integer form, so there is no float anywhere in the
+# correctness path. The input is scanned twice (the standard two-pass
+# trade: bounded memory + exact answers for two sequential reads).
+
+def _check_mg(phi_num: int, phi_den: int, cap: int) -> None:
+    if not (isinstance(phi_num, int) and isinstance(phi_den, int)
+            and 1 <= phi_num <= phi_den):
+        raise ValueError(
+            f"phi must be a rational 0 < phi_num/phi_den <= 1, got {phi_num}/{phi_den}"
+        )
+    if not (isinstance(cap, int) and cap >= 1):
+        raise ValueError(f"mg cap must be an int >= 1, got {cap!r}")
+
+
+def _mg_partition(cap: int):
+    import pandas as pd
+
+    def fn(batches):
+        counters: dict = {}
+        processed = 0
+        for pdf in batches:
+            vc = pdf.iloc[:, 0].value_counts()
+            processed += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                # batched MG decrement: subtract the (cap+1)-th largest
+                # weight from every counter, drop the non-positive ones
+                # (ties with the pivot die too, so size <= cap after)
+                d = sorted(counters.values(), reverse=True)[cap]
+                counters = {v: c - d for v, c in counters.items() if c > d}
+        rows = [(v, int(c), 0) for v, c in counters.items()]
+        rows.append((None, 0, processed))
+        yield pd.DataFrame(rows, columns=["value", "weight", "processed"])
+
+    return fn
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    *,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    cap: int | None = None,
+) -> DataFrame:
+    """All values of string column ``value_col`` with exact count ≥
+    ceil(N·phi_num/phi_den), with their exact counts (``value_col``,
+    ``cnt``). NULLs are skipped. ``cap`` defaults to ceil(2·phi⁻¹),
+    which makes the per-partition error N_p/(cap+1) < phi·N_p/2 — small
+    enough that no true heavy hitter can be cut before the exact
+    recount."""
+    if cap is None:
+        cap = -(-2 * phi_den // phi_num)
+    _check_mg(phi_num, phi_den, cap)
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("value")
+    )
+    summaries = src.mapInPandas(
+        _mg_partition(cap), "value string, weight long, processed long"
+    )
+    merged = (
+        summaries.groupBy("value")
+        .agg(F.sum("weight").alias("w"), F.sum("processed").alias("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_total = merged.agg(F.sum("p")).collect()[0][0] or 0
+    threshold = (n_total * phi_num + phi_den - 1) // phi_den
+    # soundness cut in exact integers: keep v unless even the most
+    # optimistic true count (w + N/(cap+1)) is below threshold
+    candidates = merged.where(F.col("value").isNotNull()).where(
+        F.col("w") * (cap + 1) >= threshold * (cap + 1) - n_total
+    ).select("value")
+    out = (
+        src.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+        .select(F.col("value").alias(value_col), "cnt")
+    )
+    merged.unpersist()
+    return out
+
+
+def mg_summary_py(values: Iterable[str], cap: int) -> tuple[dict, int]:
+    """Driver-side reference of one partition's summary (same batched
+    decrement), for differential tests."""
+    _check_mg(1, 1, cap)
+    counters: dict = {}
+    n = 0
+    for v in values:
+        if v is None:
+            continue
+        n += 1
+        counters[v] = counters.get(v, 0) + 1
+        if len(counters) > cap:
+            d = sorted(counters.values(), reverse=True)[cap]
+            counters = {k: c - d for k, c in counters.items() if c > d}
+    return counters, n

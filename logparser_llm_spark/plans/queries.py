@@ -2911,6 +2911,65 @@ def q_quantile_sketch_sql(sf: str) -> str:
     """
 
 
+# frequency threshold: ceil(N/800), exact rational. The synthetic
+# documents text is near-uniform (top bigram ≈ 1/555 at sf0.01, 1/744
+# at sf0.1), so 1/800 keeps the result set nonempty at BOTH driver
+# scales (asserted in tests); the implied cap (1600) exceeds the
+# corpus' ~930 distinct bigrams, so this query exercises the exact
+# two-pass path end-to-end while the MG decrement path is pinned by
+# the tiny-cap unit tests (test_sketch.py).
+HH_PHI = (1, 800)
+_HH_GRAMS_EXPR = (
+    "case when size(__syms) >= 2 then "
+    "transform(sequence(0, size(__syms) - 2), "
+    "i -> concat(__syms[i], ' ', __syms[i + 1])) else array() end"
+)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters (operators/sketch.py Misra-Gries):
+    every word BIGRAM covering ≥ 1/64 of the documents bigram stream,
+    with its exact count.
+
+    The bounded-memory frequency-threshold shape: pass 1 keeps ≤ cap
+    counters per partition (Arrow-batched mapInPandas, no shuffle) and
+    can provably not lose a true heavy hitter; pass 2 recounts the
+    ≈cap-sized candidate set exactly behind a broadcast semi-join.
+    Because the output is EXACT, the oracle is plain SQL (group by +
+    having against the exact-integer ceil threshold) — no sketch
+    recompute, the strongest possible cross-check of the MG machinery.
+    """
+    from ..operators.ranking import TOKEN_SPLIT_RE
+    from ..operators.sketch import heavy_hitters_exact
+
+    d = _read(spark, sf_dir, "documents")
+    grams = d.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda w: w != ""
+        ).alias("__syms")
+    ).select(F.explode(F.expr(_HH_GRAMS_EXPR)).alias("gram"))
+    num, den = HH_PHI
+    return heavy_hitters_exact(grams, "gram", phi_num=num, phi_den=den)
+
+
+def q_heavy_hitters_sql(sf: str) -> str:
+    num, den = HH_PHI
+    return f"""
+        with syms as (
+          select list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') as s
+          from documents
+        ),
+        grams as (
+          select s[i] || ' ' || s[i + 1] as gram
+          from syms, unnest(range(1, len(s))) as g(i)
+        ),
+        tot as (select count(*) as n from grams)
+        select gram, count(*)::BIGINT as cnt from grams group by 1
+        having count(*) >= (select (n * {num} + {den} - 1) // {den} from tot)
+    """
+
+
 BPE_QUERY_MERGES = 12
 
 
@@ -3173,6 +3232,9 @@ QUERIES: dict[str, tuple] = {
     # r5: distributed BPE tokenizer training — oracle is the trainer
     # unrolled into CTEs by the same module (pagerank pattern)
     "bpe_merges": (q_bpe_merges, q_bpe_merges_sql),
+    # r5: two-pass exact heavy hitters (Misra-Gries candidates + exact
+    # recount) — exact output, plain-SQL oracle
+    "heavy_hitters": (q_heavy_hitters, q_heavy_hitters_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

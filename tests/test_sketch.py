@@ -503,3 +503,96 @@ def test_quantile_sketch_accuracy_contract_on_registered_corpus(spark):
             assert est <= exact
             if exact >= 16:
                 assert exact < est * (1 + 2 ** -3)
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------
+
+
+def test_mg_summary_py_error_bound():
+    """The per-summary guarantee the two-pass soundness cut rests on:
+    weight(v) >= count(v) - n/(cap+1), for adversarial-ish streams."""
+    import random
+
+    from logparser_llm_spark.operators.sketch import mg_summary_py
+
+    rng = random.Random(7)
+    for trial in range(20):
+        cap = rng.choice([2, 3, 5, 8])
+        vals = []
+        for v in range(30):
+            vals += [f"v{v}"] * rng.randrange(0, 40)
+        rng.shuffle(vals)
+        counters, n = mg_summary_py(vals, cap)
+        assert n == len(vals)
+        assert len(counters) <= cap
+        import collections
+
+        exact = collections.Counter(vals)
+        for v, c in exact.items():
+            assert counters.get(v, 0) >= c - n / (cap + 1)
+            assert counters.get(v, 0) <= c  # never overcounts
+
+
+def test_heavy_hitters_exact_matches_bruteforce(spark):
+    """End-to-end: skewed stream across many partitions, tiny cap so the
+    decrement path runs, output must equal the exact group-by answer."""
+    import collections
+
+    from logparser_llm_spark.operators.sketch import heavy_hitters_exact
+
+    vals = []
+    for v in range(200):
+        vals += [f"v{v:03d}"] * (1 + (v * 7919) % 97)
+    vals += ["hot"] * 2000 + ["warm"] * 800
+    df = spark.createDataFrame([(v,) for v in vals], "t string").repartition(16)
+    got = {
+        r["t"]: r["cnt"]
+        for r in heavy_hitters_exact(df, "t", phi_num=1, phi_den=20).collect()
+    }
+    n = len(vals)
+    thr = (n + 19) // 20
+    exact = {v: c for v, c in collections.Counter(vals).items() if c >= thr}
+    assert got == exact and "hot" in got
+
+
+def test_heavy_hitters_nulls_and_validation(spark):
+    import pytest as _pt
+
+    from logparser_llm_spark.operators.sketch import (
+        heavy_hitters_exact,
+        mg_summary_py,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "t string")
+    got = {r["t"]: r["cnt"] for r in
+           heavy_hitters_exact(df, "t", phi_num=1, phi_den=2).collect()}
+    assert got == {"a": 2}  # N=3 (null skipped), threshold ceil(3/2)=2
+    with _pt.raises(ValueError, match="phi"):
+        heavy_hitters_exact(df, "t", phi_num=3, phi_den=2)
+    with _pt.raises(ValueError, match="cap"):
+        mg_summary_py(["a"], 0)
+
+
+def test_heavy_hitters_partition_invariance(spark):
+    """Same answer at 1, 4 and 32 partitions — the summaries are
+    partition-dependent but the exact recount is not."""
+    from logparser_llm_spark.operators.sketch import heavy_hitters_exact
+
+    vals = [f"v{i % 37}" for i in range(5000)] + ["big"] * 900
+    base = spark.createDataFrame([(v,) for v in vals], "t string")
+    outs = []
+    for p in (1, 4, 32):
+        outs.append(sorted(
+            map(tuple, heavy_hitters_exact(
+                base.repartition(p), "t", phi_num=1, phi_den=10).collect())
+        ))
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_heavy_hitters_registered_query_nonempty(spark, sf):
+    """An empty result set would make the registered oracle row
+    vacuous; pin nonemptiness at both driver scales."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    assert QUERIES["heavy_hitters"][0](spark, sf).count() > 0
