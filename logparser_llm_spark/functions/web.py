@@ -81,3 +81,47 @@ def registrable_domain(host: Column) -> Column:
         .when((n >= 3) & is_multi, three)
         .otherwise(two)
     )
+
+
+def surt_key(url: Column) -> Column:
+    """CDX-style sort key ("urlkey") of a URL — the Sort-friendly URI
+    Reordering Transform used by Common Crawl's CDX index files and the
+    wayback tooling conventions: host labels reversed and comma-joined
+    (so one registrable domain's pages sort contiguously), ``)`` then
+    the path+query; everything lowercased; scheme, userinfo, default
+    port, fragment and tracking parameters dropped (via
+    :func:`canonicalize_url`); a leading ``www.`` label dropped; query
+    parameters sorted bytewise so equivalent urls with permuted
+    arguments share one key; a NON-default port is kept after the
+    reversed host (``com,example:8080)/``) since it names a distinct
+    origin.
+
+    ``https://WWW.News.Example.com:443/A/B?b=2&a=1#x`` →
+    ``com,example,news)/a/b?a=1&b=2``.
+
+    Pure JVM expression chain — at crawl scale the key is computed in
+    the scan stage and the index is one sort on it. Sort keys only:
+    path case is intentionally folded (unlike :func:`canonicalize_url`,
+    which preserves it for fetchability). Schemeless inputs yield a
+    key with an empty host part (total, never raises)."""
+    u = F.lower(canonicalize_url(url))
+    host = host_of(u)
+    host = F.regexp_replace(host, r"^www\.", "")
+    revhost = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    # canonicalize_url already stripped DEFAULT ports; whatever port
+    # survives names a distinct origin and stays in the key
+    port = F.regexp_extract(F.regexp_extract(u, _AUTHORITY_RE, 0), r":(\d+)$", 1)
+    revhost = F.concat(
+        revhost,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
+    rest = F.regexp_replace(u, _AUTHORITY_RE, "")
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        revhost,
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )

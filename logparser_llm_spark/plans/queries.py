@@ -2911,6 +2911,87 @@ def q_quantile_sketch_sql(sf: str) -> str:
     """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index generation (functions/web.py surt_key): Common Crawl's
+    capture-index row shape — (urlkey, timestamp, canonical url, digest,
+    length) — over SEEDED messy crawl URLs.
+
+    The index that makes a 10^12-capture crawl addressable: the SURT
+    urlkey reverses host labels so one domain's pages sort contiguously
+    and permuted query args share a key; at scale the key is computed
+    in the scan stage (pure codegen'd JVM chain, zero exchanges here)
+    and the index is one global sort on it. The seeded URLs vary by
+    doc_id across five axes the key must collapse — scheme case, a
+    WWW. prefix, an explicit :443, query-arg ORDER (b=..&a=.. vs
+    a=..&b=..), an utm_ tracking param and a fragment — while the
+    expected urlkey is the same closed form for every class, so the
+    DuckDB oracle derives every column arithmetically and any
+    reorder/fold/strip bug breaks the hash. The fake timestamp is
+    integer-arithmetic (no timezone anywhere); the digest is md5 of the
+    doc text, identical in both engines.
+    """
+    from ..functions.web import canonicalize_url, surt_key
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sid = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        sid,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?b="), m7, F.lit("&utm_source=feed&a="), sid),
+        ).otherwise(F.concat(F.lit("?a="), sid, F.lit("&b="), m7)),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    ts = F.concat(
+        F.lit("2024"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") * 7 % 60).cast("string"), 2, "0"),
+    )
+    return d.select(
+        surt_key(messy).alias("urlkey"),
+        ts.alias("ts"),
+        canonicalize_url(messy).alias("url"),
+        F.md5("text").alias("digest"),
+        F.length("text").cast("bigint").alias("length"),
+    )
+
+
+def q_cdx_index_sql(sf: str) -> str:
+    return """
+        select
+          'com,example,' || source || ')/articles/' || cast(doc_id as varchar)
+            || '?a=' || cast(doc_id as varchar)
+            || '&b=' || cast(doc_id % 7 as varchar) as urlkey,
+          '2024'
+            || lpad(cast(doc_id % 12 + 1 as varchar), 2, '0')
+            || lpad(cast(doc_id % 28 + 1 as varchar), 2, '0')
+            || lpad(cast(doc_id % 24 as varchar), 2, '0')
+            || lpad(cast(doc_id % 60 as varchar), 2, '0')
+            || lpad(cast(doc_id * 7 % 60 as varchar), 2, '0') as ts,
+          'https://' || case when doc_id % 2 = 0 then 'www.' else '' end
+            || source || '.example.com/Articles/' || cast(doc_id as varchar)
+            || case when doc_id % 3 = 0
+               then '?b=' || cast(doc_id % 7 as varchar)
+                 || '&a=' || cast(doc_id as varchar)
+               else '?a=' || cast(doc_id as varchar)
+                 || '&b=' || cast(doc_id % 7 as varchar) end as url,
+          md5(text) as digest,
+          length(text)::BIGINT as length
+        from documents
+    """
+
+
 # frequency threshold: ceil(N/800), exact rational. The synthetic
 # documents text is near-uniform (top bigram ≈ 1/555 at sf0.01, 1/744
 # at sf0.1), so 1/800 keeps the result set nonempty at BOTH driver
@@ -3235,6 +3316,9 @@ QUERIES: dict[str, tuple] = {
     # r5: two-pass exact heavy hitters (Misra-Gries candidates + exact
     # recount) — exact output, plain-SQL oracle
     "heavy_hitters": (q_heavy_hitters, q_heavy_hitters_sql),
+    # r5: CDX capture-index rows over seeded messy URLs — the SURT
+    # urlkey is closed-form per variation class
+    "cdx_index": (q_cdx_index, q_cdx_index_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

@@ -12,6 +12,7 @@ from logparser_llm_spark.functions.web import (
     canonicalize_url,
     host_of,
     registrable_domain,
+    surt_key,
 )
 
 CANON_CASES = [
@@ -81,6 +82,47 @@ def test_registrable_domain(spark, host, expected):
     df = spark.createDataFrame([(host,)], "h string")
     got = df.select(registrable_domain(F.col("h")).alias("d")).first()["d"]
     assert got == expected
+
+
+SURT_CASES = [
+    # the docstring example: case fold, www strip, :443 strip, query
+    # sort, fragment drop
+    ("https://WWW.News.Example.com:443/A/B?b=2&a=1#x",
+     "com,example,news)/a/b?a=1&b=2"),
+    ("http://example.com/", "com,example)/"),
+    # bare authority: empty path after ')'
+    ("https://example.com", "com,example)"),
+    # only a LEADING www label is stripped
+    ("https://sub.www.example.com/p", "com,example,www,sub)/p"),
+    # non-default port survives as part of the origin
+    ("https://user:pw@Site.org:8080/X?b&a=2", "org,site:8080)/x?a=2&b"),
+    # :80 is default for http only
+    ("http://e.com:80/p", "com,e)/p"),
+    ("https://e.com:80/p", "com,e:80)/p"),
+    # tracking params removed before the sort
+    ("https://e.com/p?utm_source=x&z=9&a=1", "com,e)/p?a=1&z=9"),
+    # schemeless input: total, empty host part
+    ("example.com/no-scheme", ")example.com/no-scheme"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", SURT_CASES)
+def test_surt_key(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], "u string")
+    assert df.select(surt_key(F.col("u")).alias("k")).first()["k"] == expected
+
+
+def test_surt_key_collapses_equivalent_spellings(spark):
+    """Every spelling of one capture must map to ONE urlkey — the
+    property the CDX index relies on."""
+    spellings = [
+        "https://www.example.com/a?x=1&y=2",
+        "HTTPS://WWW.EXAMPLE.COM:443/A?y=2&x=1",
+        "https://example.com/a?y=2&utm_campaign=c&x=1#frag",
+    ]
+    df = spark.createDataFrame([(s,) for s in spellings], "u string")
+    keys = {r["k"] for r in df.select(surt_key(F.col("u")).alias("k")).collect()}
+    assert keys == {"com,example)/a?x=1&y=2"}
 
 
 def test_canonical_is_idempotent(spark):
