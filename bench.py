@@ -94,6 +94,12 @@ HEADLINE = [
     "anchor_text_agg",
     "robots_filter",
     "web_domain_rollup",
+    # round 5 (final): mergeable quantile sketch, distributed BPE merge
+    # training, two-pass exact heavy hitters, CDX capture index
+    "quantile_sketch",
+    "bpe_merges",
+    "heavy_hitters",
+    "cdx_index",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -104,7 +110,7 @@ LARGE_RESULT = {
     "valid_filter", "tokenize_stats", "log_levels", "variables_extract",
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
-    "bloom_frontier", "charset_decode", "robots_filter",
+    "bloom_frontier", "charset_decode", "robots_filter", "cdx_index",
 }
 
 
