@@ -100,6 +100,9 @@ HEADLINE = [
     "bpe_merges",
     "heavy_hitters",
     "cdx_index",
+    "lm_quality",
+    "crawl_diff",
+    "html_template_cluster",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -111,6 +114,7 @@ LARGE_RESULT = {
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
     "bloom_frontier", "charset_decode", "robots_filter", "cdx_index",
+    "lm_quality",
 }
 
 

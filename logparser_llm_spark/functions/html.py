@@ -152,6 +152,33 @@ def html_anchors(html: Column) -> Column:
     return F.transform(matches, one)
 
 
+def html_tag_seq(html: Column) -> Column:
+    """The page's structural skeleton: lowercased tag-name sequence
+    (closing tags keep their ``/``) joined with ``>``, e.g.
+    ``html>head>title>/title>/head>body>p>/p>/body>/html``.
+
+    Pages generated by one CMS template share this skeleton even when
+    every word of content differs — grouping a crawl by ``md5`` of it
+    is the standard template/boilerplate clustering move. Comments are
+    stripped first and script/style/noscript/template BODIES are
+    dropped while their own tags are kept (their content legally
+    contains ``<p>``-looking strings that are code, not structure).
+    Pure JVM chain like everything in this module."""
+    u = F.regexp_replace(html, r"(?s)<!--.*?-->", "")
+    for el in ("script", "style", "noscript", "template"):
+        u = F.regexp_replace(u, rf"(?is)(<{el}\b[^>]*>).*?(</{el}\s*>)", "$1$2")
+    names = F.regexp_extract_all(
+        F.lower(u), F.lit(r"<(/?[a-z][a-z0-9]*)"), 1
+    )
+    return F.array_join(names, ">")
+
+
+def html_tag_fingerprint(html: Column) -> Column:
+    """``md5`` of :func:`html_tag_seq` — the grouping key for template
+    clustering."""
+    return F.md5(F.encode(html_tag_seq(html), "UTF-8"))
+
+
 def html_meta(html: Column, name: str) -> Column:
     """``content`` of ``<meta name="..." content="...">`` (either
     attribute order), entity-decoded; empty string when absent."""

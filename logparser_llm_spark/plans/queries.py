@@ -2126,6 +2126,23 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.html import html_links, html_meta, html_title, html_to_text
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    html = F.encode(_seeded_page_col(), "UTF-8")  # the input_hint column is binary
+    text_col = F.decode(html, "UTF-8")
+    lk = html_links(text_col)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        html_title(text_col).alias("title"),
+        html_to_text(text_col).alias("body_text"),
+        F.size(lk).cast("bigint").alias("n_links"),
+        F.element_at(lk, 1).alias("first_link"),
+        html_meta(text_col, "author").alias("author"),
+    )
+
+
+def _seeded_page_col():
+    """The shared seeded full-page column over (doc_id, text, source) —
+    used by q_html_extract AND q_html_template_cluster so their oracles
+    describe the same markup."""
     sid = F.col("doc_id").cast("string")
     amp = F.when(F.col("doc_id") % 2 == 0, F.lit("&#38;")).otherwise(F.lit("&amp;"))
     meta = F.when(
@@ -2188,17 +2205,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         links,
         F.lit("</body></html>"),
     )
-    html = F.encode(page, "UTF-8")  # the input_hint column is binary
-    text_col = F.decode(html, "UTF-8")
-    lk = html_links(text_col)
-    return d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        html_title(text_col).alias("title"),
-        html_to_text(text_col).alias("body_text"),
-        F.size(lk).cast("bigint").alias("n_links"),
-        F.element_at(lk, 1).alias("first_link"),
-        html_meta(text_col, "author").alias("author"),
-    )
+    return page
 
 
 def q_html_extract_sql(sf: str) -> str:
@@ -2214,6 +2221,61 @@ def q_html_extract_sql(sf: str) -> str:
                  || cast(doc_id as varchar) || '?a=1&j=0' as first_link,
                'writer ' || cast(doc_id % 7 as varchar) as author
         from documents
+    """
+
+
+def q_html_template_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template clustering by tag-skeleton fingerprint
+    (functions/html.py html_tag_fingerprint) over the SAME seeded page
+    family as ``html_extract``.
+
+    The CMS-template detection move: pages rendered from one template
+    share their tag sequence even when every word differs, so one
+    md5-groupBy clusters a 10^12-page crawl into its templates — a
+    partially-aggregable single shuffle over (fingerprint) with the
+    skeleton computed in the scan stage. On this corpus the skeleton
+    varies ONLY by the script axis (doc_id%2) and the style/link axis
+    (doc_id%3) — six classes — while the comment axis (%4), meta
+    attribute order (%2), entity spelling and the whole text column
+    must collapse: the DuckDB oracle builds each class's expected tag
+    sequence closed-form, md5s it, and derives the class sizes
+    arithmetically, so a tag missed (comment/script content leaking
+    in) or over-dropped (real structure lost) breaks the hash.
+    """
+    from ..functions.html import html_tag_fingerprint, html_tag_seq
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    page = _seeded_page_col()
+    clustered = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        html_tag_fingerprint(page).alias("fp"),
+        html_tag_seq(page).alias("seq"),
+    )
+    return clustered.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("doc_id").alias("example_doc"),
+        F.size(F.split(F.min("seq"), ">")).cast("bigint").alias("n_tags"),
+    )
+
+
+def q_html_template_cluster_sql(sf: str) -> str:
+    return """
+        with skel as (
+          select doc_id,
+                 'html>head>title>/title>meta>/head>body>h1>/h1'
+                 || case when doc_id % 2 = 0 then '>script>/script' else '' end
+                 || case when doc_id % 3 = 0 then '>style>/style' else '' end
+                 || '>p>/p>p>/p'
+                 || repeat('>div>a>/a>/div', cast(doc_id % 3 + 1 as int))
+                 || '>/body>/html' as seq
+          from documents
+        )
+        select md5(seq) as fp,
+               count(*)::BIGINT as n_pages,
+               min(doc_id)::BIGINT as example_doc,
+               (len(string_split(min(seq), '>')))::BIGINT as n_tags
+        from skel
+        group by 1
     """
 
 
@@ -2736,6 +2798,61 @@ def q_bm25_topk_sql(sf: str) -> str:
     )
 
 
+# LM quality filter: train on the trusted 80% (doc_id % 10 < 8), score
+# everything. The keep cutoff sits at the per-gram-NLL median of the
+# synthetic corpus (~3.40 nats ≈ perplexity 30) so BOTH classes appear
+# at sf0.01 AND sf0.1 (probed: medians 3.388M / 3.402M micro-nats).
+LM_TRAIN_WHERE = "doc_id % 10 < 8"
+LM_KEEP_MAX_E6 = 3_400_000
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter (operators/lm.py): train a
+    bigram model on the trusted 80% of documents, score EVERY document
+    with its negative log likelihood in integer micro-nats, keep the
+    low-perplexity tail.
+
+    The classic webtext quality gate (Wenzek et al. 2020). Scale shape:
+    training is one token explode into a partially-aggregable bigram
+    count (model is O(distinct bigrams), never O(corpus)); scoring
+    pre-aggregates the doc bigram stream to (doc, w1, w2, cnt) before
+    the two model joins. Rational add-k smoothing keeps every
+    probability a ratio of exact integers; per-bigram scores quantize
+    to micro-nats BEFORE the per-doc sum, so the DuckDB oracle — the
+    whole train+score pipeline regenerated by the same module — is
+    hash-exact (module docstring covers the ≤1-ulp ln caveat).
+    """
+    from ..operators.lm import lm_score_bigram, lm_train_bigram
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    bigrams, contexts, v = lm_train_bigram(d.where(F.expr(LM_TRAIN_WHERE)), "text")
+    scored = lm_score_bigram(d, "doc_id", "text", bigrams, contexts, v)
+    return scored.select(
+        "doc_id", "n_bigrams", "nll_e6", "nll_per_gram_e6",
+        (
+            (F.col("n_bigrams") > 0)
+            & (F.col("nll_per_gram_e6") <= LM_KEEP_MAX_E6)
+        ).alias("keep"),
+    )
+
+
+def q_lm_quality_sql(sf: str) -> str:
+    from ..operators.lm import lm_score_sql
+
+    inner = lm_score_sql(
+        train_where=LM_TRAIN_WHERE, score_from="documents",
+        id_col="doc_id", text_col="text",
+    )
+    return f"""
+        with scored as ({inner})
+        select doc_id::BIGINT as doc_id, n_bigrams, nll_e6, nll_per_gram_e6,
+               (n_bigrams > 0 and nll_per_gram_e6 <= {LM_KEEP_MAX_E6}) as keep
+        from scored
+    """
+
+
 # Count-Min probe set: common vocabulary spanning a range of true
 # frequencies plus one absent term (pins the zero/absent-counter path).
 CMS_PROBE_TERMS = [
@@ -2989,6 +3106,77 @@ def q_cdx_index_sql(sf: str) -> str:
           md5(text) as digest,
           length(text)::BIGINT as length
         from documents
+    """
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff on the SURT urlkey: classify every page of
+    two crawl snapshots as added / gone / changed / unchanged, rolled
+    up per source domain.
+
+    The incremental-recrawl shape: at 10^12 captures "what changed
+    since last month" is ONE full-outer join of two CDX-keyed snapshots
+    plus a digest compare — never a re-fetch. The two snapshots here
+    spell the SAME pages differently on purpose (A: 'https' + a WWW.
+    prefix on even ids; B: uppercase scheme, no www, an explicit :443,
+    a tracking param and a fragment) so the join only lines up if
+    ``surt_key`` collapses both spellings to one key — a misclassified
+    spelling shows up as a spurious added+gone pair and breaks the
+    hash. Membership and change are closed-form in doc_id (A drops
+    id%16==0, B drops id%16==1, B rewrites text when id%5==0), so the
+    DuckDB oracle derives the expected class per row arithmetically
+    while Spark must earn it through the real key join.
+    """
+    from ..functions.web import surt_key
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sid = F.col("doc_id").cast("string")
+    url_a = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/Pages/"), sid,
+    )
+    url_b = F.concat(
+        F.lit("HTTPS://"), F.col("source"), F.lit(".example.com:443/Pages/"),
+        sid, F.lit("?utm_source=diff#frag"),
+    )
+    snap_a = d.where(F.col("doc_id") % 16 != 0).select(
+        surt_key(url_a).alias("k"),
+        F.md5("text").alias("dg_a"),
+        F.col("source").alias("src_a"),
+    )
+    text_b = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    snap_b = d.where(F.col("doc_id") % 16 != 1).select(
+        surt_key(url_b).alias("k"),
+        F.md5(text_b).alias("dg_b"),
+        F.col("source").alias("src_b"),
+    )
+    j = snap_a.join(snap_b, "k", "full_outer")
+    status = (
+        F.when(F.col("dg_a").isNull(), F.lit("added"))
+        .when(F.col("dg_b").isNull(), F.lit("gone"))
+        .when(F.col("dg_a") != F.col("dg_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce("src_a", "src_b").alias("source"), status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_crawl_diff_sql(sf: str) -> str:
+    return """
+        select source,
+               case when doc_id % 16 = 0 then 'added'
+                    when doc_id % 16 = 1 then 'gone'
+                    when doc_id % 5 = 0 then 'changed'
+                    else 'unchanged' end as status,
+               count(*)::BIGINT as n
+        from documents
+        group by 1, 2
     """
 
 
@@ -3305,6 +3493,10 @@ QUERIES: dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, q_hll_distinct_sql),
     # r5: BM25 ranked retrieval, full scoring recompute in DuckDB
     "bm25_topk": (q_bm25_topk, q_bm25_topk_sql),
+    # r5: CCNet-style bigram-LM perplexity filter — train on the
+    # trusted 80%, integer micro-nat scores, oracle regenerated by the
+    # same module
+    "lm_quality": (q_lm_quality, q_lm_quality_sql),
     # r5: Count-Min sketch — all-integer, exact cross-engine parity
     "cms_counts": (q_cms_counts, q_cms_counts_sql),
     # r5: mergeable quantile sketch (HdrHistogram-style log histogram)
@@ -3319,6 +3511,12 @@ QUERIES: dict[str, tuple] = {
     # r5: CDX capture-index rows over seeded messy URLs — the SURT
     # urlkey is closed-form per variation class
     "cdx_index": (q_cdx_index, q_cdx_index_sql),
+    # r5: two-snapshot crawl diff keyed on the SURT urlkey — spellings
+    # differ across snapshots so the key collapse is load-bearing
+    "crawl_diff": (q_crawl_diff, q_crawl_diff_sql),
+    # r5: CMS-template clustering by tag-skeleton fingerprint — six
+    # closed-form classes; content/comment axes must collapse
+    "html_template_cluster": (q_html_template_cluster, q_html_template_cluster_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

@@ -138,3 +138,29 @@ def test_anchors_multiline_and_empty(spark):
     got = _one(spark, h, html_anchors)
     assert [(a.href, a.text) for a in got] == [("/x", "line1 line2")]
     assert _one(spark, "<p>no links</p>", html_anchors) == []
+
+
+def test_tag_seq_skeleton_and_drops(spark):
+    """Script/style bodies (which legally contain '<p>'-looking code)
+    and comments must not contribute tags; the drop-elements' OWN tags
+    must survive; names fold to lowercase."""
+    from logparser_llm_spark.functions.html import html_tag_seq
+    h = ('<HTML><body><!-- <b>hidden</b> -->'
+         '<SCRIPT>var x = "<p>fake</p>";</SCRIPT>'
+         '<style>p > a { color: red }</style>'
+         '<p>real</p></body></HTML>')
+    assert _one(spark, h, html_tag_seq) == (
+        "html>body>script>/script>style>/style>p>/p>/body>/html"
+    )
+
+
+def test_tag_fingerprint_ignores_content_and_attributes(spark):
+    """Two pages from one template — different text, attributes,
+    comments — share a fingerprint; a structural change breaks it."""
+    from logparser_llm_spark.functions.html import html_tag_fingerprint
+    a = '<html><body class="x"><p id="1">hello world</p></body></html>'
+    b = "<html><body><!-- note --><p>entirely different words</p></body></html>"
+    c = "<html><body><p>hello</p><p>world</p></body></html>"
+    fa, fb, fc = (_one(spark, h, html_tag_fingerprint) for h in (a, b, c))
+    assert fa == fb
+    assert fa != fc
