@@ -103,6 +103,7 @@ HEADLINE = [
     "lm_quality",
     "crawl_diff",
     "html_template_cluster",
+    "bpe_tokenize",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -114,7 +115,7 @@ LARGE_RESULT = {
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
     "bloom_frontier", "charset_decode", "robots_filter", "cdx_index",
-    "lm_quality",
+    "lm_quality", "bpe_tokenize",
 }
 
 

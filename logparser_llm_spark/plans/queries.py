@@ -3278,6 +3278,55 @@ def q_bpe_merges_sql(sf: str) -> str:
     """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the trained BPE merges
+    (operators/bpe.py bpe_encode): per-document word and subword-token
+    counts — the data-budgeting pass every training pipeline runs
+    ("how many tokens is this corpus?").
+
+    Scale shape: training as in ``bpe_merges`` (one scan into the word
+    dictionary); encoding is a pure JVM chained-replace expression per
+    row — NO shuffle, no Python, the whole encode rides the scan's
+    codegen stage. The DuckDB oracle's encoder chain is GENERATED by
+    the same module (`bpe_encode_sql`) and deliberately uses the other
+    legitimate shape — encode each DISTINCT word once, join back to
+    per-doc counts — so the two formulations agree only if the merge
+    semantics match exactly.
+    """
+    from ..operators.bpe import bpe_encode, bpe_train
+    from ..operators.ranking import TOKEN_SPLIT_RE
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    merges = bpe_train(d, "text", num_merges=BPE_QUERY_MERGES, min_pair_count=2)
+    enc = bpe_encode(d, "text", merges)
+    n_words = F.size(
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda w: w != "")
+    )
+    return enc.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_bpe_tokenize_sql(sf: str) -> str:
+    from ..operators.bpe import bpe_encode_sql, bpe_sql
+
+    train = bpe_sql("documents", "text", num_merges=BPE_QUERY_MERGES)
+    enc = bpe_encode_sql(
+        "documents", "doc_id", "text", num_merges=BPE_QUERY_MERGES
+    )
+    return f"""
+        with {train},{enc}
+        select d.doc_id::BIGINT as doc_id,
+               coalesce(e.n_words, 0)::BIGINT as n_words,
+               coalesce(e.n_tokens, 0)::BIGINT as n_tokens
+        from documents d left join bpe_enc e on d.doc_id = e.doc_id
+    """
+
+
 def q_asof_lastpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): every error event paired with
     the same user's most recent purchase at-or-before it.
@@ -3517,6 +3566,9 @@ QUERIES: dict[str, tuple] = {
     # r5: CMS-template clustering by tag-skeleton fingerprint — six
     # closed-form classes; content/comment axes must collapse
     "html_template_cluster": (q_html_template_cluster, q_html_template_cluster_sql),
+    # r5: corpus tokenization under the trained merges — Spark encodes
+    # per row in codegen, the oracle encodes the distinct vocabulary
+    "bpe_tokenize": (q_bpe_tokenize, q_bpe_tokenize_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

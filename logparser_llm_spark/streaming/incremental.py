@@ -143,3 +143,71 @@ def windowed_hll_registers(
             "rho",
         )
     )
+
+
+def windowed_bloom_words(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    m_bits: int = 1 << 15,
+    k: int = 4,
+) -> DataFrame:
+    """Streaming membership state: Bloom-filter words per (tumbling
+    window, key), maintained by ONE watermarked streaming aggregation
+    (``bit_or`` per word — monotone under OR, so update-mode re-emits
+    only ever SET bits, never clear them). The streaming face of the
+    crawl-frontier seen-set: a url-dedup front-line that admits a
+    bounded false-positive rate and zero false negatives, with
+    per-(window, key) state ≤ m_bits/60 small integers regardless of
+    stream length.
+
+    The WORDS are the output on purpose, mirroring
+    :func:`windowed_hll_registers`: they are the mergeable form
+    (``operators.sketch.bloom_merge`` — per-word OR), so a sink table
+    of words rolls up across windows/keys without rescanning the
+    stream; finish with ``operators.sketch.bloom_contains`` at read
+    time. Late rows beyond the watermark drop like every windowed
+    aggregate here."""
+    from ..operators.sketch import (
+        _BLOOM_MASK,
+        _BLOOM_WORD,
+        _bloom_pos,
+        _check_bloom,
+    )
+
+    _check_bloom(m_bits, k)
+    h = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
+    addressed = (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(ts_col), F.col(key_col), F.col(value_col), h)
+        .select(
+            ts_col,
+            key_col,
+            _bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"),
+        )
+        .select(
+            ts_col,
+            key_col,
+            F.expr(_BLOOM_WORD).alias("word_idx"),
+            F.expr(_BLOOM_MASK).alias("mask"),
+        )
+    )
+    return (
+        addressed.groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(key_col),
+            F.col("word_idx"),
+        )
+        .agg(F.bit_or("mask").alias("bits"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "word_idx",
+            "bits",
+        )
+    )

@@ -372,3 +372,85 @@ def test_windowed_hll_registers_stream_matches_batch(spark, tmp_path):
     )
     est_batch = as_set(hll_estimate(want, ["window_start", "event_type"], p=8))
     assert est_stream == est_batch and len(est_batch) >= 3
+
+
+def test_windowed_bloom_words_stream_matches_batch(spark, tmp_path):
+    """Streaming Bloom words per (window, key) across two micro-batches:
+    the latest word values must equal a BATCH bloom_build per (window,
+    key) over the union (update-mode re-emits are OR-monotone, so
+    bit_or per word collapses them correctly), and membership verdicts
+    finished from the streamed words must show zero false negatives."""
+    import datetime as dt
+
+    from logparser_llm_spark.operators.sketch import bloom_build, bloom_contains
+    from logparser_llm_spark.streaming.incremental import windowed_bloom_words
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 4, 1, 9, 0, 0)
+    wave1 = [
+        ("crawlA", f"https://a.example/p/{i}", base + dt.timedelta(minutes=i % 50))
+        for i in range(120)
+    ]
+    wave2 = [
+        ("crawlA", f"https://a.example/p/{i}", base + dt.timedelta(minutes=60 + i % 50))
+        for i in range(60, 180)
+    ] + [
+        ("crawlB", f"https://b.example/q/{i}", base + dt.timedelta(minutes=i % 50))
+        for i in range(40)
+    ]
+    schema = "crawl string, url string, ts timestamp"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    m_bits, k = 1 << 12, 3
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    words = windowed_bloom_words(
+        stream, "crawl", "url", ts_col="ts", window="1 hour",
+        watermark="10 minutes", m_bits=m_bits, k=k,
+    )
+    q = (
+        words.writeStream.format("memory")
+        .queryName("bloom_words")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.sql(
+        "select window_start, crawl, word_idx, bit_or(bits) as bits "
+        "from bloom_words group by 1, 2, 3"
+    )
+    batch = spark.read.parquet(src).select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "crawl",
+        "url",
+    )
+    wins = [r["window_start"] for r in batch.select("window_start").distinct().collect()]
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    want = set()
+    for w in wins:
+        for crawl in ("crawlA", "crawlB"):
+            sub = batch.where(
+                (F.col("window_start") == w) & (F.col("crawl") == crawl)
+            )
+            if sub.isEmpty():
+                continue
+            for r in bloom_build(sub, "url", m_bits=m_bits, k=k).collect():
+                want.add((w, crawl, r["word_idx"], r["bits"]))
+    assert as_set(got) == want and len(want) > 10
+
+    # finish: every url actually seen in (first window, crawlA) must
+    # probe maybe_present=true from the STREAMED words (no false negatives)
+    w0 = min(wins)
+    filt = got.where(
+        (F.col("window_start") == w0) & (F.col("crawl") == "crawlA")
+    ).select("word_idx", "bits")
+    seen = batch.where(
+        (F.col("window_start") == w0) & (F.col("crawl") == "crawlA")
+    ).select("url").distinct()
+    verdicts = bloom_contains(filt, seen, "url", m_bits=m_bits, k=k)
+    assert verdicts.where(~F.col("maybe_present")).isEmpty()
