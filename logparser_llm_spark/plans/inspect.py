@@ -57,7 +57,11 @@ def _main() -> None:
                  "image_features_agg", "audio_decode",
                  "pagerank", "url_canonicalize", "html_extract",
                  "warc_extract", "bloom_frontier", "charset_decode",
-                 "anchor_text_agg", "robots_filter", "web_domain_rollup"]:
+                 "anchor_text_agg", "robots_filter", "web_domain_rollup",
+                 # round 5 (final)
+                 "quantile_sketch", "heavy_hitters", "cdx_index",
+                 "lm_quality", "crawl_diff", "html_template_cluster",
+                 "bpe_tokenize"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")
