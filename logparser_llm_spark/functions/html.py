@@ -167,8 +167,11 @@ def html_tag_seq(html: Column) -> Column:
     u = F.regexp_replace(html, r"(?s)<!--.*?-->", "")
     for el in ("script", "style", "noscript", "template"):
         u = F.regexp_replace(u, rf"(?is)(<{el}\b[^>]*>).*?(</{el}\s*>)", "$1$2")
+    # name tail admits - and : so HTML5 custom elements (<app-header>)
+    # and namespaced tags (<svg:path>) keep their full names — distinct
+    # templates must not merge on a shared pre-hyphen prefix
     names = F.regexp_extract_all(
-        F.lower(u), F.lit(r"<(/?[a-z][a-z0-9]*)"), 1
+        F.lower(u), F.lit(r"<(/?[a-z][a-z0-9:-]*)"), 1
     )
     return F.array_join(names, ">")
 

@@ -103,8 +103,15 @@ def surt_key(url: Column) -> Column:
     the scan stage and the index is one sort on it. Sort keys only:
     path case is intentionally folded (unlike :func:`canonicalize_url`,
     which preserves it for fetchability). Schemeless inputs yield a
-    key with an empty host part (total, never raises)."""
-    u = F.lower(canonicalize_url(url))
+    key with an empty host part (total, never raises).
+
+    The lowercase happens BEFORE canonicalization so the (case-
+    sensitive) tracking-param strip sees ``utm_`` however the crawl
+    spelled it — ``?UTM_SOURCE=x`` must collapse to the same key as
+    ``?utm_source=x`` (canonicalize_url itself keeps the raw case
+    because its output must stay fetchable; sort keys have no such
+    constraint)."""
+    u = canonicalize_url(F.lower(url))
     host = host_of(u)
     host = F.regexp_replace(host, r"^www\.", "")
     revhost = F.concat_ws(",", F.reverse(F.split(host, r"\.")))

@@ -49,6 +49,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .ranking import TOKEN_SPLIT_RE
 
@@ -60,6 +61,16 @@ _GRAMS_EXPR = (
     "case when size(__toks) >= 2 then "
     "transform(sequence(0, size(__toks) - 2), "
     "i -> struct(__toks[i] as w1, __toks[i + 1] as w2)) "
+    "else array() end"
+)
+# training variant: every token emits a pair, the doc-final one with a
+# NULL successor — so ONE explode yields both the bigram stream (w2 not
+# null) and the full vocabulary (every token appears as w1)
+_TRAIN_PAIRS_EXPR = (
+    "case when size(__toks) >= 1 then "
+    "transform(sequence(0, size(__toks) - 1), "
+    "i -> struct(__toks[i] as w1, "
+    "case when i < size(__toks) - 1 then __toks[i + 1] end as w2)) "
     "else array() end"
 )
 
@@ -86,20 +97,24 @@ def lm_train_bigram(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame,
     count — this is what makes the smoothed model sum to exactly 1 per
     context); ``v`` is the vocabulary size (distinct tokens over the
     full training token stream, so a word only ever seen in final
-    position still counts). One pass over the text; ``v`` is the single
-    driver-side scalar (a bounded aggregate, same contract as
+    position still counts). ONE pass over the text, literally: every
+    token emits a (w1, successor-or-NULL) pair, so the same exploded
+    stream feeds the bigram counts AND the vocabulary (each token
+    appears as w1 exactly once per position, doc-final included); the
+    O(distinct pairs) count frame is persisted MEMORY_AND_DISK because
+    it feeds three consumers (bigrams, contexts, v). ``v`` is the
+    single driver-side scalar (a bounded aggregate, same contract as
     heavy-hitters' N)."""
-    toks = df.select(_tokens_col(text_col).alias("__toks"))
-    grams = toks.select(F.explode(F.expr(_GRAMS_EXPR)).alias("g"))
-    bigrams = grams.select("g.w1", "g.w2").groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    pairs = (
+        df.select(_tokens_col(text_col).alias("__toks"))
+        .select(F.explode(F.expr(_TRAIN_PAIRS_EXPR)).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    bigrams = pairs.where(F.col("w2").isNotNull())
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = (
-        toks.select(F.explode("__toks").alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-        .collect()[0]["v"]
-    )
+    v = pairs.agg(F.countDistinct("w1").alias("v")).collect()[0]["v"]
     if not v:
         raise ValueError("training corpus contains no tokens")
     return bigrams, contexts, int(v)

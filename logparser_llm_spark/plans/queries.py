@@ -3140,24 +3140,30 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("HTTPS://"), F.col("source"), F.lit(".example.com:443/Pages/"),
         sid, F.lit("?utm_source=diff#frag"),
     )
+    # presence is carried by explicit flags (NOT by digest nullability:
+    # a NULL text would null its md5 and misread as absent); digests
+    # coalesce text to '' so the compare is total
+    text_a = F.coalesce(F.col("text"), F.lit(""))
     snap_a = d.where(F.col("doc_id") % 16 != 0).select(
         surt_key(url_a).alias("k"),
-        F.md5("text").alias("dg_a"),
+        F.md5(text_a).alias("dg_a"),
         F.col("source").alias("src_a"),
+        F.lit(True).alias("in_a"),
     )
     text_b = F.when(
-        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
-    ).otherwise(F.col("text"))
+        F.col("doc_id") % 5 == 0, F.concat(text_a, F.lit(" v2"))
+    ).otherwise(text_a)
     snap_b = d.where(F.col("doc_id") % 16 != 1).select(
         surt_key(url_b).alias("k"),
         F.md5(text_b).alias("dg_b"),
         F.col("source").alias("src_b"),
+        F.lit(True).alias("in_b"),
     )
     j = snap_a.join(snap_b, "k", "full_outer")
     status = (
-        F.when(F.col("dg_a").isNull(), F.lit("added"))
-        .when(F.col("dg_b").isNull(), F.lit("gone"))
-        .when(F.col("dg_a") != F.col("dg_b"), F.lit("changed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("gone"))
+        .when(~F.col("dg_a").eqNullSafe(F.col("dg_b")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -3300,6 +3306,13 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     merges = bpe_train(d, "text", num_merges=BPE_QUERY_MERGES, min_pair_count=2)
+    if len(merges) != BPE_QUERY_MERGES:
+        # the generated oracle chain has no early stop — a weaker corpus
+        # would silently desynchronize the pair, so fail loudly instead
+        raise ValueError(
+            f"corpus supports only {len(merges)} of {BPE_QUERY_MERGES} "
+            "merges; the unrolled oracle would diverge"
+        )
     enc = bpe_encode(d, "text", merges)
     n_words = F.size(
         F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda w: w != "")

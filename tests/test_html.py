@@ -164,3 +164,15 @@ def test_tag_fingerprint_ignores_content_and_attributes(spark):
     fa, fb, fc = (_one(spark, h, html_tag_fingerprint) for h in (a, b, c))
     assert fa == fb
     assert fa != fc
+
+
+def test_tag_seq_custom_elements_keep_full_names(spark):
+    """HTML5 custom elements and namespaced tags must not truncate at
+    the hyphen/colon — templates differing past a shared prefix would
+    otherwise merge."""
+    from logparser_llm_spark.functions.html import html_tag_fingerprint, html_tag_seq
+    h = "<my-element>x</my-element><svg:path/>"
+    assert _one(spark, h, html_tag_seq) == "my-element>/my-element>svg:path"
+    a = "<app-header>x</app-header>"
+    b = "<app-hero>x</app-hero>"
+    assert _one(spark, a, html_tag_fingerprint) != _one(spark, b, html_tag_fingerprint)

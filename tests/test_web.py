@@ -103,6 +103,9 @@ SURT_CASES = [
     ("https://e.com/p?utm_source=x&z=9&a=1", "com,e)/p?a=1&z=9"),
     # schemeless input: total, empty host part
     ("example.com/no-scheme", ")example.com/no-scheme"),
+    # tracking strip must fire on CASE-VARIANT spellings too (the key
+    # lowercases before canonicalizing)
+    ("https://e.com/a?UTM_SOURCE=x&q=1", "com,e)/a?q=1"),
 ]
 
 
@@ -135,3 +138,22 @@ def test_canonical_is_idempotent(spark):
     ).collect()
     for r in twice:
         assert r["c2"] == r["c"]
+
+
+def test_crawl_diff_null_text_doc_stays_classified(spark, tmp_path):
+    """A NULL-text page present in both snapshots must classify by the
+    text rule (changed when id%5==0, else unchanged) — presence rides
+    explicit flags, not digest nullability."""
+    from logparser_llm_spark.plans.queries import q_crawl_diff
+
+    rows = [(2, None, "srcx"), (5, None, "srcx"), (3, "same words", "srcx")]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["status"]): r["n"]
+        for r in q_crawl_diff(spark, str(tmp_path)).collect()
+    }
+    # id2: null text, in both, %5!=0 -> unchanged; id5: null text, %5==0
+    # -> changed; id3: non-null, %5!=0 -> unchanged
+    assert got == {"unchanged": 2, "changed": 1}
