@@ -104,6 +104,8 @@ HEADLINE = [
     "crawl_diff",
     "html_template_cluster",
     "bpe_tokenize",
+    "main_content",
+    "cdc_dedup",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -115,7 +117,7 @@ LARGE_RESULT = {
     "parsed_projection", "split_components",
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
     "bloom_frontier", "charset_decode", "robots_filter", "cdx_index",
-    "lm_quality", "bpe_tokenize",
+    "lm_quality", "bpe_tokenize", "main_content",
 }
 
 

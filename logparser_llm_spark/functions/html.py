@@ -182,6 +182,68 @@ def html_tag_fingerprint(html: Column) -> Column:
     return F.md5(F.encode(html_tag_seq(html), "UTF-8"))
 
 
+def html_paragraphs(html: Column) -> Column:
+    """Decoded text of each ``<p>`` element, in document order, as
+    ``array<string>`` — the candidate blocks main-content extraction
+    scores. Inner markup is stripped, entities decoded, whitespace
+    collapsed (same treatment as :func:`html_to_text`)."""
+    u = html
+    for el in _DROP_CONTENT:
+        u = F.regexp_replace(u, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " ")
+    u = F.regexp_replace(u, r"(?s)<!--.*?-->", "")
+    paras = F.regexp_extract_all(u, F.lit(r"(?is)<p\b[^>]*>(.*?)</p\s*>"), 1)
+
+    def one(m: Column) -> Column:
+        # inline tags collapse to nothing, the html_to_text convention
+        # (<b>mark</b>up stays one word)
+        inner = F.regexp_replace(m, r"(?s)<[^>]*>", "")
+        return F.trim(F.regexp_replace(decode_entities(inner), r"\s+", " "))
+
+    return F.transform(paras, one)
+
+
+def html_main_text(html: Column) -> Column:
+    """The page's main content under the classic largest-text-block
+    heuristic (the core move of readability/trafilatura-style
+    extractors, reduced to its density argmax): the longest decoded
+    ``<p>`` block, FIRST on ties — deterministic, so the result is
+    closed-form for a seeded corpus and stable across engines. Empty
+    string when the page has no paragraphs.
+
+    One ``aggregate`` over the paragraph array (still a pure JVM
+    expression — no shuffle, no UDF): carry the running best
+    (len, first-index-wins) through a struct fold."""
+    paras = html_paragraphs(html)
+    best = F.aggregate(
+        paras,
+        F.struct(F.lit("").alias("txt"), F.lit(-1).cast("int").alias("len")),
+        lambda acc, p: F.when(
+            F.length(p).cast("int") > acc.getField("len"),
+            F.struct(p.alias("txt"), F.length(p).cast("int").alias("len")),
+        ).otherwise(acc),
+    )
+    return best.getField("txt")
+
+
+def html_boilerplate_ratio_e4(html: Column) -> Column:
+    """Anchor-text chars as a fraction of rendered-text chars, in exact
+    integer basis points (``(anchor_chars·10⁴) div body_chars``; 0 for
+    an empty body) — the classic link-density boilerplate signal. Both
+    counts use the module's own extractors so the ratio is consistent
+    with what downstream stages see."""
+    anchor_chars = F.aggregate(
+        html_anchors(html),
+        F.lit(0).cast("bigint"),
+        lambda acc, a: acc + F.length(a.getField("text")),
+    )
+    body_chars = F.length(html_to_text(html)).cast("bigint")
+    # floor == integer div here: both operands are non-negative
+    return F.when(
+        body_chars > 0,
+        F.floor((anchor_chars * 10_000) / body_chars).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+
 def html_meta(html: Column, name: str) -> Column:
     """``content`` of ``<meta name="..." content="...">`` (either
     attribute order), entity-decoded; empty string when absent."""

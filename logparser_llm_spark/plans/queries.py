@@ -2279,6 +2279,136 @@ def q_html_template_cluster_sql(sf: str) -> str:
     """
 
 
+CDC_FOOTER_A = " | subscribe to the "
+CDC_FOOTER_B = (
+    " newsletter for updates and the daily morning digest delivered to "
+    "every reader every single day without fail"
+)
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (operators/chunking.py): the top
+    duplicated chunks of a corpus whose every page carries a per-source
+    boilerplate footer — the storage-dedup shape (rsync/LBFS/backup
+    chunk stores): rolling-hash boundaries realign after any edit, so
+    the shared footer chunks dedupe across documents even though every
+    page's PREFIX differs.
+
+    Scale shape: boundary detection is a per-row map (Arrow-vectorized
+    sliding-window product, equality-tested against the pure-JVM
+    expression path); the only shuffle is the chunk-md5 groupBy,
+    partially aggregable. The DuckDB oracle regenerates the ENTIRE
+    chunker (`cdc_chunks_sql` — same module, zero drift) and recomputes
+    every boundary, so a hash/window/cut bug anywhere breaks it. Output
+    is the deterministic top-15 by (occurrences desc, md5 asc): the
+    footer-internal chunks dominate (one 90-char chunk appears once per
+    document), with organic short-window dups behind them.
+    """
+    from ..operators.chunking import cdc_chunks
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "source"
+    )
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(CDC_FOOTER_A), F.col("source"), F.lit(CDC_FOOTER_B)
+        ).alias("s"),
+    )
+    ch = cdc_chunks(seeded, "doc_id", "s", impl="arrow")
+    return (
+        ch.groupBy(
+            F.md5(F.encode("chunk", "UTF-8")).alias("chunk_md5"),
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+        )
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .orderBy(F.desc("n_occ"), F.asc("chunk_md5"))
+        .limit(15)
+    )
+
+
+def q_cdc_dedup_sql(sf: str) -> str:
+    from ..operators.chunking import cdc_chunks_sql
+
+    body = cdc_chunks_sql("seeded", "doc_id", "s")
+    return f"""
+      with seeded as (
+        select doc_id,
+               text || '{CDC_FOOTER_A}' || source || '{CDC_FOOTER_B}' as s
+        from documents
+      ),{body}
+      select md5(chunk) as chunk_md5,
+             length(chunk)::BIGINT as chunk_len,
+             count(distinct id)::BIGINT as n_docs,
+             count(*)::BIGINT as n_occ
+      from cdc_chunks group by 1, 2 having count(*) >= 2
+      order by n_occ desc, chunk_md5 limit 15
+    """
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (functions/html.py html_main_text) over
+    the shared seeded page family: the largest-text-block heuristic at
+    the core of readability/trafilatura-style extractors, plus the
+    link-density boilerplate signal.
+
+    Pure JVM chain, zero exchanges — another scan-bound extraction
+    stage (the 100 TB shape). The seeded pages carry exactly two real
+    paragraphs (the doc text and a short trailer) plus a DECOY
+    ``<p>not text</p>`` inside the script block on even ids — a
+    paragraph extractor that fails to drop script bodies counts three
+    and may pick the wrong block. The oracle derives everything
+    closed-form: paragraph count, the argmax-length block (first on
+    ties), its md5, and the basis-point link-density ratio from the
+    rendered-text length formula q_html_extract's oracle already pins.
+    """
+    from ..functions.html import (
+        html_boilerplate_ratio_e4,
+        html_main_text,
+        html_paragraphs,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    page = F.decode(F.encode(_seeded_page_col(), "UTF-8"), "UTF-8")
+    main = html_main_text(page)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(html_paragraphs(page)).cast("bigint").alias("n_paras"),
+        F.length(main).cast("bigint").alias("main_len"),
+        F.md5(F.encode(main, "UTF-8")).alias("main_md5"),
+        html_boilerplate_ratio_e4(page).alias("boilerplate_e4"),
+    )
+
+
+def q_main_content_sql(sf: str) -> str:
+    return """
+        with base as (
+          select doc_id, text, source,
+                 'end of ' || source as trailer,
+                 -- rendered-text length, same formula q_html_extract pins
+                 length('Doc & ' || cast(doc_id as varchar)) + 1
+                   + length(text) + 1 + length('end of ' || source)
+                   + 5 * (doc_id % 3 + 1) as body_len,
+                 4 * (doc_id % 3 + 1) as anchor_chars
+          from documents
+        )
+        select doc_id,
+               2::BIGINT as n_paras,
+               (case when length(text) >= length(trailer)
+                     then length(text) else length(trailer) end)::BIGINT
+                 as main_len,
+               md5(case when length(text) >= length(trailer)
+                        then text else trailer end) as main_md5,
+               floor((anchor_chars * 10000)::DOUBLE / body_len)::BIGINT
+                 as boilerplate_e4
+        from base
+    """
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py) at Common-Crawl
     shape: the documents table is serialized into real WARC files (25
@@ -3582,6 +3712,12 @@ QUERIES: dict[str, tuple] = {
     # r5: corpus tokenization under the trained merges — Spark encodes
     # per row in codegen, the oracle encodes the distinct vocabulary
     "bpe_tokenize": (q_bpe_tokenize, q_bpe_tokenize_sql),
+    # r5: largest-text-block main-content extraction + link-density
+    # boilerplate signal — script decoy paragraph must be dropped
+    "main_content": (q_main_content, q_main_content_sql),
+    # r5: content-defined-chunking dedup — the oracle recomputes every
+    # rolling-hash boundary via the module-generated chunker SQL
+    "cdc_dedup": (q_cdc_dedup, q_cdc_dedup_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

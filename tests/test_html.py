@@ -176,3 +176,32 @@ def test_tag_seq_custom_elements_keep_full_names(spark):
     a = "<app-header>x</app-header>"
     b = "<app-hero>x</app-hero>"
     assert _one(spark, a, html_tag_fingerprint) != _one(spark, b, html_tag_fingerprint)
+
+
+def test_paragraphs_and_main_text(spark):
+    """Script-body decoy paragraphs dropped; argmax-length block wins;
+    FIRST wins ties; pages without paragraphs yield ''."""
+    from logparser_llm_spark.functions.html import html_main_text, html_paragraphs
+    h = ('<body><script>var x = "<p>decoy paragraph wins on length</p>";</script>'
+         "<p>short</p><p>the real main block of prose</p>"
+         "<p><b>mark</b>up &amp; spaces  collapse</p></body>")
+    assert _one(spark, h, html_paragraphs) == [
+        "short",
+        "the real main block of prose",
+        "markup & spaces collapse",
+    ]
+    assert _one(spark, h, html_main_text) == "the real main block of prose"
+    tie = "<p>abc</p><p>xyz</p>"
+    assert _one(spark, tie, html_main_text) == "abc"
+    assert _one(spark, "<div>no paragraphs</div>", html_main_text) == ""
+
+
+def test_boilerplate_ratio(spark):
+    from logparser_llm_spark.functions.html import html_boilerplate_ratio_e4
+    # body text = "menu home about contact" (23 chars), anchor text =
+    # home+about+contact = 16 chars
+    h = ('<body><p>menu</p><a href="/h">home</a> <a href="/a">about</a> '
+         '<a href="/c">contact</a></body>')
+    got = _one(spark, h, html_boilerplate_ratio_e4)
+    assert got == (16 * 10000) // 23
+    assert _one(spark, "<p></p>", html_boilerplate_ratio_e4) == 0
