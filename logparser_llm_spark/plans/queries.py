@@ -2409,6 +2409,81 @@ def q_main_content_sql(sf: str) -> str:
     """
 
 
+DECON_BENCH_MOD = 37  # every 37th document seeds the "benchmark"
+
+
+def _decon_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded evaluation set: a contiguous 9-token window (tokens
+    4..12) of every 37th document — so contamination is PARTIAL-text
+    overlap, not whole-document equality (which exact dedup would
+    already catch). Short docs contribute their whole text."""
+    from ..functions.text import ws_tokens
+
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id") % DECON_BENCH_MOD == 0
+    )
+    toks = ws_tokens(F.col("text"))
+    return d.select(
+        F.when(F.size(toks) >= 12, F.array_join(F.slice(toks, 4, 9), " "))
+        .otherwise(F.col("text"))
+        .alias("bench_text")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): the
+    train/test-overlap removal step of the published LLM pipelines
+    (GPT-3's 13-gram rule at this corpus's 5-gram width) against a
+    seeded eval set drawn as partial-text windows of every 37th doc.
+
+    Scale shape: the tiny benchmark gram set broadcasts as ONE row;
+    the corpus side is scan + array-intersect map with ZERO shuffle
+    (the per-source rollup on top is partially aggregable). The DuckDB
+    oracle recomputes every gram relationally (distinct-gram join —
+    an independent algorithm), so a window/tokenize/hash bug on either
+    side breaks the hash."""
+    from ..operators.decontaminate import decontaminate
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    verdicts = decontaminate(
+        d, "doc_id", "text", _decon_bench(spark, sf_dir), "bench_text"
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+            F.sum("n_hit").alias("hits_total"),
+            F.sum("n_grams").alias("grams_total"),
+        )
+    )
+
+
+def q_decontaminate_sql(sf: str) -> str:
+    from ..operators.decontaminate import decontaminate_sql
+
+    body = decontaminate_sql(
+        "documents", "doc_id", "text", "decon_bench_src", "bench_text"
+    )
+    tk = TOKENS_SQL.format(c="text")
+    return f"""
+        with decon_bench_src as (
+          select case when len({tk}) >= 12
+                      then array_to_string(({tk})[4:12], ' ')
+                      else text end as bench_text
+          from documents where doc_id % {DECON_BENCH_MOD} = 0
+        ),{body}
+        select d.source,
+               count(*) as n_docs,
+               sum(case when v.contaminated then 1 else 0 end)::BIGINT
+                 as n_contaminated,
+               sum(v.n_hit)::BIGINT as hits_total,
+               sum(v.n_grams)::BIGINT as grams_total
+        from decon v join documents d on v.id = d.doc_id
+        group by d.source
+    """
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py) at Common-Crawl
     shape: the documents table is serialized into real WARC files (25
@@ -3718,6 +3793,9 @@ QUERIES: dict[str, tuple] = {
     # r5: content-defined-chunking dedup — the oracle recomputes every
     # rolling-hash boundary via the module-generated chunker SQL
     "cdc_dedup": (q_cdc_dedup, q_cdc_dedup_sql),
+    # r5: benchmark decontamination — broadcast gram set, zero-shuffle
+    # corpus side; oracle recomputes every gram via a relational join
+    "decontaminate": (q_decontaminate, q_decontaminate_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
