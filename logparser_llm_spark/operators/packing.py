@@ -1,0 +1,118 @@
+"""Sequence packing: assign documents to fixed-length training
+sequences by chopping the ordered token stream at ``seq_len``
+boundaries — the concat-then-chop batching step an LLM training
+pipeline runs after filtering/dedup (every published data pipeline
+packs; padding-free batches need the global token prefix sum).
+
+The primitive is a DISTRIBUTED EXCLUSIVE PREFIX SUM. The naive Spark
+spelling — ``sum() over (order by k)`` with no partition key — collapses
+to a single-partition sort, the one shape that cannot scale. This
+module implements the classic two-pass scan instead (the MLlib /
+classic-PRAM decomposition):
+
+1. range-repartition + sort-within-partitions on the order key (the
+   ONLY full shuffle), persisted so both passes share one
+   materialization;
+2. per-partition subtotals → driver (one tiny row per partition),
+   exclusive-scanned there and broadcast back;
+3. an Arrow ``mapInPandas`` per-partition running cumsum seeded at the
+   partition's offset (vectorized ``np.cumsum``; state carries across
+   the partition's record batches, zero further shuffle).
+
+Total cost at 100 TB: one range shuffle + one O(num_partitions) driver
+step — the prefix sum itself never re-shuffles the data. Equality
+against the single-partition window spelling is pytest-pinned (the
+cdc/simhash dual-path precedent), as is partition-count invariance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+SEQ_LEN = 512  # tokens per packed training sequence (the registered query)
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    *,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Every input column plus ``out_col`` = the sum of ``val_col`` over
+    all rows strictly before this one in ``order_col`` order (NULL
+    values count 0; ``order_col`` must be a total order for the result
+    to be well-defined). Output partitioning: range on ``order_col``.
+    """
+    if order_col not in df.columns or val_col not in df.columns:
+        raise ValueError(f"{order_col!r}/{val_col!r} must be in {df.columns}")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = df.columns
+
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", F.coalesce(F.col(val_col).cast("bigint"), F.lit(0)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    subs = {
+        r["__pid"]: r["s"]
+        for r in part.groupBy("__pid").agg(F.sum("__v").alias("s")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in range(max(subs) + 1 if subs else 0):
+        offsets[pid] = running
+        running += subs.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def scan(batches):
+        import numpy as np
+
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = bc.value[int(pdf["__pid"].iloc[0])]
+            vals = pdf["__v"].to_numpy(dtype="int64")
+            pdf = pdf.drop(columns=["__pid", "__v"])
+            pdf[out_col] = run + np.concatenate(([0], np.cumsum(vals)[:-1]))
+            run += int(vals.sum())
+            yield pdf
+
+    from pyspark.sql.types import LongType
+
+    schema = part.drop("__pid", "__v").schema.add(out_col, LongType(), False)
+    return part.mapInPandas(scan, schema).select(*cols, out_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    *,
+    seq_len: int = SEQ_LEN,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Chop the ``order_col``-ordered token stream at exact ``seq_len``
+    boundaries: every input column plus ``cum_before`` (tokens strictly
+    before this doc), ``seq_id`` (the sequence the doc STARTS in),
+    ``seq_offset`` (position within it) and ``straddles`` (the doc spans
+    a boundary — its tail spills into the next sequence). Token counts
+    must be non-negative."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    out = exclusive_prefix_sum(
+        df, order_col, token_col, num_partitions=num_partitions
+    )
+    tok = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    return (
+        out.withColumn("seq_id", F.floor(F.col("cum_before") / seq_len))
+        .withColumn("seq_offset", F.col("cum_before") % seq_len)
+        .withColumn("straddles", F.col("seq_offset") + tok > seq_len)
+    )

@@ -2484,6 +2484,53 @@ def q_decontaminate_sql(sf: str) -> str:
     """
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): chop the doc_id-ordered
+    token stream into 512-token training sequences via the distributed
+    two-pass prefix sum (ONE range shuffle + a per-partition Arrow
+    scan — never the single-partition global window). Output: per
+    sequence, how many docs start in it, their token mass, and how many
+    straddle the boundary. The DuckDB oracle computes the same packing
+    with the global window — an independent algorithm, so a subtotal /
+    offset / partition-boundary bug breaks the hash."""
+    from ..functions.text import token_count_ws
+    from ..operators.packing import SEQ_LEN, pack_sequences
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).cast("bigint").alias("tok")
+    )
+    packed = pack_sequences(d, "doc_id", "tok", seq_len=SEQ_LEN)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("tokens_sum"),
+        F.sum(F.col("straddles").cast("bigint")).alias("n_straddle"),
+    )
+
+
+def q_seq_pack_sql(sf: str) -> str:
+    from ..operators.packing import SEQ_LEN
+
+    tk = TOKENS_SQL.format(c="text")
+    return f"""
+        with t as (
+          select doc_id, len({tk})::BIGINT as tok from documents
+        ),
+        c as (
+          select doc_id, tok,
+                 coalesce(sum(tok) over (order by doc_id
+                   rows between unbounded preceding and 1 preceding), 0)
+                   as cum_before
+          from t
+        )
+        select (cum_before // {SEQ_LEN})::BIGINT as seq_id,
+               count(*) as n_docs,
+               sum(tok)::BIGINT as tokens_sum,
+               sum(case when cum_before % {SEQ_LEN} + tok > {SEQ_LEN}
+                        then 1 else 0 end)::BIGINT as n_straddle
+        from c group by 1
+    """
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py) at Common-Crawl
     shape: the documents table is serialized into real WARC files (25
@@ -3796,6 +3843,9 @@ QUERIES: dict[str, tuple] = {
     # r5: benchmark decontamination — broadcast gram set, zero-shuffle
     # corpus side; oracle recomputes every gram via a relational join
     "decontaminate": (q_decontaminate, q_decontaminate_sql),
+    # r5: sequence packing — distributed two-pass prefix sum (one range
+    # shuffle), oracled by the global-window spelling in DuckDB
+    "seq_pack": (q_seq_pack, q_seq_pack_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

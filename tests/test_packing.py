@@ -1,0 +1,110 @@
+"""Distributed prefix sum + sequence packing: equality against the
+single-partition window spelling (the dual-path precedent), partition-
+count invariance, the one-full-shuffle plan contract, edge inputs, and
+packing semantics on a hand-checked stream. DuckDB parity for the
+registered ``seq_pack`` query runs via test_queries_oracle."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.packing import (
+    exclusive_prefix_sum,
+    pack_sequences,
+)
+
+
+def _window_reference(df, order_col, val_col):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.coalesce(F.col(val_col), F.lit(0))).over(w), F.lit(0)),
+    )
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # deterministic pseudo-random token counts incl. zeros and a null
+    rows = [(i, (i * 37 + 11) % 97 if i % 13 else 0) for i in range(500)]
+    rows[200] = (200, None)
+    return spark.createDataFrame(rows, "doc_id bigint, tok bigint").cache()
+
+
+def test_matches_window_reference_across_partition_counts(spark, stream):
+    want = {
+        r["doc_id"]: r["cum_before"]
+        for r in _window_reference(stream, "doc_id", "tok").collect()
+    }
+    for n in (1, 3, 32):
+        got = {
+            r["doc_id"]: r["cum_before"]
+            for r in exclusive_prefix_sum(
+                stream, "doc_id", "tok", num_partitions=n
+            ).collect()
+        }
+        assert got == want, f"num_partitions={n}"
+
+
+def test_single_full_shuffle_plan(spark, stream):
+    """The scale contract: the data is shuffled exactly once (the range
+    repartition feeding the persisted scan); the cumsum pass adds no
+    exchange over the data."""
+    out = exclusive_prefix_sum(stream, "doc_id", "tok", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # the shared materialization
+    # the only exchange anywhere (incl. the cached plan's rendering) is
+    # the range repartition; in particular no single-partition collapse
+    # (the global-window anti-shape) and no second hash shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "Exchange rangepartitioning" in line, plan
+    assert "SinglePartition" not in plan and "hashpartitioning" not in plan
+
+
+def test_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, tok bigint")
+    assert exclusive_prefix_sum(empty, "doc_id", "tok").count() == 0
+    one = spark.createDataFrame([(7, 42)], "doc_id bigint, tok bigint")
+    [r] = exclusive_prefix_sum(one, "doc_id", "tok").collect()
+    assert r["cum_before"] == 0 and r["tok"] == 42
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id bigint, tok bigint")
+    with pytest.raises(ValueError, match="must be in"):
+        exclusive_prefix_sum(df, "missing", "tok")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", "tok", seq_len=0)
+
+
+def test_packing_semantics_hand_checked(spark):
+    """Stream 300+300+300+124 tokens at L=512: doc 2 straddles the first
+    boundary (offset 300+300=600? no — exclusive cum), check exactly."""
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 300), (3, 124)], "doc_id bigint, tok bigint"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "tok", seq_len=512).collect()
+    }
+    # cum_before: 0, 300, 600, 900
+    assert [got[i]["cum_before"] for i in range(4)] == [0, 300, 600, 900]
+    assert [got[i]["seq_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [got[i]["seq_offset"] for i in range(4)] == [0, 300, 88, 388]
+    # doc0: 0+300<=512 no; doc1: 300+300>512 straddles; doc2: 88+300 no;
+    # doc3: 388+124=512 exactly fits -> no straddle (boundary inclusive)
+    assert [got[i]["straddles"] for i in range(4)] == [False, True, False, False]
+
+
+def test_registered_query_conserves_tokens(spark):
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["seq_pack"][0](spark, sf).collect()
+    total = sum(r["tokens_sum"] for r in out)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    want = d.select(
+        F.sum(F.size(F.filter(F.split(F.trim("text"), " "), lambda t: t != F.lit(""))))
+    ).first()[0]
+    assert total == want
+    assert all(r["n_docs"] >= 1 for r in out)
