@@ -2531,6 +2531,58 @@ def q_seq_pack_sql(sf: str) -> str:
     """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py) over the
+    embeddings table: k=8, 3 rounds, md5-rank deterministic init.
+    Per-iteration scale shape: broadcast-literal centroid argmin (zero
+    data shuffle) + one partially-aggregable k×(dim+1) update. All
+    assignment arithmetic is integer (quantized grid), so the DuckDB
+    oracle — the whole algorithm unrolled per iteration, generated by
+    the same module — matches bit for bit: sizes, integer WCSS, and the
+    centroid md5 fingerprints."""
+    from ..operators.kmeans import centroid_md5, kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=KMEANS_K, dim=EMB_DIM, iters=KMEANS_ITERS
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("wcss")
+    )
+    md5s = spark.createDataFrame(
+        [(i, centroid_md5(c)) for i, c in enumerate(cents)],
+        "cluster int, centroid_md5 string",
+    )
+    return stats.join(F.broadcast(md5s), "cluster").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n",
+        "wcss",
+        "centroid_md5",
+    )
+
+
+def q_kmeans_sql(sf: str) -> str:
+    from ..operators.kmeans import kmeans_sql
+
+    body = kmeans_sql(
+        "embeddings", "vec_id", "embedding", k=KMEANS_K, dim=EMB_DIM,
+        iters=KMEANS_ITERS,
+    )
+    return f"""
+        with {body}
+        select f.cluster::BIGINT as cluster,
+               count(*) as n,
+               sum(f.dist)::BIGINT as wcss,
+               md5(array_to_string(c.cq, ',')) as centroid_md5
+        from km_final f join km_cent{KMEANS_ITERS} c on f.cluster = c.cid
+        group by f.cluster, c.cq
+    """
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py) at Common-Crawl
     shape: the documents table is serialized into real WARC files (25
@@ -3846,6 +3898,9 @@ QUERIES: dict[str, tuple] = {
     # r5: sequence packing — distributed two-pass prefix sum (one range
     # shuffle), oracled by the global-window spelling in DuckDB
     "seq_pack": (q_seq_pack, q_seq_pack_sql),
+    # r5: distributed Lloyd k-means — integer-grid arithmetic so the
+    # unrolled-iteration DuckDB oracle matches assignments bit for bit
+    "kmeans": (q_kmeans, q_kmeans_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
