@@ -106,6 +106,11 @@ HEADLINE = [
     "bpe_tokenize",
     "main_content",
     "cdc_dedup",
+    # round 5 (final): training-data pipeline closers — benchmark
+    # decontamination, sequence packing, distributed k-means
+    "decontaminate",
+    "seq_pack",
+    "kmeans",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
