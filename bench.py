@@ -111,6 +111,8 @@ HEADLINE = [
     "decontaminate",
     "seq_pack",
     "kmeans",
+    "hybrid_rrf",
+    "training_mix",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

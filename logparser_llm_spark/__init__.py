@@ -132,6 +132,20 @@ def __getattr__(name):
             "logparser_llm_spark.streaming.incremental",
             "windowed_hll_registers",
         ),
+        # round-5 continuation additions
+        "cdc_chunks": ("logparser_llm_spark.operators.chunking", "cdc_chunks"),
+        "html_paragraphs": ("logparser_llm_spark.functions.html", "html_paragraphs"),
+        "html_main_text": ("logparser_llm_spark.functions.html", "html_main_text"),
+        "html_boilerplate_ratio_e4": (
+            "logparser_llm_spark.functions.html",
+            "html_boilerplate_ratio_e4",
+        ),
+        "decontaminate": ("logparser_llm_spark.operators.decontaminate", "decontaminate"),
+        "exclusive_prefix_sum": ("logparser_llm_spark.operators.packing", "exclusive_prefix_sum"),
+        "pack_sequences": ("logparser_llm_spark.operators.packing", "pack_sequences"),
+        "kmeans_fit": ("logparser_llm_spark.operators.kmeans", "kmeans_fit"),
+        "hybrid_rrf_topk": ("logparser_llm_spark.operators.ranking", "hybrid_rrf_topk"),
+        "quota_mix": ("logparser_llm_spark.operators.sampling", "quota_mix"),
     }
     if name in api:
         import importlib

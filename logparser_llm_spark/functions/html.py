@@ -77,15 +77,23 @@ def decode_entities(text: Column) -> Column:
     return out
 
 
+def _strip_nonrendered(html: Column) -> Column:
+    """Drop the content that never renders — script/style/noscript/
+    template/head bodies and comments. The shared first step of every
+    extractor here, so anchor/paragraph/text views all agree on what
+    counts as page content."""
+    u = html
+    for el in _DROP_CONTENT:
+        u = F.regexp_replace(u, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " ")
+    return F.regexp_replace(u, r"(?s)<!--.*?-->", "")
+
+
 def html_to_text(html: Column) -> Column:
     """Rendered-text approximation of ``html`` (steps 1-6 above) as one
     JVM expression chain. Accepts a string column; for a binary column
     pass ``F.decode(col, 'UTF-8')`` (crawl charsets beyond UTF-8 are the
     caller's transcode step)."""
-    u = html
-    for el in _DROP_CONTENT:
-        u = F.regexp_replace(u, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " ")
-    u = F.regexp_replace(u, r"(?s)<!--.*?-->", "")  # comments render as nothing
+    u = _strip_nonrendered(html)
     u = F.regexp_replace(u, rf"(?i)</?({_BLOCK_BREAK})\b[^>]*/?>", "\n")
     u = F.regexp_replace(u, r"(?s)<[^>]*>", "")
     u = decode_entities(u)
@@ -187,10 +195,7 @@ def html_paragraphs(html: Column) -> Column:
     ``array<string>`` — the candidate blocks main-content extraction
     scores. Inner markup is stripped, entities decoded, whitespace
     collapsed (same treatment as :func:`html_to_text`)."""
-    u = html
-    for el in _DROP_CONTENT:
-        u = F.regexp_replace(u, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " ")
-    u = F.regexp_replace(u, r"(?s)<!--.*?-->", "")
+    u = _strip_nonrendered(html)
     paras = F.regexp_extract_all(u, F.lit(r"(?is)<p\b[^>]*>(.*?)</p\s*>"), 1)
 
     def one(m: Column) -> Column:
@@ -229,10 +234,13 @@ def html_boilerplate_ratio_e4(html: Column) -> Column:
     """Anchor-text chars as a fraction of rendered-text chars, in exact
     integer basis points (``(anchor_chars·10⁴) div body_chars``; 0 for
     an empty body) — the classic link-density boilerplate signal. Both
-    counts use the module's own extractors so the ratio is consistent
-    with what downstream stages see."""
+    counts see the SAME content: non-rendered blocks (script/style/
+    comment/head) are stripped before anchor extraction exactly as
+    :func:`html_to_text` strips them, so an ``<a>`` inside a JS string
+    or an HTML comment contributes to neither side (review r5: counted
+    on the anchor side only, the ratio could exceed 10⁴)."""
     anchor_chars = F.aggregate(
-        html_anchors(html),
+        html_anchors(_strip_nonrendered(html)),
         F.lit(0).cast("bigint"),
         lambda acc, a: acc + F.length(a.getField("text")),
     )

@@ -25,6 +25,12 @@ STOPWORDS = {
 # BPE-ish word-piece tokenizer: letter runs, digit runs, single symbols.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# DuckDB rendering of ws_tokens() — THE cross-engine tokenizer twin,
+# defined once next to the Spark side it mirrors (review r5: a second
+# verbatim copy lived in operators/decontaminate.py; a drifting copy
+# would desynchronize one oracle from every other). `.format(c=<expr>)`.
+TOKENS_SQL = "list_filter(string_split(trim({c}), ' '), x -> x <> '')"
+
 
 def ws_tokens(col: Column) -> Column:
     """Whitespace tokens, empties dropped (tokenize semantics F10,

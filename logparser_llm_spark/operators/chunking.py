@@ -130,8 +130,10 @@ def cdc_chunks(
                 if n < w:
                     cuts = [0, n]
                 else:
+                    # dtype must stay explicitly little-endian ('<u4') to
+                    # match the '<U' buffer on big-endian hosts
                     codes = np.frombuffer(
-                        np.array([s], dtype=f"<U{n}").tobytes(), dtype=np.uint32
+                        np.array([s], dtype=f"<U{n}").tobytes(), dtype="<u4"
                     ).astype(np.int64)
                     wins = np.lib.stride_tricks.sliding_window_view(codes, w)
                     h = (wins % m * pv % m).sum(axis=1) % m

@@ -101,7 +101,7 @@ def decontaminate_sql(
     (distinct-gram join) is an independent algorithm for the same
     semantics — it recomputes every gram, so a tokenization or window
     bug on either side breaks the hash."""
-    toks = "list_filter(string_split(trim({c}), ' '), x -> x <> '')"
+    from ..functions.text import TOKENS_SQL as toks
     gram = (
         "select distinct id, md5(array_to_string(tk[i:i+{last}], ' ')) as g\n"
         "        from {src}, lateral (select unnest(range(1, len(tk) - {nm2})) as i)\n"

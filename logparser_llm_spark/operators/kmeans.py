@@ -84,9 +84,20 @@ def kmeans_fit(
     known without scanning."""
     if k < 1 or dim < 1 or iters < 1:
         raise ValueError(f"k={k}, dim={dim}, iters={iters} must all be >= 1")
-    base = df.select(
-        F.col(id_col), quantized_vec(F.col(vec_col)).alias("__xq")
-    ).persist()
+    # enforce the width contract on EVERY row (review r5: a ragged
+    # non-seed vector used to escape the seed-only check and die mid-job
+    # with a raw array-index error, or null its way into the update)
+    xq = F.when(
+        F.size(F.col(vec_col)) == dim, quantized_vec(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"kmeans: vector width != dim={dim} for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    base = df.select(F.col(id_col), xq.alias("__xq")).persist()
 
     seeds = (
         base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -96,8 +107,6 @@ def kmeans_fit(
     if len(seeds) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
     centroids = [[int(v) * CSHIFT for v in r["__xq"]] for r in seeds]
-    if any(len(c) != dim for c in centroids):
-        raise ValueError(f"dim={dim} does not match vector width")
 
     for _ in range(iters):
         cluster, _dist = _assign_cols(F.col("__xq"), centroids)

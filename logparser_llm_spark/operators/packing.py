@@ -49,6 +49,9 @@ def exclusive_prefix_sum(
     """
     if order_col not in df.columns or val_col not in df.columns:
         raise ValueError(f"{order_col!r}/{val_col!r} must be in {df.columns}")
+    for reserved in ("__pid", "__v", out_col):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a column named {reserved!r}")
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = df.columns

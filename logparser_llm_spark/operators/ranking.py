@@ -35,7 +35,7 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -232,3 +232,63 @@ def bm25_score_py(
         if hit:
             out[i] = total
     return out
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------------
+
+RRF_K = 60                    # the standard RRF damping constant
+RRF_SCALE = 1_000_000_000     # integer nano-units per contribution
+
+
+def rrf_contrib(rank_col: Column) -> Column:
+    """``floor(RRF_SCALE / (RRF_K + rank))`` as bigint — the RRF term in
+    exact integers. The double division of two small exact integers is
+    ≥ 1/denominator away from the next integer except when it IS one,
+    so the floor is engine-independent (DuckDB renders the same
+    expression verbatim)."""
+    return F.floor(F.lit(RRF_SCALE) / (F.lit(RRF_K) + rank_col)).cast("bigint")
+
+
+def hybrid_rrf_topk(
+    lexical: DataFrame,
+    dense: DataFrame,
+    id_col: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard hybrid
+    retrieval combiner) of two ranked lists, each ``(<id_col>, rnk)``
+    with 1-based deterministic ranks: score = Σ 1/(60 + rank) over the
+    lists containing the doc, in exact integer nano-units so the
+    cross-engine sum is order-free. Output: ``(rnk, <id_col>, rrf_e9,
+    lex_rnk, dense_rnk)`` — absent-list ranks report 0.
+
+    Scale shape: the inputs are already top-k lists (tiny), so the
+    fusion is a driver-sized full-outer join; all the data-scale work
+    lives in the upstream retrievers."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    lx = lexical.select(F.col(id_col), F.col("rnk").cast("bigint").alias("lex_rnk"))
+    dn = dense.select(F.col(id_col), F.col("rnk").cast("bigint").alias("dense_rnk"))
+    fused = (
+        lx.join(dn, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(rrf_contrib(F.col("lex_rnk")), F.lit(0))
+                + F.coalesce(rrf_contrib(F.col("dense_rnk")), F.lit(0))
+            ).alias("rrf_e9"),
+            F.coalesce("lex_rnk", F.lit(0)).alias("lex_rnk"),
+            F.coalesce("dense_rnk", F.lit(0)).alias("dense_rnk"),
+        )
+        .orderBy(F.desc("rrf_e9"), id_col)
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("rrf_e9"), id_col)
+    return fused.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        id_col,
+        "rrf_e9",
+        "lex_rnk",
+        "dense_rnk",
+    )

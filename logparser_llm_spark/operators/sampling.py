@@ -150,3 +150,115 @@ def reservoir_per_key(
         .filter(F.col(rk) <= k)
         .drop(rk)
     )
+
+
+def quota_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    total: int,
+    *,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Training-mix composer: select documents so each key (language,
+    source, domain) fills its TARGET SHARE of a ``total``-row budget —
+    the data-recipe step of a published LLM mix (so much web, so much
+    code, so much reference), as opposed to the RATE sampler
+    (:func:`stratified_sample`, per-key keep probability) or the CAP
+    sampler (:func:`reservoir_per_key`, fixed k per key).
+
+    Quota per key = ``min(available, floor(round(frac·10⁶)·total/10⁶))``
+    — exact integer arithmetic, portable to the SQL twin verbatim. A
+    key short of its quota keeps everything it has (the budget is NOT
+    redistributed — deterministic and cross-engine-checkable; callers
+    wanting redistribution re-run with adjusted fractions). Selection
+    within a key is the md5 rank of ``id_col`` (the module's
+    deterministic-reservoir convention), so the chosen SET depends only
+    on the ids present.
+
+    Scale shape: one tiny per-key count aggregate to the driver, quotas
+    broadcast back, ONE window shuffle on the key — same cost as
+    :func:`reservoir_per_key`."""
+    _check_key_type(df, id_col)
+    _check_key_type(df, key_col)
+    for reserved in ("__rk", "__quota"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a column named {reserved!r}")
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    for frac in list(fractions.values()) + [default_frac]:
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {frac}")
+    for s in fractions:
+        if "'" in s:
+            raise ValueError(f"mix labels must not contain quotes: {s!r}")
+    fr_e6 = {k: int(round(f * 1_000_000)) for k, f in fractions.items()}
+    d_e6 = int(round(default_frac * 1_000_000))
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    quotas = [
+        (
+            r[key_col],
+            min(int(r["n"]), (fr_e6.get(r[key_col], d_e6) * total) // 1_000_000),
+        )
+        for r in counts
+    ]
+    key_type = dict(df.dtypes)[key_col]
+    qdf = df.sparkSession.createDataFrame(
+        quotas, schema=f"{key_col} {key_type}, __quota bigint"
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(qdf), key_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )
+
+
+def quota_mix_sql(
+    table: str,
+    key_expr: str,
+    id_expr: str,
+    fractions: dict[str, float],
+    total: int,
+    *,
+    default_frac: float = 0.0,
+) -> str:
+    """DuckDB rendering of :func:`quota_mix` (same integer quota rule,
+    same md5 rank): a CTE chain ending in ``mix_sel`` holding the
+    selected rows of ``table``."""
+    for s in fractions:
+        if "'" in s:
+            raise ValueError(f"mix labels must not contain quotes: {s!r}")
+    d_e6 = int(round(default_frac * 1_000_000))
+    if fractions:
+        cases = " ".join(
+            f"when k = '{s}' then {int(round(f * 1_000_000))}"
+            for s, f in sorted(fractions.items())
+        )
+        frac_e6 = f"(case {cases} else {d_e6} end)"
+    else:
+        frac_e6 = str(d_e6)
+    return f"""
+      mix_counts as (
+        select {key_expr} as k, count(*) as n from {table} group by 1
+      ),
+      mix_quotas as (
+        select k, least(n, ({frac_e6} * {total}) // 1000000) as q
+        from mix_counts
+      ),
+      mix_ranked as (
+        select t.*, {key_expr} as __k,
+               row_number() over (
+                 partition by {key_expr}
+                 order by md5(cast({id_expr} as varchar)), {id_expr}) as __rk
+        from {table} t
+      ),
+      mix_sel as (
+        select * exclude (__k, __rk, k, q)
+        from mix_ranked join mix_quotas on __k = k
+        where __rk <= q
+      )"""

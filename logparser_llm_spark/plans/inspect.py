@@ -62,7 +62,8 @@ def _main() -> None:
                  "quantile_sketch", "heavy_hitters", "cdx_index",
                  "lm_quality", "crawl_diff", "html_template_cluster",
                  "bpe_tokenize", "main_content", "cdc_dedup",
-                 "decontaminate", "seq_pack", "kmeans"]:
+                 "decontaminate", "seq_pack", "kmeans",
+                 "hybrid_rrf", "training_mix"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")

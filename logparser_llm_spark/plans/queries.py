@@ -40,6 +40,7 @@ from ..functions.cleaning import (
 from ..functions.hashing import pattern_bucket_col, sink_id_col, sink_id_sql
 from ..functions.text import (
     BPE_TOKEN_PATTERN,
+    TOKENS_SQL as _TOKENS_SQL,
     fingerprint,
     lang_id,
     quality_score,
@@ -117,7 +118,9 @@ PATTERN_SQL_BODY = (
     "then '<*>' else t end), ' ')"
 )
 
-TOKENS_SQL = "list_filter(string_split(trim({c}), ' '), x -> x <> '')"
+# re-exported from functions/text.py (single definition next to its
+# Spark twin ws_tokens; review r5)
+TOKENS_SQL = _TOKENS_SQL
 
 
 def tmpl_ids_cte(src: str = "pat") -> str:
@@ -1238,6 +1241,39 @@ def q_source_cap_sql(sf: str) -> str:
           from documents
         ) where rk <= 40
     """
+
+
+MIX_FRACTIONS = {"en": 0.40, "de": 0.25, "zh": 0.20, "fr": 0.15}
+MIX_TOTAL = 300
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composer (operators/sampling.py:quota_mix): fill a
+    300-doc budget at a published-recipe language mix (40/25/20/15
+    en/de/zh/fr; unlisted languages excluded). The zh/de/fr strata are
+    SHORT of their quotas on this corpus, so the keep-everything-short
+    branch is exercised alongside the md5-rank truncation of 'en'.
+    Output: the selected rows (the SET is the contract), cross-engine
+    because quota arithmetic is exact integers and the rank is the
+    shared md5. One tiny driver agg + one window shuffle."""
+    from ..operators.sampling import quota_mix
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = quota_mix(d, "lang", "doc_id", MIX_FRACTIONS, MIX_TOTAL)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_training_mix_sql(sf: str) -> str:
+    from ..operators.sampling import quota_mix_sql
+
+    body = quota_mix_sql(
+        "(select doc_id, lang, source from documents)",
+        "lang",
+        "doc_id",
+        MIX_FRACTIONS,
+        MIX_TOTAL,
+    )
+    return f"with {body} select doc_id, lang, source from mix_sel"
 
 
 def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3102,6 +3138,84 @@ def q_bm25_topk_sql(sf: str) -> str:
     )
 
 
+HYBRID_POOL = 20  # per-retriever candidate depth feeding the fusion
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/ranking.py:hybrid_rrf_topk): BM25
+    lexical top-20 fused with dense-cosine top-20 by reciprocal-rank
+    fusion — the standard two-tower + keyword combiner of a modern
+    retrieval stack. Both retrievers keep their registered scale shapes
+    (BM25's single-shuffle token agg; the broadcast-query cosine scan);
+    the fusion itself joins two 20-row lists. RRF contributions are
+    exact integer nano-units, so the oracle (both retrievers + the
+    fusion re-rendered in DuckDB) hash-matches with no float-order
+    caveat."""
+    from ..operators.ranking import bm25_topk, hybrid_rrf_topk
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    lex = bm25_topk(d, "doc_id", "text", BM25_QUERY, top_k=HYBRID_POOL)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    # rank on the QUANTIZED cosine (the bm25_topk convention, review r5):
+    # ordinals baked into the hashed output must not depend on sub-e6
+    # float-summation differences between engines
+    w = Window.orderBy(F.desc("cos_e6"), "doc_id")
+    dense = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").cast("bigint").alias("doc_id"),
+            e6(cosine_expr(F.col("embedding"), F.col("_qv")), "cos_e6"),
+        )
+        .orderBy(F.desc("cos_e6"), "doc_id")
+        .limit(HYBRID_POOL)
+        .select("doc_id", F.row_number().over(w).alias("rnk"))
+    )
+    return hybrid_rrf_topk(lex, dense, "doc_id", top_k=10)
+
+
+def q_hybrid_rrf_sql(sf: str) -> str:
+    from ..operators.ranking import RRF_K, RRF_SCALE, bm25_topk_sql
+
+    bm = bm25_topk_sql(
+        "documents", "doc_id::BIGINT", "text", BM25_QUERY, top_k=HYBRID_POOL
+    )
+    return f"""
+        with lex as (select doc_id, rnk as lex_rnk from ({bm})),
+        q as (select embedding as qv from embeddings where vec_id = 0),
+        dense as (
+          select doc_id, row_number() over (order by cos_e6 desc, doc_id)
+                   as dense_rnk
+          from (
+            select vec_id::BIGINT as doc_id,
+                   cast(round(list_cosine_similarity(embedding::DOUBLE[],
+                                                     qv::DOUBLE[]) * 1000000)
+                        as bigint) as cos_e6
+            from embeddings, q
+            order by cos_e6 desc, doc_id limit {HYBRID_POOL}
+          )
+        ),
+        fused as (
+          select doc_id,
+                 coalesce(floor({RRF_SCALE} / ({RRF_K} + lex_rnk))::BIGINT, 0)
+                 + coalesce(floor({RRF_SCALE} / ({RRF_K} + dense_rnk))::BIGINT, 0)
+                   as rrf_e9,
+                 coalesce(lex_rnk, 0)::BIGINT as lex_rnk,
+                 coalesce(dense_rnk, 0)::BIGINT as dense_rnk
+          from lex full outer join dense using (doc_id)
+        )
+        select cast(row_number() over (order by rrf_e9 desc, doc_id) as bigint)
+                 as rnk,
+               doc_id, rrf_e9, lex_rnk, dense_rnk
+        from fused
+        order by rrf_e9 desc, doc_id
+        limit 10
+    """
+
+
 # LM quality filter: train on the trusted 80% (doc_id % 10 < 8), score
 # everything. The keep cutoff sits at the per-gram-NLL median of the
 # synthetic corpus (~3.40 nats ≈ perplexity 30) so BOTH classes appear
@@ -3901,6 +4015,12 @@ QUERIES: dict[str, tuple] = {
     # r5: distributed Lloyd k-means — integer-grid arithmetic so the
     # unrolled-iteration DuckDB oracle matches assignments bit for bit
     "kmeans": (q_kmeans, q_kmeans_sql),
+    # r5: hybrid retrieval — BM25 + dense-cosine lists fused by
+    # integer-nano-unit reciprocal-rank fusion
+    "hybrid_rrf": (q_hybrid_rrf, q_hybrid_rrf_sql),
+    # r5: training-mix composer — integer quota per key from target
+    # fractions, md5-rank selection, short strata keep everything
+    "training_mix": (q_training_mix, q_training_mix_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),

@@ -205,3 +205,9 @@ def test_boilerplate_ratio(spark):
     got = _one(spark, h, html_boilerplate_ratio_e4)
     assert got == (16 * 10000) // 23
     assert _one(spark, "<p></p>", html_boilerplate_ratio_e4) == 0
+    # anchors inside script strings / comments render nowhere and must
+    # count on NEITHER side (review r5: ratio could exceed 10^4)
+    hidden = ('<body><script>var a=\'<a href="/x">ten chars!</a>\';</script>'
+              '<!-- <a href="/y">commented nav link</a> -->'
+              '<p>hi</p><a href="/z">go</a></body>')
+    assert _one(spark, hidden, html_boilerplate_ratio_e4) == (2 * 10000) // 5

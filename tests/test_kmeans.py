@@ -122,8 +122,17 @@ def test_validation(spark):
         kmeans_fit(df, "vec_id", "vec", k=5, dim=1)
     df2 = spark.createDataFrame([(1, [1.0, 2.0]), (2, [0.0, 1.0])],
                                 "vec_id bigint, vec array<double>")
-    with pytest.raises(ValueError, match="does not match vector width"):
+    with pytest.raises(Exception, match="width != dim"):
         kmeans_fit(df2, "vec_id", "vec", k=2, dim=3)
+
+
+def test_ragged_non_seed_vector_raises_cleanly(spark):
+    """A mis-width vector that is NOT one of the k seeds must still hit
+    the width contract (review r5), not a raw array-index crash."""
+    rows = [(0, [1.0]), (1, [5.0, 6.0]), (2, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, vec array<double>")
+    with pytest.raises(Exception, match="width != dim=2 for vec_id=0"):
+        kmeans_fit(df, "vec_id", "vec", k=2, dim=2, iters=1)
 
 
 def test_assignment_stage_never_shuffles(spark):

@@ -116,3 +116,35 @@ def test_oracle_parity_at_scale(spark, sf):
     )
     orows = sorted(tuple(r) for r in con.execute(QUERIES["bm25_topk"][1](sf)).fetchall())
     assert srows == orows
+
+
+# --- hybrid RRF fusion ----------------------------------------------------
+
+
+def test_rrf_fusion_semantics(spark):
+    """Hand-checked fusion: both-list docs beat single-list docs at
+    comparable ranks; absent ranks report 0; contributions are the
+    exact floor(1e9/(60+r)) integers."""
+    from logparser_llm_spark.operators.ranking import hybrid_rrf_topk
+
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id bigint, rnk int")
+    dense = spark.createDataFrame([(11, 1), (13, 2)], "doc_id bigint, rnk int")
+    out = {r["doc_id"]: r for r in hybrid_rrf_topk(lex, dense, "doc_id").collect()}
+    c = lambda r: 1_000_000_000 // (60 + r)
+    assert out[11]["rrf_e9"] == c(2) + c(1)  # in both lists
+    assert out[10]["rrf_e9"] == c(1) and out[10]["dense_rnk"] == 0
+    assert out[13]["rrf_e9"] == c(2) and out[13]["lex_rnk"] == 0
+    assert out[11]["rnk"] == 1  # fusion promotes the both-list doc
+    # full ordering: 11, then lex#1 (10), then dense#2 (13) beats lex#3 (12)
+    order = sorted(out.values(), key=lambda r: r["rnk"])
+    assert [r["doc_id"] for r in order] == [11, 10, 13, 12]
+
+
+def test_rrf_validation_and_topk(spark):
+    from logparser_llm_spark.operators.ranking import hybrid_rrf_topk
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id bigint, rnk int")
+    dense = spark.createDataFrame([(3, 1)], "doc_id bigint, rnk int")
+    assert hybrid_rrf_topk(lex, dense, "doc_id", top_k=2).count() == 2
+    with pytest.raises(ValueError, match="top_k"):
+        hybrid_rrf_topk(lex, dense, "doc_id", top_k=0)

@@ -108,3 +108,55 @@ def test_sampling_rejects_nonportable_key_types(spark):
     # string and integer keys stay accepted
     assert hash_sample(df, "id", 1.0).count() == 2
     assert hash_sample(df, "lang", 1.0).count() == 2
+
+
+def test_quota_mix_semantics(spark):
+    """Quota arithmetic, short-stratum keep-all, exclusion of unlisted
+    keys, and md5-rank determinism (set independent of row order)."""
+    from logparser_llm_spark.operators.sampling import quota_mix
+
+    rows = [(i, "en") for i in range(50)] + [(i, "de") for i in range(50, 58)] + [
+        (i, "xx") for i in range(58, 70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = quota_mix(df, "lang", "doc_id", {"en": 0.5, "de": 0.4}, 40)
+    got = [(r["doc_id"], r["lang"]) for r in out.collect()]
+    by_lang = {}
+    for i, lang in got:
+        by_lang.setdefault(lang, set()).add(i)
+    assert len(by_lang.get("en", ())) == 20   # floor(0.5 * 40)
+    assert len(by_lang.get("de", ())) == 8    # quota 16 > available 8
+    assert "xx" not in by_lang                # unlisted -> default 0
+    # determinism: shuffled input chooses the same set
+    df2 = spark.createDataFrame(list(reversed(rows)), "doc_id bigint, lang string")
+    got2 = {(r["doc_id"], r["lang"]) for r in
+            quota_mix(df2, "lang", "doc_id", {"en": 0.5, "de": 0.4}, 40).collect()}
+    assert got2 == set(got)
+
+
+def test_quota_mix_validation(spark):
+    from logparser_llm_spark.operators.sampling import quota_mix, quota_mix_sql
+
+    df = spark.createDataFrame([(1, "en")], "doc_id bigint, lang string")
+    with pytest.raises(ValueError, match="total"):
+        quota_mix(df, "lang", "doc_id", {"en": 0.5}, -1)
+    with pytest.raises(ValueError, match="fractions"):
+        quota_mix(df, "lang", "doc_id", {"en": 1.5}, 10)
+    with pytest.raises(ValueError, match="quotes"):
+        quota_mix(df, "lang", "doc_id", {"e'n": 0.5}, 10)
+    with pytest.raises(ValueError, match="quotes"):
+        quota_mix_sql("t", "lang", "doc_id", {"e'n": 0.5}, 10)
+
+
+def test_quota_mix_int_keys_and_collision_guard(spark):
+    from logparser_llm_spark.operators.sampling import quota_mix
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "doc_id bigint, bucket int"
+    )
+    out = quota_mix(df, "bucket", "doc_id", {}, 10, default_frac=0.5)
+    got = out.groupBy("bucket").count().collect()
+    assert {r["bucket"]: r["count"] for r in got} == {0: 5, 1: 5}
+    bad = df.withColumnRenamed("bucket", "__rk")
+    with pytest.raises(ValueError, match="__rk"):
+        quota_mix(bad.withColumn("bucket", bad["__rk"]), "bucket", "doc_id", {}, 10)
