@@ -113,6 +113,7 @@ HEADLINE = [
     "kmeans",
     "hybrid_rrf",
     "training_mix",
+    "training_pipeline",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -1276,6 +1276,128 @@ def q_training_mix_sql(sf: str) -> str:
     return f"with {body} select doc_id, lang, source from mix_sel"
 
 
+TP_MIN_TOKENS = 25  # quality floor: drops the short ~15% of the corpus
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline CAPSTONE: the published LLM-data
+    recipe end to end as one composed query over the REAL operators —
+    exact dedup (min-id representative per md5,
+    ``operators/dedup.py:dedup_exact``) → benchmark decontamination
+    (broadcast gram set, ``operators/decontaminate.py``) → quality
+    floor (≥25 whitespace tokens) → training-mix quota composition
+    (``operators/sampling.py:quota_mix``, 40/25/20/15 en/de/zh/fr over
+    a 300-doc budget) → per-language rollup whose ``set_md5`` pins the
+    SELECTED SET exactly. Every stage drops rows on this corpus: dups
+    are PLANTED (every 13th doc re-emitted under id+10⁶ — the copies
+    must die at dedup or every downstream count shifts), every 37th doc
+    seeds the benchmark, the floor cuts the short tail, 'en' overflows
+    its quota while 'es' is unlisted — so a bug in any stage or in how
+    the stages COMPOSE breaks the hash.
+
+    Scale shape: one groupBy + one join shuffle for dedup, zero corpus
+    shuffle for decon, the kept frame persisted MEMORY_AND_DISK for the
+    mix's two consumers (quota counts + window rank), one window
+    shuffle for the mix — every stage is its operator's registered
+    100 TB shape."""
+    from ..operators.decontaminate import decontaminate
+    from ..operators.dedup import dedup_exact
+    from ..operators.sampling import quota_mix
+    from ..functions.text import token_count_ws
+
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    d = base.unionByName(
+        base.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    reps = dedup_exact(d, "doc_id", "text").select(
+        F.col("rep_id").alias("doc_id")
+    )
+    deduped = d.join(reps, "doc_id")
+    verdicts = decontaminate(
+        deduped, "doc_id", "text", _decon_bench(spark, sf_dir), "bench_text"
+    )
+    kept = (
+        verdicts.where(~F.col("contaminated"))
+        .where(token_count_ws(F.col("text")) >= TP_MIN_TOKENS)
+        .select("doc_id", "text", "lang", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mixed = quota_mix(kept, "lang", "doc_id", MIX_FRACTIONS, MIX_TOTAL)
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col("text")).cast("bigint")).alias(
+            "tokens_total"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col("doc_id").cast("bigint"))),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("set_md5"),
+    )
+
+
+def q_training_pipeline_sql(sf: str) -> str:
+    from ..operators.decontaminate import decontaminate_sql
+    from ..operators.sampling import quota_mix_sql
+
+    tk = TOKENS_SQL.format(c="text")
+    tk_c = TOKENS_SQL.format(c="c.text")
+    decon_body = decontaminate_sql(
+        "tp_dedup", "doc_id", "text", "decon_bench_src", "bench_text"
+    )
+    mix_body = quota_mix_sql(
+        "tp_kept", "lang", "doc_id", MIX_FRACTIONS, MIX_TOTAL
+    )
+    return f"""
+        with tp_corpus as (
+          select doc_id, text, lang, source from documents
+          union all
+          select doc_id + 1000000 as doc_id, text, lang, source
+          from documents where doc_id % 13 = 0
+        ),
+        tp_reps as (
+          select min(doc_id) as doc_id from tp_corpus group by md5(text)
+        ),
+        tp_dedup as (
+          select d.doc_id, d.text, d.lang, d.source
+          from tp_corpus d join tp_reps using (doc_id)
+        ),
+        decon_bench_src as (
+          select case when len({tk}) >= 12
+                      then array_to_string(({tk})[4:12], ' ')
+                      else text end as bench_text
+          from documents where doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        {decon_body},
+        tp_kept as (
+          select c.doc_id, c.text, c.lang, c.source
+          from tp_dedup c join decon v on v.id = c.doc_id
+          where not v.contaminated and len({tk_c}) >= {TP_MIN_TOKENS}
+        ),
+        {mix_body}
+        select lang,
+               count(*) as n_docs,
+               sum(len({tk}))::BIGINT as tokens_total,
+               count(distinct source) as n_sources,
+               md5(string_agg(cast(doc_id as varchar), ',' order by doc_id))
+                 as set_md5
+        from mix_sel
+        group by lang
+    """
+
+
 def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS semi-join with a non-equi condition —
     orders having any line shipped >100 days after the order date,
@@ -4021,6 +4143,10 @@ QUERIES: dict[str, tuple] = {
     # r5: training-mix composer — integer quota per key from target
     # fractions, md5-rank selection, short strata keep everything
     "training_mix": (q_training_mix, q_training_mix_sql),
+    # r5 capstone: the LLM-data recipe end to end — dedup →
+    # decontaminate → quality floor → quota mix → per-lang rollup,
+    # set_md5 pinning the selected set exactly
+    "training_pipeline": (q_training_pipeline, q_training_pipeline_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
