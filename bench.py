@@ -114,6 +114,7 @@ HEADLINE = [
     "hybrid_rrf",
     "training_mix",
     "training_pipeline",
+    "semantic_dedup",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

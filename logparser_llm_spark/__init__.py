@@ -146,6 +146,7 @@ def __getattr__(name):
         "kmeans_fit": ("logparser_llm_spark.operators.kmeans", "kmeans_fit"),
         "hybrid_rrf_topk": ("logparser_llm_spark.operators.ranking", "hybrid_rrf_topk"),
         "quota_mix": ("logparser_llm_spark.operators.sampling", "quota_mix"),
+        "semantic_dedup": ("logparser_llm_spark.operators.dedup", "semantic_dedup"),
     }
     if name in api:
         import importlib

@@ -720,3 +720,132 @@ def exact_substring_dedup(
             "text_dedup",
         )
     )
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int,
+    threshold: float = 0.95,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal over an
+    embedding column — k-means partition, then pairwise cosine WITHIN
+    each cell only; a row is a duplicate if some lower-id row in its
+    cell sits at cosine ≥ ``threshold`` (keep-first, the corpus
+    convention). Cross-cell near-dups are missed by design — that is
+    the published recipe's scale trade (they use k ~ sqrt(n) cells so
+    cells stay small). Output: ``(<id_col>, cluster, is_dup)``.
+
+    Scale shape: the k-means rounds are zero-data-shuffle assignment +
+    one k×(dim+1) partial agg each (operators/kmeans.py); the pairwise
+    step is ONE shuffle on the cell id and O(Σ cell²) local work —
+    bounded by sizing k to the corpus, exactly how the paper runs at
+    1e9 docs. A pathologically hot cell is the known skew caveat:
+    raise k (more, smaller cells) before reaching for salting, since
+    salting would split cells and change semantics.
+
+    Cross-engine contract: cluster assignment is bit-exact (integer
+    grid, operators/kmeans.py) and the cosine compares at e6
+    quantization, so the DuckDB twin (:func:`semantic_dedup_sql`,
+    generated here — zero drift) reproduces the verdict set exactly on
+    corpora whose pair cosines don't straddle the threshold within
+    1e-6 (the registered corpus plants dups at ≈0.99 vs randoms ≈0)."""
+    from .kmeans import kmeans_fit
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tau_e6 = int(round(threshold * 1_000_000))
+    assigned, _cents = kmeans_fit(
+        df.select(id_col, vec_col), id_col, vec_col, k=k, dim=dim, iters=iters
+    )
+    # three consumers (both pairwise sides + the verdict join) — persist
+    # so the assignment join runs once, not once per consumer, and the
+    # k×dim literal argmin codegens once. Norms precompute PER ROW: the
+    # pairwise predicate then pays one dot fold instead of three
+    # (higher-order array folds are interpreted, not codegen'd — at
+    # Σ cell² pairs the norm refolds were 2/3 of the stage). Same float
+    # ops on the same inputs, so the e6 verdict is unchanged.
+    from pyspark.storagelevel import StorageLevel
+
+    from .similarity import dot_expr, norm_expr
+
+    w = (
+        df.select(id_col, vec_col)
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .withColumn("_nrm", norm_expr(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = w.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "cluster",
+    )
+    b = w.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "cluster",
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(
+        denom > 0, dot_expr(F.col("_va"), F.col("_vb")) / denom
+    ).otherwise(F.lit(0.0))
+    dup_ids = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cos * 1_000_000).cast("bigint") >= tau_e6)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return w.join(dup_ids, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def semantic_dedup_sql(
+    src_cte: str,
+    id_expr: str,
+    vec_expr: str,
+    *,
+    dim: int,
+    k: int,
+    threshold: float = 0.95,
+    iters: int = 2,
+) -> str:
+    """DuckDB rendering of :func:`semantic_dedup` (same k-means CTEs via
+    ``kmeans_sql``, same e6 cosine verdict): CTE chain ending in
+    ``sem(id, cluster, is_dup)``."""
+    from .kmeans import kmeans_sql
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tau_e6 = int(round(threshold * 1_000_000))
+    body = kmeans_sql(src_cte, id_expr, vec_expr, k=k, dim=dim, iters=iters)
+    return f"""{body},
+      sem_w as (
+        select f.id, f.cluster, v.v from km_final f join (
+          select {id_expr} as id, {vec_expr}::DOUBLE[] as v from {src_cte}
+        ) v using (id)
+      ),
+      sem_dups as (
+        select distinct b.id
+        from sem_w a join sem_w b
+          on a.cluster = b.cluster and a.id < b.id
+        where cast(round(list_cosine_similarity(a.v, b.v) * 1000000)
+                   as bigint) >= {tau_e6}
+      ),
+      sem as (
+        select w.id, w.cluster, (d.id is not null) as is_dup
+        from sem_w w left join sem_dups d using (id)
+      )"""

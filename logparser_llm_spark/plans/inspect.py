@@ -63,7 +63,8 @@ def _main() -> None:
                  "lm_quality", "crawl_diff", "html_template_cluster",
                  "bpe_tokenize", "main_content", "cdc_dedup",
                  "decontaminate", "seq_pack", "kmeans",
-                 "hybrid_rrf", "training_mix", "training_pipeline"]:
+                 "hybrid_rrf", "training_mix", "training_pipeline",
+                 "semantic_dedup"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")

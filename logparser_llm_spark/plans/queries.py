@@ -2741,6 +2741,89 @@ def q_kmeans_sql(sf: str) -> str:
     """
 
 
+SEM_K = 8       # SemDeDup cells (the paper sizes k so cells stay small)
+SEM_TAU = 0.95  # within-cell cosine dup threshold
+SEM_ITERS = 2
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (operators/dedup.py:
+    semantic_dedup — Abbas et al. 2023): k-means partition of the
+    embedding space, then pairwise cosine WITHIN each cell only; a
+    vector is a duplicate if a lower-id cellmate sits at cosine ≥ 0.95.
+    Runs over the planted-dup corpus (every 10th vector re-emitted
+    perturbed at cosine ≈ 0.99 under id+10⁶ — same seeding as
+    ``embedding_near_dup``), so the drop set is non-trivial. Output per
+    cell: size, dup count, and the md5 of the sorted KEPT ids — the
+    kept SET is the contract. Cluster assignment is bit-exact
+    (integer-grid k-means) and the verdict compares at e6 quantization,
+    so the composed DuckDB oracle hash-matches."""
+    from ..operators.dedup import semantic_dedup
+
+    allv = embeddings_with_planted_dups(spark, sf_dir)
+    out = semantic_dedup(
+        allv, "vec_id", "embedding",
+        dim=EMB_DIM, k=SEM_K, threshold=SEM_TAU, iters=SEM_ITERS,
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dups"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~F.col("is_dup"), F.col("vec_id"))
+                            )
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_vecs",
+            "n_dups",
+            "kept_md5",
+        )
+    )
+
+
+def q_semantic_dedup_sql(sf: str) -> str:
+    from ..operators.dedup import semantic_dedup_sql
+
+    body = semantic_dedup_sql(
+        "sem_src", "vec_id", "v",
+        dim=EMB_DIM, k=SEM_K, threshold=SEM_TAU, iters=SEM_ITERS,
+    )
+    return f"""
+        with sem_base as (
+          select cast(vec_id as bigint) as vec_id, embedding::DOUBLE[] as v
+          from embeddings
+        ),
+        sem_plant as (
+          select vec_id + {PLANT_ID_OFFSET} as vec_id,
+            list_transform(v, (x, i) -> x * (1.0 +
+              ((('0x' || substr(md5(vec_id::varchar || ':' || (i-1)::varchar), 1, 4))::bigint
+                % 1000) / 1000.0 - 0.5) * 0.1)) as v
+          from sem_base where vec_id % {PLANT_EVERY} = 0
+        ),
+        sem_src as (select * from sem_base union all select * from sem_plant),
+        {body}
+        select cluster::BIGINT as cluster,
+               count(*) as n_vecs,
+               sum(case when is_dup then 1 else 0 end)::BIGINT as n_dups,
+               md5(string_agg(case when not is_dup then cast(id as varchar) end,
+                              ',' order by id)) as kept_md5
+        from sem
+        group by cluster
+    """
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py) at Common-Crawl
     shape: the documents table is serialized into real WARC files (25
@@ -4147,6 +4230,9 @@ QUERIES: dict[str, tuple] = {
     # decontaminate → quality floor → quota mix → per-lang rollup,
     # set_md5 pinning the selected set exactly
     "training_pipeline": (q_training_pipeline, q_training_pipeline_sql),
+    # r5: SemDeDup — k-means cells + within-cell e6-cosine keep-first,
+    # kept set pinned per cell by md5
+    "semantic_dedup": (q_semantic_dedup, q_semantic_dedup_sql),
     # r5: as-of join, oracled by DuckDB's native ASOF LEFT JOIN (an
     # independent algorithm for the same semantics)
     "asof_lastpurchase": (q_asof_lastpurchase, q_asof_lastpurchase_sql),
