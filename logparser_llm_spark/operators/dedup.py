@@ -761,6 +761,11 @@ def semantic_dedup(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    reserved = {"cluster", "is_dup", "_nrm", "_ida", "_idb", "_va", "_vb",
+                "_na", "_nb", "_dup"}
+    for c in (id_col, vec_col):
+        if c in reserved:
+            raise ValueError(f"column name {c!r} is reserved by semantic_dedup")
     tau_e6 = int(round(threshold * 1_000_000))
     assigned, _cents = kmeans_fit(
         df.select(id_col, vec_col), id_col, vec_col, k=k, dim=dim, iters=iters

@@ -89,6 +89,9 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, [1.0])], "id bigint, v array<double>")
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(df, "id", "v", dim=1, k=1, threshold=1.5)
+    bad = spark.createDataFrame([(1, [1.0])], "cluster bigint, v array<double>")
+    with pytest.raises(ValueError, match="reserved"):
+        semantic_dedup(bad, "cluster", "v", dim=1, k=1)
     from logparser_llm_spark.operators.dedup import semantic_dedup_sql
 
     with pytest.raises(ValueError, match="threshold"):
