@@ -115,6 +115,10 @@ HEADLINE = [
     "training_mix",
     "training_pipeline",
     "semantic_dedup",
+    # round 5 (closing): degree-ordered triangle counting + quality-
+    # priority (keep-best-scoring) dedup materialization
+    "triangle_count",
+    "dedup_best",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -61,6 +61,7 @@ def __getattr__(name):
         "ivf_topk": ("logparser_llm_spark.operators.similarity", "ivf_topk"),
         "lsh_bucket_topk": ("logparser_llm_spark.operators.similarity", "lsh_bucket_topk"),
         "dedup_corpus_keep_ids": ("logparser_llm_spark.operators.dedup", "dedup_corpus_keep_ids"),
+        "dedup_corpus_keep_best": ("logparser_llm_spark.operators.dedup", "dedup_corpus_keep_best"),
         "hash_sample": ("logparser_llm_spark.operators.sampling", "hash_sample"),
         "stratified_sample": ("logparser_llm_spark.operators.sampling", "stratified_sample"),
         "reservoir_per_key": ("logparser_llm_spark.operators.sampling", "reservoir_per_key"),
@@ -91,6 +92,7 @@ def __getattr__(name):
         "audio_decode_stats": ("logparser_llm_spark.operators.media", "audio_decode_stats"),
         "synth_audio_corpus": ("logparser_llm_spark.operators.media", "synth_audio_corpus"),
         "pagerank_integer": ("logparser_llm_spark.operators.graph", "pagerank_integer"),
+        "triangle_counts": ("logparser_llm_spark.operators.graph", "triangle_counts"),
         "parse_warc": ("logparser_llm_spark.sources.warc", "parse_warc"),
         "write_warc_record": ("logparser_llm_spark.sources.warc", "write_warc_record"),
         "warc_records": ("logparser_llm_spark.sources.warc", "warc_records"),
@@ -131,6 +133,10 @@ def __getattr__(name):
         "windowed_hll_registers": (
             "logparser_llm_spark.streaming.incremental",
             "windowed_hll_registers",
+        ),
+        "stream_interval_join": (
+            "logparser_llm_spark.streaming.incremental",
+            "stream_interval_join",
         ),
         # round-5 continuation additions
         "cdc_chunks": ("logparser_llm_spark.operators.chunking", "cdc_chunks"),

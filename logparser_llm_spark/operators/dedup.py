@@ -504,6 +504,66 @@ def dedup_corpus_keep_ids(
     return exact_reps.join(drop_near, "doc_id", "left_anti")
 
 
+def dedup_corpus_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Quality-priority dedup materialization: keep the BEST-scoring
+    member of every duplicate family instead of the min-id one — what a
+    production training-data pipeline actually ships (among near-dup
+    crawls of a page, keep the longest / highest-quality capture, not
+    whichever got the smaller id).
+
+    Family = connected component of the union graph over
+    (a) exact-dup star edges (every member of a same-md5(text) group ↔
+    the group min) and (b) SimHash Hamming-band near-dup pairs. Within
+    a family keep argmax by (score desc, id asc); docs in no family
+    keep themselves.
+
+    Scale: the same bounded joins as :func:`dedup_corpus_keep_ids`
+    plus ONE ``min_by`` aggregate per family over a (-score, id) struct
+    — map-side combinable, so a million-member dup family pre-reduces
+    inside each map task. ``score_col`` must be numeric (it is negated
+    for the tiebreak). Output: (doc_id) of kept rows.
+    """
+    from .components import connected_components
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.col(score_col).cast("double").alias("_score"),
+    )
+    grp = base.select("doc_id", F.md5(F.col("_text")).alias("_h"))
+    gmin = grp.groupBy("_h").agg(
+        F.min("doc_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
+    )
+    exact_edges = (
+        grp.join(gmin, "_h")
+        .where((F.col("_n") > 1) & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("doc_id").alias("id_a"), F.col("_rep").alias("id_b"))
+    )
+    near = simhash_near_dup_pairs(df, id_col, text_col, max_hamming, bands).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(exact_edges.unionByName(near))
+    member = comp.join(
+        base.select(F.col("doc_id").alias("node"), "_score"), "node"
+    )
+    best = member.groupBy("component_id").agg(
+        F.min_by(
+            "node", F.struct((-F.col("_score")).alias("ns"), F.col("node").alias("n"))
+        ).alias("keep_id")
+    )
+    singles = base.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return singles.unionByName(best.select(F.col("keep_id").alias("doc_id")))
+
+
 def make_lsh_band_udf(dim: int, bits: int = 8, tables: int = 4, seed: int = 7):
     """Arrow-batched signature UDF: vector → array of ``tables`` packed
     band keys (one random-hyperplane sign signature per table). Planes

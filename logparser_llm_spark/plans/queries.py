@@ -1504,6 +1504,74 @@ def q_dedup_filtered_sql(sf: str) -> str:
     """
 
 
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup (operators/dedup.py:dedup_corpus_keep_best):
+    within every duplicate family (exact-md5 star edges ∪ SimHash
+    Hamming-≤3 near-dup pairs, families = connected components) keep the
+    LONGEST member (score = char length, ties → min id) instead of the
+    min id — the keep rule a production pipeline actually uses. The
+    DuckDB oracle recomputes the whole composition: simhash pairs, the
+    exact-dup star edges, the recursive-CTE components, and a
+    row_number window argmax per family."""
+    from ..operators.dedup import dedup_corpus_keep_best
+
+    d = _read(spark, sf_dir, "documents")
+    # text_len is not a table column: derive it first
+    d2 = d.withColumn("text_len", F.length("text"))
+    kept = dedup_corpus_keep_best(d2, "doc_id", "text", "text_len")
+    return kept.join(d2.select("doc_id", "text_len"), "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text_len").cast("bigint").alias("score_len"),
+    )
+
+
+def q_dedup_best_sql(sf: str) -> str:
+    simhash_inner = q_simhash_sql(sf)
+    return f"""
+        with recursive
+        s as ({simhash_inner}),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b
+          from s a join s b on a.doc_id < b.doc_id
+          where bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        scored as (select doc_id, md5(text) as h, length(text) as score
+                   from documents),
+        gmin as (select h, min(doc_id) as rep, count(*) as n
+                 from scored group by h),
+        exact_edges as (
+          select e.doc_id as id_a, g.rep as id_b
+          from scored e join gmin g using (h)
+          where g.n > 1 and e.doc_id <> g.rep
+        ),
+        allpairs as (select id_a, id_b from pairs
+                     union select id_a, id_b from exact_edges),
+        edges as (select id_a as a, id_b as b from allpairs
+                  union select id_b, id_a from allpairs),
+        reach(node, r) as (
+          select a, a from (select distinct a from edges)
+          union
+          select e.b, reach.r from reach join edges e on e.a = reach.node
+        ),
+        comp as (select node, min(r) as cid from reach group by node),
+        member as (
+          select c.node, c.cid, x.score,
+                 row_number() over (partition by c.cid
+                                    order by x.score desc, c.node asc) as rn
+          from comp c join scored x on x.doc_id = c.node
+        ),
+        keep as (
+          select doc_id from scored
+          where doc_id not in (select node from comp)
+          union all
+          select node from member where rn = 1
+        )
+        select cast(k.doc_id as bigint) as doc_id,
+               cast(x.score as bigint) as score_len
+        from keep k join scored x on x.doc_id = k.doc_id
+    """
+
+
 def q_image_features_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed multimodal pipeline over a SEEDED image corpus
     (VERDICT r4 item 8 — the one operator family that had no per-round
@@ -2207,6 +2275,62 @@ def q_pagerank_sql(sf: str) -> str:
         iterations=PAGERANK_ITERATIONS,
     )
     return f"select node as doc_id, pr from ({inner})"
+
+
+def _triangle_edges_cte() -> str:
+    """DuckDB edge generator mirroring q_triangle_count's Spark synth:
+    ring edges u→(u+1)%N and u→(u+2)%N (every consecutive triple closes
+    a triangle) plus hub edges u→0 for even u>0 (node 0's degree is
+    ~N/2 — real skew for the degree-ordered orientation to absorb; each
+    even u also closes the triangle {0, u, u+2})."""
+    return """
+        select d.doc_id as src,
+               (d.doc_id + k.k) % (select count(*) from documents) as dst
+        from documents d, (values (1), (2)) as k(k)
+        union all
+        select d.doc_id as src, 0 as dst
+        from documents d where d.doc_id % 2 = 0 and d.doc_id > 0
+    """
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_counts —
+    degree-ordered node-iterator, wedges only at an edge pair's
+    lower-ordered endpoint so hub skew never squares on one reducer)
+    over a SEEDED graph on documents: ring edges u→u+1, u→u+2 (mod N)
+    make every consecutive triple a triangle, and hub edges u→0 for
+    even u>0 give node 0 degree ~N/2 — the skew case the orientation
+    exists for — closing {0, u, u+2} triangles at even u. The DuckDB
+    oracle counts triangles with the NAIVE id-ordered triple join
+    (graph.triangle_oracle_sql) — an independent algebra, so agreement
+    validates the orientation trick rather than restating it."""
+    from ..operators.graph import triangle_counts
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    ring = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("k"),
+    ).select("src", ((F.col("src") + F.col("k")) % F.lit(n)).alias("dst"))
+    hub = (
+        d.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") > 0))
+        .select(F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    )
+    out = triangle_counts(ring.unionAll(hub), nodes=d)
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+    )
+
+
+def q_triangle_count_sql(sf: str) -> str:
+    from ..operators.graph import triangle_oracle_sql
+
+    inner = triangle_oracle_sql("documents", "doc_id", _triangle_edges_cte())
+    return f"select node as doc_id, degree, triangles from ({inner})"
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4149,6 +4273,13 @@ QUERIES: dict[str, tuple] = {
     # r5: integer-arithmetic PageRank — bit-exact cross-engine, oracle
     # unrolled by the same module (see q_pagerank docstring)
     "pagerank": (q_pagerank, q_pagerank_sql),
+    # r5: degree-ordered triangle counting over a seeded ring+hub graph
+    # — oracle is the independent naive triple join
+    "triangle_count": (q_triangle_count, q_triangle_count_sql),
+    # r5: quality-priority dedup — keep each dup family's LONGEST member;
+    # oracle recomputes simhash pairs + exact star edges + recursive-CTE
+    # components + a window argmax
+    "dedup_best": (q_dedup_best, q_dedup_best_sql),
     # r5: URL canonicalization over seeded messy URLs — oracle derives
     # the expected canonical string arithmetically
     "url_canonicalize": (q_url_canonicalize, q_url_canonicalize_sql),

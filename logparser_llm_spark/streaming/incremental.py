@@ -145,6 +145,59 @@ def windowed_hll_registers(
     )
 
 
+def stream_interval_join(
+    anchors: DataFrame,
+    events: DataFrame,
+    key_col: str,
+    anchor_ts: str,
+    event_ts: str,
+    *,
+    horizon: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream attribution join: every event within
+    ``[anchor_ts, anchor_ts + horizon]`` of a same-key anchor — the
+    streaming face of :func:`..operators.joins.interval_join`
+    (purchase→click attribution, request→error correlation) as ONE
+    Spark stream-stream inner join.
+
+    Both sides carry a watermark and the join condition carries an
+    explicit time bound in BOTH directions, which is exactly what lets
+    Spark bound the join state: an anchor can be dropped from state
+    once the event-side watermark passes ``anchor_ts + horizon``, and a
+    buffered event once the anchor-side watermark passes ``event_ts``
+    — without the range bound the state would grow forever. State per
+    key is O(rows inside watermark + horizon), independent of stream
+    length.
+
+    The two frames must share ONLY ``key_col`` (other name collisions
+    raise — column provenance would be ambiguous in the flat output);
+    ``anchor_ts`` / ``event_ts`` must be distinct timestamp columns.
+    Output: all anchor columns + all event columns except its key.
+    """
+    shared = (set(anchors.columns) & set(events.columns)) - {key_col}
+    if shared:
+        raise ValueError(
+            f"anchor/event frames may share only {key_col!r}; also share {sorted(shared)}"
+        )
+    if anchor_ts == event_ts:
+        raise ValueError("anchor_ts and event_ts must be distinct column names")
+    a = anchors.withWatermark(anchor_ts, watermark).alias("a")
+    e = events.withWatermark(event_ts, watermark).alias("e")
+    cond = (
+        (F.col(f"a.{key_col}") == F.col(f"e.{key_col}"))
+        & (F.col(f"e.{event_ts}") >= F.col(f"a.{anchor_ts}"))
+        & (
+            F.col(f"e.{event_ts}")
+            <= F.col(f"a.{anchor_ts}") + F.expr(f"interval {horizon}")
+        )
+    )
+    keep = [F.col(f"a.{c}") for c in anchors.columns] + [
+        F.col(f"e.{c}") for c in events.columns if c != key_col
+    ]
+    return a.join(e, cond, "inner").select(*keep)
+
+
 def windowed_bloom_words(
     events: DataFrame,
     key_col: str,

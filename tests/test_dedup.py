@@ -281,6 +281,33 @@ def test_dedup_corpus_keep_ids(spark):
     assert {3, 4} <= kept       # unique docs survive
 
 
+def test_dedup_corpus_keep_best_keeps_highest_score(spark):
+    """Quality-priority keep rule: within a dup family the LONGEST
+    (highest-score) member survives, not the min id — and score ties
+    break to the min id. Families span exact AND near edges."""
+    from logparser_llm_spark.operators.dedup import dedup_corpus_keep_best
+
+    long_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_b = "the quick brown fox jumps over the lazy cat near the river bank"
+    docs = [
+        (0, long_a),                 # exact dup of 1, near dup of 2
+        (1, long_a),                 # exact dup of 0
+        (2, long_b + " today"),      # near dup, LONGER → the family's keeper
+        (3, "unique text about database query optimization and plans"),
+        (4, "tie one equal length aa"),
+        (5, "tie one equal length aa"),  # exact dup, equal score → min id (4) kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    scored = df.withColumn("n", F.length("text"))
+    kept = {
+        r["doc_id"]
+        for r in dedup_corpus_keep_best(
+            scored, "doc_id", "text", "n", max_hamming=8, bands=16
+        ).collect()
+    }
+    assert kept == {2, 3, 4}
+
+
 def test_band_config_raises_value_error(spark):
     """Invalid band configs must raise even under python -O (ADVICE r2:
     a stripped assert would silently void the pigeonhole guarantee)."""

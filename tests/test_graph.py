@@ -11,6 +11,8 @@ import pytest
 from logparser_llm_spark.operators.graph import (
     pagerank_integer,
     pagerank_oracle_sql,
+    triangle_counts,
+    triangle_oracle_sql,
 )
 
 SCALE = 10**9
@@ -115,3 +117,95 @@ def test_oracle_sql_mirrors_reference(spark):
         for j in range(1 + u % 2):
             edges.append((u, (u * 11 + 5 * j + 2) % 30))
     assert got == ref_pagerank(edges, list(range(30)), 3)
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def ref_triangles(edges, nodes):
+    """Single-threaded reference: canonicalize, then count triangles by
+    brute-force adjacency intersection."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    seen = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t not in seen:
+                seen.add(t)
+                for v in t:
+                    tri[v] += 1
+    return {v: (len(adj[v]), tri.get(v, 0)) for v in nodes}
+
+
+def _run_tri(spark, edges, nodes, partitions=None):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if partitions:
+        e = e.repartition(partitions)
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    out = triangle_counts(e, nodes=nd)
+    return {r["node"]: (r["degree"], r["triangles"]) for r in out.collect()}
+
+
+def test_triangles_match_reference_on_scraggly_graph(spark):
+    edges, nodes = _graph()
+    assert _run_tri(spark, edges, nodes) == ref_triangles(edges, nodes)
+
+
+def test_triangles_partition_invariance(spark):
+    edges, nodes = _graph(n_nodes=40, seed=9)
+    a = _run_tri(spark, edges, nodes, partitions=1)
+    b = _run_tri(spark, edges, nodes, partitions=17)
+    assert a == b
+
+
+def test_triangles_k4(spark):
+    # K4: every node sits in C(3,2) = 3 triangles, degree 3
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _run_tri(spark, edges, list(range(4)))
+    assert got == {v: (3, 3) for v in range(4)}
+
+
+def test_triangles_collapse_direction_duplicates_and_self_loops(spark):
+    # (0,1) twice + reversed, a self-loop, and both orientations of the
+    # closing edge: still exactly ONE triangle
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (0, 2), (1, 1)]
+    got = _run_tri(spark, edges, [0, 1, 2, 7])
+    assert got == {0: (2, 1), 1: (2, 1), 2: (2, 1), 7: (0, 0)}
+
+
+def test_triangles_star_hub_plus_one_closing_edge(spark):
+    # hub 0 linked to 1..20 (no triangles), then close (1, 2): the hub
+    # participates in exactly that one triangle — the skew shape the
+    # degree ordering exists for
+    edges = [(0, v) for v in range(1, 21)] + [(1, 2)]
+    got = _run_tri(spark, edges, list(range(21)))
+    assert got[0] == (20, 1)
+    assert got[1] == (2, 1) and got[2] == (2, 1)
+    assert all(got[v] == (1, 0) for v in range(3, 21))
+
+
+def test_triangle_oracle_sql_mirrors_reference(spark):
+    """Drift gate: the generated naive-triple-join DuckDB oracle must
+    agree with the Python reference on a closed-form graph."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("create table pages as select range as pid from range(24)")
+    edge_cte = """
+        select p.pid as src, (p.pid * 5 + 3) % 24 as dst from pages p
+        union all
+        select p.pid as src, (p.pid + 1) % 24 as dst from pages p
+        union all
+        select p.pid as src, (p.pid + 2) % 24 as dst from pages p
+    """
+    sql = triangle_oracle_sql("pages", "pid", edge_cte)
+    got = {n: (d, t) for n, d, t in con.execute(sql).fetchall()}
+    edges = []
+    for u in range(24):
+        edges += [(u, (u * 5 + 3) % 24), (u, (u + 1) % 24), (u, (u + 2) % 24)]
+    assert got == ref_triangles(edges, list(range(24)))

@@ -231,3 +231,17 @@ def test_loghist_sketch_is_partial_agg_jvm_only(spark):
     facts = plan_facts(loghist_build(docs, ["source"], "v"))
     assert facts["partial_aggregate"], "counter sum must combine map-side"
     assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+def test_triangle_count_reuses_oriented_edges_and_stays_jvm(spark):
+    """The oriented-edge frame feeds three consumers (both wedge sides
+    and the closing-edge join); without persist Catalyst re-runs the
+    canonicalize+degree subtree for each. The plan must show the cache
+    reads, no Python, and no cartesian fallback."""
+    from logparser_llm_spark.plans.queries import q_triangle_count
+
+    plan = physical_plan(q_triangle_count(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3, "oriented-edge frame not reused"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "python" not in plan.lower()

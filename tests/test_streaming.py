@@ -454,3 +454,104 @@ def test_windowed_bloom_words_stream_matches_batch(spark, tmp_path):
     ).select("url").distinct()
     verdicts = bloom_contains(filt, seen, "url", m_bits=m_bits, k=k)
     assert verdicts.where(~F.col("maybe_present")).isEmpty()
+
+
+def test_stream_interval_join_matches_batch_and_grid_operator(spark, tmp_path):
+    """Stream-stream attribution join across micro-batches on BOTH
+    sides: the streamed matches must equal (a) the naive batch join
+    with the same condition and (b) the grid-bucketed batch
+    interval_join over epoch seconds — two independent implementations
+    of the same semantics. Matches must cross micro-batch boundaries
+    (a wave-1 purchase attributed to a wave-2 click)."""
+    import datetime as dt
+
+    from logparser_llm_spark.operators.joins import interval_join
+    from logparser_llm_spark.streaming.incremental import stream_interval_join
+
+    base = dt.datetime(2026, 5, 1, 9, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    # purchases (anchors): horizon 1 hour
+    p1 = [(1, m(0), 500), (2, m(10), 700)]
+    p2 = [(1, m(90), 300), (3, m(95), 900)]
+    # clicks (events): u1 clicks in both purchase windows; one click
+    # 61 min after u2's purchase (outside); u3 clicks before any purchase
+    c1 = [(1, m(5), "home"), (2, m(71), "promo"), (3, m(50), "early")]
+    c2 = [(1, m(95), "cart"), (1, m(130), "faq"), (2, m(40), "mid")]
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    pschema = "user_id bigint, pts timestamp, amount bigint"
+    cschema = "user_id bigint, cts timestamp, page string"
+    spark.createDataFrame(p1, pschema).coalesce(1).write.parquet(psrc)
+    spark.createDataFrame(p2, pschema).coalesce(1).write.mode("append").parquet(psrc)
+    spark.createDataFrame(c1, cschema).coalesce(1).write.parquet(csrc)
+    spark.createDataFrame(c2, cschema).coalesce(1).write.mode("append").parquet(csrc)
+
+    ps = spark.readStream.schema(pschema).option("maxFilesPerTrigger", "1").parquet(psrc)
+    cs = spark.readStream.schema(cschema).option("maxFilesPerTrigger", "1").parquet(csrc)
+    joined = stream_interval_join(
+        ps, cs, "user_id", "pts", "cts", horizon="1 hour", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    got = as_set(spark.sql("select * from attrib"))
+
+    pb = spark.read.parquet(psrc)
+    cb = spark.read.parquet(csrc)
+    naive = pb.join(
+        cb,
+        (pb["user_id"] == cb["user_id"])
+        & (cb["cts"] >= pb["pts"])
+        & (cb["cts"] <= pb["pts"] + F.expr("interval 1 hour")),
+    ).select(pb["user_id"], "pts", "amount", "cts", "page")
+    assert got == as_set(naive)
+    # mid-wave attribution really happened: u2's wave-2 click (minute 40)
+    # sits inside u2's wave-1 purchase window (minute 10)
+    assert any(r[0] == 2 and r[4] == "mid" for r in got)
+    assert len(got) == 4
+
+    grid = interval_join(
+        cb.select("user_id", F.unix_timestamp("cts").alias("csec"), "page"),
+        pb.select(
+            "user_id",
+            F.unix_timestamp("pts").alias("start_s"),
+            (F.unix_timestamp("pts") + 3600).alias("end_s"),
+            "amount",
+        ),
+        ["user_id"],
+        "csec",
+        "start_s",
+        "end_s",
+        bucket_width=3600,
+    )
+    grid_set = {
+        (r["user_id"], r["start_s"], r["csec"], r["page"], r["amount"])
+        for r in grid.collect()
+    }
+    stream_as_secs = {
+        (u, int(pts.timestamp()), int(cts.timestamp()), page, amount)
+        for (u, pts, amount, cts, page) in got
+    }
+    assert stream_as_secs == grid_set
+
+
+def test_stream_interval_join_rejects_ambiguous_columns(spark):
+    from logparser_llm_spark.streaming.incremental import stream_interval_join
+
+    a = spark.createDataFrame([(1,)], "user_id bigint").selectExpr(
+        "user_id", "current_timestamp() as ts", "1 as x"
+    )
+    b = spark.createDataFrame([(1,)], "user_id bigint").selectExpr(
+        "user_id", "current_timestamp() as ts", "2 as x"
+    )
+    with pytest.raises(ValueError, match="share"):
+        stream_interval_join(a, b, "user_id", "ts", "ts")
+    b2 = b.withColumnRenamed("ts", "ts2").withColumnRenamed("x", "y")
+    with pytest.raises(ValueError, match="distinct"):
+        stream_interval_join(a.drop("x"), b2.drop("y"), "user_id", "ts2", "ts2")
