@@ -119,6 +119,10 @@ HEADLINE = [
     # priority (keep-best-scoring) dedup materialization
     "triangle_count",
     "dedup_best",
+    # round 5 (closing): the two most-cited published web-corpus
+    # recipes, named — Gopher A1.1 rules and C4 line/page cleaning
+    "gopher_rules",
+    "c4_clean",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -100,6 +100,10 @@ def __getattr__(name):
         "parse_robots": ("logparser_llm_spark.functions.robots", "parse_robots"),
         "robots_rules": ("logparser_llm_spark.functions.robots", "robots_rules"),
         "robots_allowed": ("logparser_llm_spark.functions.robots", "robots_allowed"),
+        "gopher_signal_cols": ("logparser_llm_spark.functions.quality", "gopher_signal_cols"),
+        "gopher_rule_cols": ("logparser_llm_spark.functions.quality", "gopher_rule_cols"),
+        "c4_kept_lines": ("logparser_llm_spark.functions.quality", "c4_kept_lines"),
+        "c4_stats_cols": ("logparser_llm_spark.functions.quality", "c4_stats_cols"),
         "sniff_charset": ("logparser_llm_spark.functions.charset", "sniff_charset"),
         "decode_page": ("logparser_llm_spark.functions.charset", "decode_page"),
         "html_to_text": ("logparser_llm_spark.functions.html", "html_to_text"),

@@ -71,3 +71,224 @@ def top_token_fraction(tokens: Column) -> Column:
         lambda t: F.size(F.filter(tokens, lambda x: x == t)),
     )
     return F.when(n > 0, F.array_max(counts) / n.cast("double")).otherwise(F.lit(0.0))
+
+
+# --- Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) --------
+#
+# The published rule set, restated in INTEGER arithmetic only (every
+# threshold is a rational, so `ratio > 0.1` becomes `10*num > den`):
+# no floats anywhere, which is what lets the DuckDB oracle reproduce
+# every signal and verdict bit for bit. Signals are plain Column
+# expressions over whitespace tokens and newline-split lines — pure
+# JVM, zero exchanges, whole-stage codegen: the shape a 100 TB
+# filtering pass must have (one scan, one map stage).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("• ", "- ", "* ")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_signal_cols(col: Column) -> dict[str, Column]:
+    """The raw integer signals the rules compare. Words are whitespace
+    tokens of the whitespace-normalized text (so newlines split words);
+    lines are the non-blank newline splits of the RAW text."""
+    flat = F.regexp_replace(col, r"\s+", " ")
+    toks = F.filter(F.split(F.trim(flat), " "), lambda t: t != F.lit(""))
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != F.lit(""))
+    bullet = F.filter(
+        lines,
+        lambda l: F.trim(l).startswith(GOPHER_BULLETS[0])
+        | F.trim(l).startswith(GOPHER_BULLETS[1])
+        | F.trim(l).startswith(GOPHER_BULLETS[2]),
+    )
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sig = {
+        "n_words": F.size(toks),
+        "word_chars": F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ),
+        "n_lines": F.size(lines),
+        "n_hash": F.size(F.regexp_extract_all(col, F.lit("#"), 0)),
+        "n_ellipsis": F.size(F.regexp_extract_all(col, F.lit(r"\.\.\."), 0)),
+        "n_bullet_lines": F.size(bullet),
+        "n_ellipsis_end": F.size(F.filter(lines, lambda l: l.endswith("..."))),
+        "n_alpha_words": F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))),
+        "n_stop_distinct": F.size(
+            F.array_distinct(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        ),
+    }
+    return {k: v.cast("bigint") for k, v in sig.items()}
+
+
+def gopher_rule_cols(sig: dict[str, Column]) -> dict[str, Column]:
+    """Rule verdicts from the signals (integer comparisons only).
+    ok_* is True when the document PASSES that rule; keep = all pass."""
+    rules = {
+        # 50 <= words <= 100k
+        "ok_words": (sig["n_words"] >= GOPHER_MIN_WORDS)
+        & (sig["n_words"] <= GOPHER_MAX_WORDS),
+        # mean word length in [3, 10]
+        "ok_mean_len": (sig["word_chars"] >= 3 * sig["n_words"])
+        & (sig["word_chars"] <= 10 * sig["n_words"]),
+        # '#'-or-'...' symbol-to-word ratio <= 0.1
+        "ok_symbol": 10 * (sig["n_hash"] + sig["n_ellipsis"]) <= sig["n_words"],
+        # <= 90% of lines start with a bullet
+        "ok_bullet": 10 * sig["n_bullet_lines"] <= 9 * sig["n_lines"],
+        # <= 30% of lines end with an ellipsis
+        "ok_ellipsis_end": 10 * sig["n_ellipsis_end"] <= 3 * sig["n_lines"],
+        # >= 80% of words contain an alphabetic character
+        "ok_alpha": 10 * sig["n_alpha_words"] >= 8 * sig["n_words"],
+        # >= 2 distinct stop words present
+        "ok_stop": sig["n_stop_distinct"] >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    rules["keep"] = keep
+    return rules
+
+
+GOPHER_OUT_COLS = (
+    "n_words", "word_chars", "n_lines", "n_hash", "n_ellipsis",
+    "n_bullet_lines", "n_ellipsis_end", "n_alpha_words", "n_stop_distinct",
+    "ok_words", "ok_mean_len", "ok_symbol", "ok_bullet", "ok_ellipsis_end",
+    "ok_alpha", "ok_stop", "keep",
+)
+
+
+def gopher_sql(input_sql: str, text_col: str = "t", id_col: str = "doc_id") -> str:
+    """DuckDB rendering of signals + rules, generated here so the two
+    formulations cannot drift. ``input_sql`` must yield (id_col,
+    text_col); returns a complete statement projecting id_col +
+    GOPHER_OUT_COLS."""
+    t = text_col
+    toks = (
+        "list_filter(string_split(trim(regexp_replace("
+        f"{t}, '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    lines = f"list_filter(string_split({t}, chr(10)), l -> trim(l) <> '')"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    bullets = " or ".join(f"trim(l) like '{b}%'" for b in GOPHER_BULLETS)
+    sig = {
+        "n_words": "len(tk)",
+        "word_chars": (
+            "coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0)"
+        ),
+        "n_lines": "len(ln)",
+        "n_hash": f"len(regexp_extract_all({t}, '#'))",
+        "n_ellipsis": f"len(regexp_extract_all({t}, '\\.\\.\\.'))",
+        "n_bullet_lines": f"len(list_filter(ln, l -> {bullets}))",
+        "n_ellipsis_end": "len(list_filter(ln, l -> l like '%...'))",
+        "n_alpha_words": "len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))",
+        "n_stop_distinct": (
+            f"len(list_distinct(list_filter(tk, x -> x in ({stops}))))"
+        ),
+    }
+    parts = [f"cast({v} as bigint) as {k}" for k, v in sig.items()]
+    rules = {
+        "ok_words": (
+            f"(n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS})"
+        ),
+        "ok_mean_len": "(word_chars >= 3*n_words and word_chars <= 10*n_words)",
+        "ok_symbol": "(10*(n_hash + n_ellipsis) <= n_words)",
+        "ok_bullet": "(10*n_bullet_lines <= 9*n_lines)",
+        "ok_ellipsis_end": "(10*n_ellipsis_end <= 3*n_lines)",
+        "ok_alpha": "(10*n_alpha_words >= 8*n_words)",
+        "ok_stop": "(n_stop_distinct >= 2)",
+    }
+    rule_parts = [f"{v} as {k}" for k, v in rules.items()]
+    keep = " and ".join(rules.values())
+    rule_parts.append(f"({keep}) as keep")
+    return (
+        f"with _gin as ({input_sql}),\n"
+        f"_tk as (select {id_col}, {t}, {toks} as tk, {lines} as ln from _gin),\n"
+        f"_sig as (select {id_col}, {t}, {', '.join(parts)} from _tk)\n"
+        f"select {id_col}, "
+        + ", ".join(c for c in GOPHER_OUT_COLS if c.startswith("n_") or c == "word_chars")
+        + f", {', '.join(rule_parts)} from _sig"
+    )
+
+
+# --- C4 line/page cleaning (Raffel et al. 2020, §2.2) ----------------------
+#
+# Line rules: keep only lines that (a) end in a terminal punctuation
+# mark, (b) contain >= 5 words, (c) do not contain the word
+# "javascript". Page rules (on the RAW page, per the paper): drop any
+# page containing "lorem ipsum" or a curly brace '{', and any page
+# whose retained text has fewer than 3 sentences. The corpus-level
+# three-sentence-span dedup step of C4 is the separate
+# `exact_substring` operator (operators/dedup.py) — this module is the
+# per-document pass. Everything is a pure JVM expression chain: one
+# scan, zero exchanges.
+
+C4_LINE_MIN_WORDS = 5
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_kept_lines(col: Column) -> Column:
+    """array<string> of the retained lines (trimmed)."""
+    lines = F.transform(F.split(col, "\n"), lambda l: F.trim(l))
+    return F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(l, " "), lambda t: t != F.lit("")))
+            >= C4_LINE_MIN_WORDS
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_stats_cols(col: Column) -> dict[str, Column]:
+    """Per-page outputs: line counts, retained text, sentence count,
+    and the page verdict. `clean_text` is newline-joined retained lines
+    (computed for every page so the md5 is comparable even on dropped
+    pages)."""
+    kept = c4_kept_lines(col)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), 0))
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != F.lit(""))
+    page_kept = (
+        (n_sent >= 3)
+        & ~F.lower(col).contains("lorem ipsum")
+        & ~col.contains("{")
+    )
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept_lines": F.size(kept).cast("bigint"),
+        "n_sentences": n_sent.cast("bigint"),
+        "page_kept": page_kept,
+        "clean_md5": F.md5(clean),
+    }
+
+
+def c4_sql(input_sql: str, text_col: str = "t", id_col: str = "doc_id") -> str:
+    """DuckDB rendering of the same line + page rules, generated here so
+    the two formulations cannot drift. ``input_sql`` must yield
+    (id_col, text_col); returns a complete statement projecting
+    id_col + the five stats."""
+    t = text_col
+    kept = (
+        f"list_filter(list_transform(string_split({t}, chr(10)),"
+        " l -> trim(l)),"
+        f" l -> regexp_matches(l, '{C4_TERMINAL_RE}')"
+        f" and len(list_filter(string_split(l, ' '), x -> x <> ''))"
+        f" >= {C4_LINE_MIN_WORDS}"
+        " and not contains(lower(l), 'javascript'))"
+    )
+    lines = f"list_filter(string_split({t}, chr(10)), l -> trim(l) <> '')"
+    return (
+        f"with _cin as ({input_sql}),\n"
+        f"_k as (select {id_col}, {t}, {kept} as kept, {lines} as ln,\n"
+        f"  array_to_string({kept}, chr(10)) as clean from _cin)\n"
+        f"select {id_col},\n"
+        "  cast(len(ln) as bigint) as n_lines,\n"
+        "  cast(len(kept) as bigint) as n_kept_lines,\n"
+        "  cast(len(regexp_extract_all(clean, '[.!?]')) as bigint) as n_sentences,\n"
+        "  (len(regexp_extract_all(clean, '[.!?]')) >= 3\n"
+        f"   and not contains(lower({t}), 'lorem ipsum')\n"
+        f"   and not contains({t}, '{{')) as page_kept,\n"
+        "  md5(clean) as clean_md5\n"
+        "from _k"
+    )

@@ -1988,6 +1988,158 @@ def q_pii_redact_sql(sf: str) -> str:
     """
 
 
+_GOPHER_SEED_SQL = """
+    select doc_id, concat_ws(chr(10),
+      'the corpus reads ' || text || ' today',
+      case when doc_id % 2 = 0
+           then 'it is the way of that and to be done with care' end,
+      case when doc_id % 15 = 0
+           then repeat('• bullet item row' || chr(10), 40) end,
+      case when doc_id % 7 = 0
+           then 'to be continued...' || chr(10) || 'and more to come...' end,
+      case when doc_id % 11 = 0
+           then '### ### ### ### ### ### ### ###' end,
+      case when doc_id % 13 = 0
+           then '12 34 56 78 90 11 22 33 44 55 66 77 88 99 10 20 30 40 50 60' end,
+      case when doc_id % 17 = 0
+           then repeat('pneumonoultramicroscopicsilico ', 30) end
+    ) as t from documents
+"""
+
+
+def _gopher_seed_col() -> Column:
+    """Spark twin of _GOPHER_SEED_SQL's text expression: each rule class
+    is tripped by a deterministic doc_id residue so every ok_* flag has
+    both verdicts in the corpus (the 100k upper word bound excepted —
+    unreachable at sf scale, noted in the query docstring)."""
+    d = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("the corpus reads "), F.col("text"), F.lit(" today")),
+        F.when(d % 2 == 0, F.lit("it is the way of that and to be done with care")),
+        F.when(d % 15 == 0, F.repeat(F.lit("• bullet item row\n"), 40)),
+        F.when(d % 7 == 0, F.lit("to be continued...\nand more to come...")),
+        F.when(d % 11 == 0, F.lit("### ### ### ### ### ### ### ###")),
+        F.when(
+            d % 13 == 0,
+            F.lit("12 34 56 78 90 11 22 33 44 55 66 77 88 99 10 20 30 40 50 60"),
+        ),
+        F.when(d % 17 == 0, F.repeat(F.lit("pneumonoultramicroscopicsilico "), 30)),
+    )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1;
+    functions/quality.py:gopher_signal_cols/gopher_rule_cols) over a
+    SEEDED multi-line corpus: base word-soup line plus residue-class
+    trip lines — stopword-rich (mod 2), 40-line bullet block (mod 15),
+    ellipsis-ended lines (mod 7), hash symbols (mod 11), numeric
+    non-alpha words (mod 13), 30-char words pushing mean length past 10
+    (mod 17) — so every rule flag carries BOTH verdicts at sf0.01
+    except the 100k max-words bound (unreachable at sf scale). All
+    signals and verdicts are integer arithmetic, pure JVM, zero
+    exchanges; the DuckDB oracle is generated by the same module
+    (gopher_sql) so the formulations cannot drift."""
+    from ..functions.quality import GOPHER_OUT_COLS, gopher_rule_cols, gopher_signal_cols
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", _gopher_seed_col().alias("t"))
+    # staged selects, NOT one projection: each rule references several
+    # signals and `keep` references all seven, so inlining the signal
+    # expressions would re-run the token pipeline ~15× per row (a first
+    # cut did exactly that and read 5.1s at sf0.1 vs 0.9s staged —
+    # Catalyst's CollapseProject keeps a projection boundary when it
+    # would duplicate expensive expressions, so name the signals first
+    # and build rules from column refs)
+    sig = gopher_signal_cols(F.col("t"))
+    with_sig = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[v.alias(k) for k, v in sig.items()],
+    )
+    rules = gopher_rule_cols({k: F.col(k) for k in sig})
+    return with_sig.select(
+        "doc_id",
+        *[c for c in GOPHER_OUT_COLS if c in sig],
+        *[rules[c].alias(c) for c in GOPHER_OUT_COLS if c in rules],
+    )
+
+
+def q_gopher_rules_sql(sf: str) -> str:
+    from ..functions.quality import gopher_sql
+
+    return gopher_sql(_GOPHER_SEED_SQL, text_col="t", id_col="doc_id")
+
+
+_C4_SEED_SQL = """
+    select doc_id, concat_ws(chr(10),
+      'The article explains ' || substr(text, 1, 60) || ' clearly.',
+      'Second sentence adds more interesting detail for readers.',
+      case when doc_id % 9 <> 0
+           then 'A third sentence closes the excerpt nicely.' end,
+      case when doc_id % 2 = 0 then 'Short line.' end,
+      case when doc_id % 3 = 0
+           then 'this line has no terminal punctuation at all' end,
+      case when doc_id % 4 = 0
+           then 'Please enable javascript to continue reading now.' end,
+      case when doc_id % 5 = 0
+           then 'lorem ipsum dolor sit amet consectetur.' end,
+      case when doc_id % 7 = 0 then 'var x = { a: 1 };' end
+    ) as t from documents
+"""
+
+
+def _c4_seed_col() -> Column:
+    """Spark twin of _C4_SEED_SQL: two always-kept sentences, a third
+    withheld at mod 9 (page then fails the 3-sentence floor), and one
+    trip line per C4 rule class — too-few-words (mod 2), no terminal
+    punctuation (mod 3), the word javascript (mod 4), page-poison
+    lorem ipsum (mod 5, its LINE is individually valid — pins that the
+    page rule reads the raw page), curly brace (mod 7, its line also
+    fails the punctuation rule)."""
+    d = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("The article explains "),
+            F.substring(F.col("text"), 1, 60),
+            F.lit(" clearly."),
+        ),
+        F.lit("Second sentence adds more interesting detail for readers."),
+        F.when(d % 9 != 0, F.lit("A third sentence closes the excerpt nicely.")),
+        F.when(d % 2 == 0, F.lit("Short line.")),
+        F.when(d % 3 == 0, F.lit("this line has no terminal punctuation at all")),
+        F.when(d % 4 == 0, F.lit("Please enable javascript to continue reading now.")),
+        F.when(d % 5 == 0, F.lit("lorem ipsum dolor sit amet consectetur.")),
+        F.when(d % 7 == 0, F.lit("var x = { a: 1 };")),
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2;
+    functions/quality.py:c4_kept_lines/c4_stats_cols) over a SEEDED
+    multi-line corpus (see _c4_seed_col for the trip classes). Line
+    rules: terminal punctuation, >=5 words, no 'javascript'; page
+    rules on the RAW page: 'lorem ipsum', '{', and a >=3-sentence
+    floor on the retained text. clean_md5 anchors the retained text
+    byte-for-byte cross-engine (removal positions AND order); the
+    corpus-level three-sentence-span dedup half of C4 is the separate
+    exact_substring operator. Pure JVM chain, zero exchanges; oracle
+    generated by the same module (c4_sql)."""
+    from ..functions.quality import c4_stats_cols
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", _c4_seed_col().alias("t"))
+    stats = c4_stats_cols(F.col("t"))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[v.alias(k) for k, v in stats.items()],
+    )
+
+
+def q_c4_clean_sql(sf: str) -> str:
+    from ..functions.quality import c4_sql
+
+    return c4_sql(_C4_SEED_SQL, text_col="t", id_col="doc_id")
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction and
     top-token frequency share."""
@@ -4253,6 +4405,11 @@ QUERIES: dict[str, tuple] = {
     "dedup_filtered": (q_dedup_filtered, q_dedup_filtered_sql),
     "lang_quality": (q_lang_quality, q_lang_quality_sql),
     "pii_redact": (q_pii_redact, q_pii_redact_sql),
+    # r5: the two most-cited published web-corpus recipes, named —
+    # Gopher A1.1 quality rules and C4 line/page cleaning, both pure
+    # JVM with module-generated oracles over seeded trip-class corpora
+    "gopher_rules": (q_gopher_rules, q_gopher_rules_sql),
+    "c4_clean": (q_c4_clean, q_c4_clean_sql),
     "grok_parse": (q_grok_parse, q_grok_parse_sql),
     "repetition_signals": (q_repetition_signals, q_repetition_signals_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),

@@ -245,3 +245,15 @@ def test_triangle_count_reuses_oriented_edges_and_stays_jvm(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "python" not in plan.lower()
+
+
+def test_gopher_and_c4_are_scanbound_map_stages(spark):
+    """Both published-recipe filters must be what a 100 TB filtering
+    pass needs: one scan, zero exchanges, no Python anywhere — the
+    whole rule set rides whole-stage codegen."""
+    from logparser_llm_spark.plans.queries import q_c4_clean, q_gopher_rules
+
+    for q in (q_gopher_rules, q_c4_clean):
+        facts = plan_facts(q(spark, SF))
+        assert facts["exchanges"] == 0, q.__name__
+        assert not facts["python_udf"] and not facts["map_in_pandas"], q.__name__

@@ -59,3 +59,133 @@ def test_repetition_signals(spark):
     assert got[1] == (pytest.approx(0.75), pytest.approx(1.0))
     assert got[2] == (pytest.approx(0.0), pytest.approx(0.25))
     assert got[3] == (0.0, 0.0)
+
+
+# --- Gopher A1.1 rules ------------------------------------------------------
+
+
+def _gopher(spark, text):
+    from logparser_llm_spark.functions.quality import (
+        gopher_rule_cols,
+        gopher_signal_cols,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    sig = gopher_signal_cols(F.col("t"))
+    named = {**sig, **gopher_rule_cols(sig)}
+    return df.select(*[v.alias(k) for k, v in named.items()]).collect()[0].asDict()
+
+
+def test_gopher_all_rules_pass_on_clean_doc(spark):
+    text = " ".join(["word"] * 58 + ["the", "of"])
+    r = _gopher(spark, text)
+    assert r["n_words"] == 60 and r["n_stop_distinct"] == 2
+    assert r["keep"] and all(v for k, v in r.items() if k.startswith("ok_"))
+
+
+def test_gopher_each_rule_trips_alone(spark):
+    base = " ".join(["word"] * 58 + ["the", "of"])
+    # too few words
+    assert not _gopher(spark, "the of tiny doc here")["ok_words"]
+    # symbol ratio: 7 hashes over 60 words → 70 > 60
+    r = _gopher(spark, base + " # # # # # # #")
+    assert not r["ok_symbol"] and r["n_hash"] == 7
+    # >90% bullet lines (10 of 11)
+    r = _gopher(spark, "• a b\n" * 10 + base)
+    assert not r["ok_bullet"] and r["n_bullet_lines"] == 10 and r["n_lines"] == 11
+    # >30% ellipsis-ended lines (1 of 2), and '...' counts as symbols too
+    r = _gopher(spark, "to be continued...\n" + base)
+    assert not r["ok_ellipsis_end"] and r["n_ellipsis_end"] == 1
+    assert r["n_ellipsis"] == 1
+    # <80% alphabetic words
+    r = _gopher(spark, base + " " + " ".join(str(i) for i in range(20)))
+    assert not r["ok_alpha"]
+    # mean word length out of [3, 10] both ways
+    assert not _gopher(spark, "a b " * 30)["ok_mean_len"]
+    assert not _gopher(spark, "abcdefghijklmnopqrstu " * 60)["ok_mean_len"]
+    # fewer than 2 distinct stop words (repeats don't count twice)
+    assert not _gopher(spark, " ".join(["word"] * 59 + ["the"]))["ok_stop"]
+    assert _gopher(spark, " ".join(["word"] * 58 + ["the", "the"]))["n_stop_distinct"] == 1
+
+
+def test_gopher_newlines_split_words_blank_lines_dropped(spark):
+    r = _gopher(spark, "alpha\nbeta\n\n   \ngamma delta")
+    assert r["n_words"] == 4
+    assert r["n_lines"] == 3  # blank / whitespace-only lines don't count
+
+
+def test_gopher_query_flags_vary_at_sf001(spark):
+    """Every rule flag must carry BOTH verdicts on the seeded corpus —
+    otherwise a flipped comparison could hide behind a constant column
+    (the 100k max-words bound excepted: unreachable at sf scale)."""
+    from logparser_llm_spark.plans.queries import q_gopher_rules
+
+    rows = q_gopher_rules(spark, "/root/testdata/sf0.01").collect()
+    for c in [k for k in rows[0].asDict() if k.startswith("ok_")] + ["keep"]:
+        assert {r[c] for r in rows} == {True, False}, c
+
+
+# --- C4 line/page cleaning --------------------------------------------------
+
+
+def _c4(spark, text):
+    from logparser_llm_spark.functions.quality import c4_stats_cols
+
+    df = spark.createDataFrame([(text,)], "t string")
+    stats = c4_stats_cols(F.col("t"))
+    return df.select(*[v.alias(k) for k, v in stats.items()]).collect()[0].asDict()
+
+
+def _c4_clean_text(spark, text):
+    from logparser_llm_spark.functions.quality import c4_kept_lines
+
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(
+        F.array_join(c4_kept_lines(F.col("t")), "\n").alias("c")
+    ).collect()[0]["c"]
+
+
+def test_c4_line_rules(spark):
+    keep1 = "One two three four five."
+    keep2 = 'He said "all five words fit here."'
+    page = "\n".join(
+        [
+            keep1,
+            "Too short.",                                 # <5 words
+            "no terminal punctuation here at all okay",   # no terminal punct
+            "Enable JavaScript for this site now.",       # javascript (any case)
+            keep2,
+            "Third full sentence stays right here.",
+        ]
+    )
+    r = _c4(spark, page)
+    assert (r["n_lines"], r["n_kept_lines"], r["n_sentences"]) == (6, 3, 3)
+    assert r["page_kept"]
+    # retained text preserves original line ORDER (md5 is order-exact)
+    assert _c4_clean_text(spark, page) == "\n".join(
+        [keep1, keep2, "Third full sentence stays right here."]
+    )
+
+
+def test_c4_page_rules_read_the_raw_page(spark):
+    three = (
+        "First sentence has five good words.\n"
+        "Second sentence has five good words.\n"
+        "Third sentence has five good words."
+    )
+    assert _c4(spark, three)["page_kept"]
+    # lorem ipsum anywhere kills the page even though every line is valid
+    r = _c4(spark, three + "\nThis page is lorem ipsum filler content honestly.")
+    assert not r["page_kept"] and r["n_kept_lines"] == 4
+    # a curly brace kills the page even on a line the filter already drops
+    assert not _c4(spark, three + "\nvar x = { a: 1 };")["page_kept"]
+    # fewer than 3 sentences retained → page dropped
+    assert not _c4(spark, "Only one good sentence lives here.")["page_kept"]
+
+
+def test_c4_query_verdicts_vary_at_sf001(spark):
+    from logparser_llm_spark.plans.queries import q_c4_clean
+
+    rows = q_c4_clean(spark, "/root/testdata/sf0.01").collect()
+    assert {r["page_kept"] for r in rows} == {True, False}
+    assert len({r["n_kept_lines"] for r in rows}) >= 2
