@@ -123,6 +123,11 @@ HEADLINE = [
     # recipes, named — Gopher A1.1 rules and C4 line/page cleaning
     "gopher_rules",
     "c4_clean",
+    # round 5 (closing): A1.2 repetition rules, postings-list
+    # construction, and the sharded-export write→read round trip
+    "gopher_repetition",
+    "inverted_index",
+    "shard_export",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -100,6 +100,9 @@ def __getattr__(name):
         "parse_robots": ("logparser_llm_spark.functions.robots", "parse_robots"),
         "robots_rules": ("logparser_llm_spark.functions.robots", "robots_rules"),
         "robots_allowed": ("logparser_llm_spark.functions.robots", "robots_allowed"),
+        "gopher_repetition": ("logparser_llm_spark.functions.quality", "gopher_repetition"),
+        "build_inverted_index": ("logparser_llm_spark.operators.ranking", "build_inverted_index"),
+        "shard_export": ("logparser_llm_spark.sources.sinks", "shard_export"),
         "gopher_signal_cols": ("logparser_llm_spark.functions.quality", "gopher_signal_cols"),
         "gopher_rule_cols": ("logparser_llm_spark.functions.quality", "gopher_rule_cols"),
         "c4_kept_lines": ("logparser_llm_spark.functions.quality", "c4_kept_lines"),

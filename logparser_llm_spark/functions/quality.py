@@ -292,3 +292,257 @@ def c4_sql(input_sql: str, text_col: str = "t", id_col: str = "doc_id") -> str:
         "  md5(clean) as clean_md5\n"
         "from _k"
     )
+
+
+# --- Gopher repetition rules (Rae et al. 2021, Appendix A1.2) ---------------
+#
+# The duplicate-line / duplicate-paragraph / top-n-gram half of the
+# Gopher filter, same integer-arithmetic contract as A1.1 (thresholds
+# are rationals → cross-multiplied integer comparisons, no floats).
+# "Duplicate" counts EVERY member of a value group with >=2 occurrences
+# (so [a, a, b] has 2 duplicate lines, not 1), per the paper's
+# "fraction of lines that are duplicates". The top-n-gram char mass is
+# occurrences × gram length; the denominator convention here is the
+# total word characters (A1.1's word_chars) for grams and the total
+# line/paragraph characters for the dup rules. Per-row work is
+# O(L²) in the doc's token count — each document independent, pure
+# map side, no shuffle; for web-page-sized documents that is the
+# standard per-doc pass every published pipeline runs.
+
+GOPHER_REP_OUT_COLS = (
+    "n_lines", "dup_lines", "dup_line_chars", "line_chars",
+    "n_paras", "dup_paras", "dup_para_chars", "para_chars",
+    "word_chars", "top2_chars", "top3_chars",
+    "ok_dup_lines", "ok_dup_line_chars", "ok_dup_paras",
+    "ok_dup_para_chars", "ok_top2", "ok_top3", "keep",
+)
+
+
+def _rep_arrays(col: Column) -> dict[str, Column]:
+    """Shared arrays: non-blank trimmed lines/paragraphs, words, and
+    word 2-/3-grams (space-joined)."""
+    def units(c, sep):
+        return F.filter(
+            F.transform(F.split(c, sep), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        )
+
+    flat = F.regexp_replace(col, r"\s+", " ")
+    tk = F.filter(F.split(F.trim(flat), " "), lambda t: t != F.lit(""))
+    n = F.size(tk)
+    idx2 = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    idx3 = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    g2 = F.transform(
+        idx2,
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+        ),
+    )
+    g3 = F.transform(
+        idx3,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
+            F.element_at(tk, i + 3),
+        ),
+    )
+    return {"ln": units(col, "\n"), "pr": units(col, "\n\n"), "tk": tk,
+            "g2": g2, "g3": g3}
+
+
+def _chars(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda acc, v: acc + F.length(v))
+
+
+# Spark higher-order functions evaluate INTERPRETED, so per-row cost is
+# lambda invocations, not codegen ops. The naive duplicate/top-gram
+# formulations (nested filter per element) are O(L²) lambdas per doc —
+# measured 40.5s at sf0.1 vs 1.8s for the O(L log L) sorted single-fold
+# forms below. The DuckDB oracle deliberately KEEPS the naive O(L²)
+# algebra (native C++, instant at this scale): two independent
+# formulations agreeing is a stronger check than one restated.
+
+
+def _dup_stats(arr: Column) -> Column:
+    """struct(cnt, chars): members of value groups occurring >= 2 times
+    and their total characters — one fold over the sorted array (a
+    group's 2nd member adds 2/2·len, later members add 1/len)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("cnt"),
+        F.lit(0).alias("chars"),
+    )
+
+    def step(acc, v):
+        run = F.when(v.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        add_c = F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        add_h = (
+            F.when(run == 2, 2 * F.length(v))
+            .when(run > 2, F.length(v))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            v.alias("prev"),
+            run.alias("run"),
+            (acc["cnt"] + add_c).alias("cnt"),
+            (acc["chars"] + add_h).alias("chars"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        step,
+        lambda acc: F.struct(acc["cnt"].alias("cnt"), acc["chars"].alias("chars")),
+    )
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """max over gram groups of occurrences × gram length (0 when no
+    grams) — one fold over the sorted array: the running run×len of a
+    group peaks at its full mass, so the running max over prefixes
+    equals the max over groups."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, v):
+        run = F.when(v.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            v.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(v)).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step, lambda acc: acc["best"])
+
+
+def gopher_repetition(df, id_col: str, text_col: str):
+    """A1.2 signals + verdicts per document (staged selects so the
+    expensive array pipelines evaluate once — see the A1.1 bench note).
+    Verdict thresholds: dup lines 30% count / 20% chars, dup paragraphs
+    30% / 20%, top 2-gram 20% of word chars, top 3-gram 18%."""
+    arrs = _rep_arrays(F.col(text_col))
+    with_arrays = df.select(
+        F.col(id_col), *[v.alias(k) for k, v in arrs.items()]
+    )
+    # dup stats as single-fold structs, staged so each fold runs once
+    with_dups = with_arrays.select(
+        F.col(id_col), "ln", "pr", "tk", "g2", "g3",
+        _dup_stats(F.col("ln")).alias("dln"),
+        _dup_stats(F.col("pr")).alias("dpr"),
+    )
+    sig = {
+        "n_lines": F.size(F.col("ln")),
+        "dup_lines": F.col("dln")["cnt"],
+        "dup_line_chars": F.col("dln")["chars"],
+        "line_chars": _chars(F.col("ln")),
+        "n_paras": F.size(F.col("pr")),
+        "dup_paras": F.col("dpr")["cnt"],
+        "dup_para_chars": F.col("dpr")["chars"],
+        "para_chars": _chars(F.col("pr")),
+        "word_chars": _chars(F.col("tk")),
+        "top2_chars": _top_gram_chars(F.col("g2")),
+        "top3_chars": _top_gram_chars(F.col("g3")),
+    }
+    with_sig = with_dups.select(
+        F.col(id_col), *[v.cast("bigint").alias(k) for k, v in sig.items()]
+    )
+    c = F.col
+    rules = {
+        "ok_dup_lines": 10 * c("dup_lines") <= 3 * c("n_lines"),
+        "ok_dup_line_chars": 10 * c("dup_line_chars") <= 2 * c("line_chars"),
+        "ok_dup_paras": 10 * c("dup_paras") <= 3 * c("n_paras"),
+        "ok_dup_para_chars": 10 * c("dup_para_chars") <= 2 * c("para_chars"),
+        "ok_top2": 100 * c("top2_chars") <= 20 * c("word_chars"),
+        "ok_top3": 100 * c("top3_chars") <= 18 * c("word_chars"),
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else (keep & r)
+    rules["keep"] = keep
+    return with_sig.select(
+        F.col(id_col),
+        *[k for k in GOPHER_REP_OUT_COLS if k in sig],
+        *[rules[k].alias(k) for k in GOPHER_REP_OUT_COLS if k in rules],
+    )
+
+
+def gopher_repetition_sql(
+    input_sql: str, text_col: str = "t", id_col: str = "doc_id"
+) -> str:
+    """DuckDB rendering of :func:`gopher_repetition`, generated here so
+    the formulations cannot drift."""
+    t = text_col
+
+    def units(sep):
+        return (
+            f"list_filter(list_transform(string_split({t}, {sep}),"
+            " x -> trim(x)), x -> x <> '')"
+        )
+
+    tk = (
+        "list_filter(string_split(trim(regexp_replace("
+        f"{t}, '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    g2 = (
+        "case when len(tk) >= 2 then list_transform(range(1, len(tk)),"
+        " i -> tk[i] || ' ' || tk[i+1]) else [] end"
+    )
+    g3 = (
+        "case when len(tk) >= 3 then list_transform(range(1, len(tk) - 1),"
+        " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) else [] end"
+    )
+
+    def dup(a):
+        return f"list_filter({a}, v -> len(list_filter({a}, x -> x = v)) >= 2)"
+
+    def chars(a):
+        return f"coalesce(list_aggregate(list_transform({a}, v -> length(v)), 'sum'), 0)"
+
+    def topg(a):
+        return (
+            f"coalesce(list_max(list_transform(list_distinct({a}),"
+            f" u -> len(list_filter({a}, x -> x = u)) * length(u))), 0)"
+        )
+
+    sig = {
+        "n_lines": "len(ln)",
+        "dup_lines": f"len({dup('ln')})",
+        "dup_line_chars": chars(dup("ln")),
+        "line_chars": chars("ln"),
+        "n_paras": "len(pr)",
+        "dup_paras": f"len({dup('pr')})",
+        "dup_para_chars": chars(dup("pr")),
+        "para_chars": chars("pr"),
+        "word_chars": chars("tk"),
+        "top2_chars": topg("g2"),
+        "top3_chars": topg("g3"),
+    }
+    rules = {
+        "ok_dup_lines": "(10*dup_lines <= 3*n_lines)",
+        "ok_dup_line_chars": "(10*dup_line_chars <= 2*line_chars)",
+        "ok_dup_paras": "(10*dup_paras <= 3*n_paras)",
+        "ok_dup_para_chars": "(10*dup_para_chars <= 2*para_chars)",
+        "ok_top2": "(100*top2_chars <= 20*word_chars)",
+        "ok_top3": "(100*top3_chars <= 18*word_chars)",
+    }
+    rule_parts = [f"{v} as {k}" for k, v in rules.items()]
+    rule_parts.append(f"({' and '.join(rules.values())}) as keep")
+    sig_parts = [f"cast({v} as bigint) as {k}" for k, v in sig.items()]
+    return (
+        f"with _rin as ({input_sql}),\n"
+        f"_ar as (select {id_col}, {units('chr(10)')} as ln,\n"
+        f"  {units('chr(10) || chr(10)')} as pr, {tk} as tk from _rin),\n"
+        f"_ar2 as (select *, {g2} as g2, {g3} as g3 from _ar),\n"
+        f"_sig as (select {id_col}, {', '.join(sig_parts)} from _ar2)\n"
+        f"select {id_col}, {', '.join(k for k in sig)}, {', '.join(rule_parts)}\n"
+        "from _sig"
+    )

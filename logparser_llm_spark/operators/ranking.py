@@ -292,3 +292,116 @@ def hybrid_rrf_topk(
         "lex_rnk",
         "dense_rnk",
     )
+
+
+# --- inverted index ---------------------------------------------------------
+
+INDEX_HASH_HEX = 15  # 60-bit md5 slice, the repo's signed-BIGINT-safe width
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    doc_shards: int = 1,
+    min_df: int = 1,
+) -> DataFrame:
+    """Distributed postings-list construction — the search-index core:
+    term → (df, cf, postings) over the BM25 tokenizer's term space.
+
+    Output: (term, shard, df, cf, postings_md5) where postings_md5 is
+    the md5 of the doc-ordered ``doc:tf`` rendering — an exact,
+    order-pinned anchor for the whole postings list that any engine can
+    recompute (the list itself can be terabytes for a stop term; the
+    anchor is 32 bytes).
+
+    Scale shape: ONE token explode feeds a partially-aggregable
+    (term, shard, doc) count — a boilerplate term repeated 10⁶ times in
+    one document combines map-side before any shuffle — then one
+    groupBy(term, shard) builds the postings. ``doc_shards`` is the
+    production knob for term skew: postings for a term appearing in
+    half the corpus cannot sit in one reducer, so real systems shard
+    postings by document range; here shard = md5-slice(doc) %
+    doc_shards (the repo's portable 60-bit convention, so Spark, DuckDB
+    and Python agree on every shard assignment), and per-(term, shard)
+    df/cf sum to the global values. Sorting inside a group uses
+    array_sort on (doc, tf) structs — doc is unique per (term, shard),
+    so the order is total and engine-independent.
+    """
+    if doc_shards < 1:
+        raise ValueError(f"doc_shards must be >= 1, got {doc_shards}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda t: t != F.lit(""),
+    )
+    doc = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(doc), 1, INDEX_HASH_HEX), 16, 10).cast("bigint")
+        % doc_shards
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            shard.alias("shard"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "shard", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    out = tf.groupBy("term", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("doc"), F.col("tf")))),
+                    lambda s: F.concat_ws(
+                        ":", s["doc"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("postings_md5"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out
+
+
+def inverted_index_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    *,
+    doc_shards: int = 1,
+    min_df: int = 1,
+) -> str:
+    """DuckDB rendering of :func:`build_inverted_index` — same
+    tokenizer, same md5-slice shard arithmetic, same ``doc:tf``
+    postings rendering, generated here so the two cannot drift."""
+    shard = (
+        f"(('0x' || substr(md5(cast({id_expr} as varchar)), 1, {INDEX_HASH_HEX}))"
+        f"::BIGINT % {doc_shards})"
+    )
+    having = f"having count(*) >= {min_df}" if min_df > 1 else ""
+    return f"""
+      with ii_toks as (
+        select {id_expr} as doc, {shard} as shard,
+               unnest(list_filter(regexp_split_to_array(lower({text_expr}),
+                                                        '{TOKEN_SPLIT_RE}'),
+                                  x -> x <> '')) as term
+        from {table}
+      ),
+      ii_tf as (
+        select term, shard, doc, count(*) as tf
+        from ii_toks group by term, shard, doc
+      )
+      select term, shard,
+             cast(count(*) as bigint) as df,
+             cast(sum(tf) as bigint) as cf,
+             md5(string_agg(doc || ':' || tf, ',' order by doc)) as postings_md5
+      from ii_tf group by term, shard {having}
+    """

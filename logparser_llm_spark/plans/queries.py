@@ -1504,6 +1504,56 @@ def q_dedup_filtered_sql(sf: str) -> str:
     """
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded export round trip (sources/sinks.py:
+    shard_export): documents → 8 md5-addressed shard partitions WRITTEN
+    to /tmp parquet → manifest (n_rows, 32-bit-slice id_anchor,
+    n_chars) computed from the files READ BACK. The DuckDB oracle
+    recomputes the manifest directly from the source table, so a lost,
+    duplicated or mis-routed row anywhere in the write→read round trip
+    breaks the hash even when counts survive. The write happens every
+    run on purpose — the round trip IS the thing being measured."""
+    import hashlib
+
+    from ..sources.sinks import shard_export
+
+    d = _read(spark, sf_dir, "documents")
+    dest = f"/tmp/spark_graft_shards_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    return shard_export(d, "doc_id", dest, 8, text_col="text")
+
+
+def q_shard_export_sql(sf: str) -> str:
+    from ..sources.sinks import shard_manifest_sql
+
+    return shard_manifest_sql("documents", "doc_id", 8, text_expr="text")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-list construction (operators/ranking.py:
+    build_inverted_index) over the documents table with doc_shards=4 —
+    the term-skew scale path is the tested path (shard = portable
+    60-bit md5 slice of the doc id % 4, so both engines agree on every
+    assignment; per-shard df/cf sum to global). postings_md5 pins the
+    doc-ordered doc:tf rendering of every postings list exactly; the
+    DuckDB oracle is generated by the same module."""
+    from ..operators.ranking import build_inverted_index
+
+    d = _read(spark, sf_dir, "documents")
+    return build_inverted_index(d, "doc_id", "text", doc_shards=4).select(
+        "term",
+        F.col("shard").cast("bigint").alias("shard"),
+        "df",
+        "cf",
+        "postings_md5",
+    )
+
+
+def q_inverted_index_sql(sf: str) -> str:
+    from ..operators.ranking import inverted_index_sql
+
+    return inverted_index_sql("documents", "doc_id", "text", doc_shards=4)
+
+
 def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority dedup (operators/dedup.py:dedup_corpus_keep_best):
     within every duplicate family (exact-md5 star edges ∪ SimHash
@@ -2067,6 +2117,79 @@ def q_gopher_rules_sql(sf: str) -> str:
     from ..functions.quality import gopher_sql
 
     return gopher_sql(_GOPHER_SEED_SQL, text_col="t", id_col="doc_id")
+
+
+_GOPHER_REP_SEED_SQL = """
+    select doc_id,
+      'intro paragraph about ' || text
+      || case when doc_id % 2 = 0 then chr(10) || 'repeated filler line right here'
+              || chr(10) || 'repeated filler line right here' else '' end
+      || case when doc_id % 5 = 0 then chr(10) || repeat('click here ', 12) else '' end
+      || case when doc_id % 7 = 0 then chr(10) || repeat('terms of service ', 10) else '' end
+      || case when doc_id % 3 = 0 then chr(10) || chr(10) || 'duplicated paragraph body'
+              || chr(10) || chr(10) || 'duplicated paragraph body' else '' end
+      as t from documents
+"""
+
+
+def _gopher_rep_seed_col() -> Column:
+    """Spark twin of _GOPHER_REP_SEED_SQL: duplicate-line pair (mod 2),
+    dominating 2-gram (mod 5) and 3-gram (mod 7) repeats inside the
+    first paragraph, and a duplicated stand-alone paragraph (mod 3,
+    appended LAST so gram repeats can't make the two copies differ)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("intro paragraph about "),
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.lit(
+                "\nrepeated filler line right here"
+                "\nrepeated filler line right here"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("click here "), 12)))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("terms of service "), 10))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.lit("\n\nduplicated paragraph body\n\nduplicated paragraph body"),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 repetition rules (functions/quality.py:
+    gopher_repetition): duplicate-line / duplicate-paragraph count and
+    char-mass rules plus top 2-/3-gram char-mass rules, all integer
+    arithmetic, over a SEEDED corpus whose residue classes trip each
+    rule family (see _gopher_rep_seed_col). Completes the published
+    Gopher filter together with `gopher_rules` (A1.1). Pure map-side
+    per-document work — O(L²) in the doc's token count, no shuffle;
+    oracle generated by the same module (gopher_repetition_sql)."""
+    from ..functions.quality import gopher_repetition
+
+    # the sf documents table is ONE parquet file = one input split; the
+    # per-doc fold work is the cost here, so spread it 32 ways (same
+    # rationale as image_features_agg — on a real corpus the splits
+    # provide this for free and the repartition is unnecessary)
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            _gopher_rep_seed_col().alias("t"),
+        )
+        .repartition(32, "doc_id")
+    )
+    return gopher_repetition(d, "doc_id", "t")
+
+
+def q_gopher_repetition_sql(sf: str) -> str:
+    from ..functions.quality import gopher_repetition_sql
+
+    return gopher_repetition_sql(_GOPHER_REP_SEED_SQL, text_col="t", id_col="doc_id")
 
 
 _C4_SEED_SQL = """
@@ -4409,7 +4532,14 @@ QUERIES: dict[str, tuple] = {
     # Gopher A1.1 quality rules and C4 line/page cleaning, both pure
     # JVM with module-generated oracles over seeded trip-class corpora
     "gopher_rules": (q_gopher_rules, q_gopher_rules_sql),
+    "gopher_repetition": (q_gopher_repetition, q_gopher_repetition_sql),
     "c4_clean": (q_c4_clean, q_c4_clean_sql),
+    # r5: postings-list construction, doc-sharded for term skew; the
+    # postings_md5 anchor pins every list's membership AND order
+    "inverted_index": (q_inverted_index, q_inverted_index_sql),
+    # r5: sharded-export round trip — oracle recomputes the manifest
+    # from the source table while Spark must earn it from written files
+    "shard_export": (q_shard_export, q_shard_export_sql),
     "grok_parse": (q_grok_parse, q_grok_parse_sql),
     "repetition_signals": (q_repetition_signals, q_repetition_signals_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),

@@ -14,6 +14,7 @@ conf; no code change.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_catalog(spark: SparkSession, name: str = "local") -> bool:
@@ -149,3 +150,90 @@ def abort_run(
     from ..plans.checkpoint import delete_path
 
     delete_path(spark, f"{target}/run={run_key}")
+
+
+def shard_export(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    *,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sharded training-data export + read-back manifest.
+
+    Writes ``df`` as a Hive-partitioned parquet dataset with
+    ``shard = portable-md5-slice(id) % n_shards`` (the repo's 60-bit
+    signed-BIGINT-safe convention, so Spark, DuckDB and Python agree on
+    every assignment — a re-run, a different engine, or a different
+    partitioning lands every row in the SAME shard file group), then
+    reads the WRITTEN files back and returns the per-shard manifest:
+
+      (shard, n_rows, id_anchor[, n_chars])
+
+    ``id_anchor`` is the integer sum of each row's 32-bit md5 slice —
+    order-insensitive, map-side combinable, exact in any engine, and
+    overflow-safe to 2^31 rows per shard — so a writer bug (a lost,
+    duplicated or mis-routed row) changes the manifest even when the
+    row COUNT survives. Because the manifest is computed from the
+    files on disk, comparing it against a direct recompute over the
+    source table verifies the whole write→read round trip, not just
+    the plan.
+
+    Scale: the write is one hash-partitioned fan-out (the same shape as
+    the per-sink Iceberg fan-out in plans/pipeline.py — pass an
+    Iceberg table identifier via a catalog-aware caller if needed);
+    the manifest is one partially-aggregable scan of the written data.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in df.columns:
+        raise ValueError("input already has a 'shard' column")
+    sid = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("bigint") % n_shards
+    )
+    df.withColumn("shard", shard).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("id_anchor"),
+    ]
+    if text_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+            .cast("bigint")
+            .alias("n_chars")
+        )
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(*aggs)
+
+
+def shard_manifest_sql(
+    table: str,
+    id_expr: str,
+    n_shards: int,
+    *,
+    text_expr: str | None = None,
+) -> str:
+    """DuckDB recompute of the :func:`shard_export` manifest DIRECTLY
+    from the source table (no files) — agreement with the Spark side's
+    read-back manifest proves the write→read round trip."""
+    sid = f"cast({id_expr} as varchar)"
+    cols = [
+        f"(('0x' || substr(md5({sid}), 1, 15))::BIGINT % {n_shards}) as shard",
+        "cast(count(*) as bigint) as n_rows",
+        f"cast(sum(('0x' || substr(md5({sid}), 1, 8))::BIGINT) as bigint) as id_anchor",
+    ]
+    if text_expr is not None:
+        cols.append(
+            f"cast(sum(coalesce(length({text_expr}), 0)) as bigint) as n_chars"
+        )
+    return f"select {', '.join(cols)} from {table} group by 1"

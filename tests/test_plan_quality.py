@@ -257,3 +257,25 @@ def test_gopher_and_c4_are_scanbound_map_stages(spark):
         facts = plan_facts(q(spark, SF))
         assert facts["exchanges"] == 0, q.__name__
         assert not facts["python_udf"] and not facts["map_in_pandas"], q.__name__
+
+
+def test_inverted_index_preagg_is_partial_and_jvm_only(spark):
+    """The (term, shard, doc) tf count must combine map-side (a term
+    repeated 10^6 times in one doc pre-reduces before the shuffle) and
+    the whole build must stay JVM-side."""
+    from logparser_llm_spark.plans.queries import q_inverted_index
+
+    facts = plan_facts(q_inverted_index(spark, SF))
+    assert facts["partial_aggregate"]
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+def test_gopher_repetition_is_jvm_with_one_spread_exchange(spark):
+    """Per-doc fold work, JVM only; the single exchange is the explicit
+    32-way spread of the one-file sf table (a real corpus's input
+    splits make it unnecessary) — nothing else may shuffle."""
+    from logparser_llm_spark.plans.queries import q_gopher_repetition
+
+    facts = plan_facts(q_gopher_repetition(spark, SF))
+    assert facts["exchanges"] <= 1
+    assert not facts["python_udf"] and not facts["map_in_pandas"]

@@ -189,3 +189,62 @@ def test_c4_query_verdicts_vary_at_sf001(spark):
     rows = q_c4_clean(spark, "/root/testdata/sf0.01").collect()
     assert {r["page_kept"] for r in rows} == {True, False}
     assert len({r["n_kept_lines"] for r in rows}) >= 2
+
+
+# --- Gopher A1.2 repetition rules --------------------------------------------
+
+
+def _rep(spark, text):
+    from logparser_llm_spark.functions.quality import gopher_repetition
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, t string")
+    return gopher_repetition(df, "doc_id", "t").collect()[0].asDict()
+
+
+def test_repetition_dup_lines_count_all_members(spark):
+    # [a, a, b]: 2 duplicate lines (both members), not 1
+    r = _rep(spark, "same line here\nsame line here\nunique line")
+    assert (r["n_lines"], r["dup_lines"]) == (3, 2)
+    assert r["dup_line_chars"] == 2 * len("same line here")
+    assert not r["ok_dup_lines"]          # 20 > 3*3
+    assert not r["ok_dup_line_chars"]     # 280 > 2*(14+14+11)
+    # no duplicate paragraphs (single paragraph)
+    assert r["n_paras"] == 1 and r["dup_paras"] == 0 and r["ok_dup_paras"]
+
+
+def test_repetition_dup_paragraphs(spark):
+    r = _rep(spark, "para one body\n\npara two body\n\npara one body")
+    assert (r["n_paras"], r["dup_paras"]) == (3, 2)
+    assert r["dup_para_chars"] == 2 * len("para one body")
+    assert not r["ok_dup_paras"]
+    # lines: all three lines distinct? no — 'para one body' twice
+    assert r["dup_lines"] == 2
+
+
+def test_repetition_top_ngram_mass(spark):
+    # tokens [x, y, x, y, x, y]: 'x y' occurs 3×, len 3 → mass 9 of 6 word chars
+    r = _rep(spark, "x y x y x y")
+    assert r["word_chars"] == 6 and r["top2_chars"] == 9
+    assert not r["ok_top2"]               # 900 > 120
+    # 'x y x' occurs 2×, len 5 → mass 10
+    assert r["top3_chars"] == 10 and not r["ok_top3"]
+    # a LONG diverse text passes both gram rules (on a short doc ANY
+    # single 2-gram exceeds 20% of the chars — the rule presumes
+    # Gopher-scale documents, which is faithful to the paper)
+    ok = _rep(spark, " ".join(f"word{i:03d}" for i in range(40)))
+    assert ok["ok_top2"] and ok["ok_top3"] and ok["keep"]
+
+
+def test_repetition_short_and_empty_docs(spark):
+    r = _rep(spark, "one")
+    assert r["top2_chars"] == 0 and r["top3_chars"] == 0 and r["keep"]
+    r = _rep(spark, "")
+    assert r["n_lines"] == 0 and r["keep"]
+
+
+def test_gopher_repetition_query_flags_vary_at_sf001(spark):
+    from logparser_llm_spark.plans.queries import q_gopher_repetition
+
+    rows = q_gopher_repetition(spark, "/root/testdata/sf0.01").collect()
+    for c in [k for k in rows[0].asDict() if k.startswith("ok_")] + ["keep"]:
+        assert {r[c] for r in rows} == {True, False}, c

@@ -148,3 +148,78 @@ def test_rrf_validation_and_topk(spark):
     assert hybrid_rrf_topk(lex, dense, "doc_id", top_k=2).count() == 2
     with pytest.raises(ValueError, match="top_k"):
         hybrid_rrf_topk(lex, dense, "doc_id", top_k=0)
+
+
+# --- inverted index ---------------------------------------------------------
+
+
+def test_inverted_index_postings_are_exact(spark):
+    """Hand-computed postings on a tiny corpus: df/cf and the md5 of the
+    doc-ordered doc:tf rendering must match hashlib exactly."""
+    import hashlib
+
+    from logparser_llm_spark.operators.ranking import build_inverted_index
+
+    docs = [
+        (1, "spark spark table"),
+        (2, "table scan"),
+        (3, "spark Scan scan"),   # tokenizer lowercases
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["term"],): (r["df"], r["cf"], r["postings_md5"])
+        for r in build_inverted_index(df, "doc_id", "text").collect()
+    }
+    expect = {
+        "spark": [(1, 2), (3, 1)],
+        "table": [(1, 1), (2, 1)],
+        "scan": [(2, 1), (3, 2)],
+    }
+    for term, posts in expect.items():
+        rendering = ",".join(f"{d}:{t}" for d, t in posts)
+        md5 = hashlib.md5(rendering.encode()).hexdigest()
+        assert got[(term,)] == (
+            len(posts),
+            sum(t for _, t in posts),
+            md5,
+        ), term
+
+
+def test_inverted_index_shards_partition_the_postings(spark):
+    """Sharded per-(term, shard) df/cf must sum to the unsharded global
+    values, every doc landing in exactly one shard."""
+    from logparser_llm_spark.operators.ranking import build_inverted_index
+
+    rows = [(i, f"common term{i % 5} filler") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    flat = {
+        r["term"]: (r["df"], r["cf"])
+        for r in build_inverted_index(df, "doc_id", "text").collect()
+    }
+    sharded = build_inverted_index(df, "doc_id", "text", doc_shards=4).collect()
+    agg = {}
+    for r in sharded:
+        d, c = agg.get(r["term"], (0, 0))
+        agg[r["term"]] = (d + r["df"], c + r["cf"])
+    assert agg == flat
+    assert {r["shard"] for r in sharded} == {0, 1, 2, 3}
+    # a doc's shard is a function of its id: 'common' (in every doc)
+    # must have exactly as many shard rows as distinct shards
+    assert sum(1 for r in sharded if r["term"] == "common") == 4
+
+
+def test_inverted_index_partition_invariance_and_validation(spark):
+    from logparser_llm_spark.operators.ranking import build_inverted_index
+
+    rows = [(i, f"alpha beta{i % 3}") for i in range(40)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string")
+    one = {tuple(r) for r in build_inverted_index(a.coalesce(1), "doc_id", "text").collect()}
+    many = {tuple(r) for r in build_inverted_index(a.repartition(13), "doc_id", "text").collect()}
+    assert one == many
+    with pytest.raises(ValueError, match="doc_shards"):
+        build_inverted_index(a, "doc_id", "text", doc_shards=0)
+    with pytest.raises(ValueError, match="min_df"):
+        build_inverted_index(a, "doc_id", "text", min_df=0)
+    # min_df drops the long tail: beta0/1/2 have df<=14, alpha df=40
+    kept = {r["term"] for r in build_inverted_index(a, "doc_id", "text", min_df=20).collect()}
+    assert kept == {"alpha"}
