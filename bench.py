@@ -140,6 +140,11 @@ LARGE_RESULT = {
     "pagerank", "url_canonicalize", "html_extract", "warc_extract",
     "bloom_frontier", "charset_decode", "robots_filter", "cdx_index",
     "lm_quality", "bpe_tokenize", "main_content",
+    # r5 review: per-row result shapes must noop-write, not collect —
+    # gopher/c4 are per-document, triangle_count per-node (the pagerank
+    # shape), inverted_index per term-shard, dedup_best per kept doc
+    "gopher_rules", "gopher_repetition", "c4_clean",
+    "triangle_count", "inverted_index", "dedup_best",
 }
 
 

@@ -63,6 +63,31 @@ def md5_bucket(key: str, buckets: int) -> int:
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % buckets
 
 
+SAFE_HEX_CHARS = 15  # widest md5 prefix whose unsigned value fits a signed BIGINT
+
+
+def md5_slice_col(key: Column, hex_chars: int = SAFE_HEX_CHARS) -> Column:
+    """Unsigned integer of the first ``hex_chars`` of md5(key) — the
+    portable wide hash (sharding, content anchors). ``hex_chars`` must
+    be ≤ 15 to stay signed-BIGINT-safe in every engine. Same
+    single-definition contract as :func:`md5_bucket_col`."""
+    if not 1 <= hex_chars <= SAFE_HEX_CHARS:
+        raise ValueError(f"hex_chars must be in [1, {SAFE_HEX_CHARS}], got {hex_chars}")
+    return F.conv(F.substring(F.md5(key), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def md5_slice_sql(expr: str, hex_chars: int = SAFE_HEX_CHARS) -> str:
+    """DuckDB rendering of :func:`md5_slice_col`."""
+    if not 1 <= hex_chars <= SAFE_HEX_CHARS:
+        raise ValueError(f"hex_chars must be in [1, {SAFE_HEX_CHARS}], got {hex_chars}")
+    return f"(('0x' || substr(md5({expr}), 1, {hex_chars}))::BIGINT)"
+
+
+def md5_slice(key: str, hex_chars: int = SAFE_HEX_CHARS) -> int:
+    """Python rendering of :func:`md5_slice_col`."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:hex_chars], 16)
+
+
 def sink_id_col(template_id: Column, num_sinks: int) -> Column:
     """Portable fan-out bucket — routed-row equality across engines is
     part of the north rule."""

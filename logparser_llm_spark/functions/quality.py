@@ -263,6 +263,38 @@ def c4_stats_cols(col: Column) -> dict[str, Column]:
     }
 
 
+def c4_clean_frame(df, id_col: str, text_col: str):
+    """Staged-select C4 pass over a frame — the hot-path form of
+    :func:`c4_stats_cols` (which inlines the kept-lines filter into
+    four sibling columns and so line-filters each page ~4× under
+    interpreted HOFs; same CollapseProject lesson as the A1.1 rules).
+    Output columns and semantics are identical."""
+    t, i = F.col(text_col), F.col(id_col)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    s1 = df.select(i, t, lines.alias("_ln"), c4_kept_lines(t).alias("_kept"))
+    s2 = s1.select(
+        i, t, "_ln", "_kept", F.array_join(F.col("_kept"), "\n").alias("_clean")
+    )
+    s3 = s2.select(
+        i,
+        F.size(F.col("_ln")).cast("bigint").alias("n_lines"),
+        F.size(F.col("_kept")).cast("bigint").alias("n_kept_lines"),
+        F.size(F.regexp_extract_all(F.col("_clean"), F.lit("[.!?]"), 0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        (~F.lower(t).contains("lorem ipsum") & ~t.contains("{")).alias("_page_ok"),
+        F.md5(F.col("_clean")).alias("clean_md5"),
+    )
+    return s3.select(
+        i,
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        ((F.col("n_sentences") >= 3) & F.col("_page_ok")).alias("page_kept"),
+        "clean_md5",
+    )
+
+
 def c4_sql(input_sql: str, text_col: str = "t", id_col: str = "doc_id") -> str:
     """DuckDB rendering of the same line + page rules, generated here so
     the two formulations cannot drift. ``input_sql`` must yield
@@ -281,7 +313,10 @@ def c4_sql(input_sql: str, text_col: str = "t", id_col: str = "doc_id") -> str:
     return (
         f"with _cin as ({input_sql}),\n"
         f"_k as (select {id_col}, {t}, {kept} as kept, {lines} as ln,\n"
-        f"  array_to_string({kept}, chr(10)) as clean from _cin)\n"
+        # coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+        # array_join([]) is '' — a fully-dropped page must yield
+        # md5('')/0/false on both sides (review r5)
+        f"  coalesce(array_to_string({kept}, chr(10)), '') as clean from _cin)\n"
         f"select {id_col},\n"
         "  cast(len(ln) as bigint) as n_lines,\n"
         "  cast(len(kept) as bigint) as n_kept_lines,\n"
@@ -318,9 +353,8 @@ GOPHER_REP_OUT_COLS = (
 )
 
 
-def _rep_arrays(col: Column) -> dict[str, Column]:
-    """Shared arrays: non-blank trimmed lines/paragraphs, words, and
-    word 2-/3-grams (space-joined)."""
+def _rep_units(col: Column) -> dict[str, Column]:
+    """Shared arrays: non-blank trimmed lines/paragraphs and words."""
     def units(c, sep):
         return F.filter(
             F.transform(F.split(c, sep), lambda x: F.trim(x)),
@@ -329,30 +363,27 @@ def _rep_arrays(col: Column) -> dict[str, Column]:
 
     flat = F.regexp_replace(col, r"\s+", " ")
     tk = F.filter(F.split(F.trim(flat), " "), lambda t: t != F.lit(""))
-    n = F.size(tk)
-    idx2 = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+    return {"ln": units(col, "\n"), "pr": units(col, "\n\n"), "tk": tk}
+
+
+def _grams(tk: Column, n: int) -> Column:
+    """Space-joined word n-grams from an ALREADY-NAMED token column.
+    ``tk`` must be a plain column reference, not the tokenizer
+    expression: interpreted HOF lambdas have no subexpression sharing,
+    so an inline tokenizer inside element_at re-tokenizes the document
+    per gram element — measured ~74× slower on 2000-token docs (review
+    r5). Building grams in a SECOND select after naming tk keeps the
+    per-element work O(1)."""
+    sz = F.size(tk)
+    idx = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
         F.array().cast("array<int>")
     )
-    idx3 = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
-        F.array().cast("array<int>")
-    )
-    g2 = F.transform(
-        idx2,
+    return F.transform(
+        idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+            " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
         ),
     )
-    g3 = F.transform(
-        idx3,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tk, i + 1),
-            F.element_at(tk, i + 2),
-            F.element_at(tk, i + 3),
-        ),
-    )
-    return {"ln": units(col, "\n"), "pr": units(col, "\n\n"), "tk": tk,
-            "g2": g2, "g3": g3}
 
 
 def _chars(arr: Column) -> Column:
@@ -429,9 +460,16 @@ def gopher_repetition(df, id_col: str, text_col: str):
     expensive array pipelines evaluate once — see the A1.1 bench note).
     Verdict thresholds: dup lines 30% count / 20% chars, dup paragraphs
     30% / 20%, top 2-gram 20% of word chars, top 3-gram 18%."""
-    arrs = _rep_arrays(F.col(text_col))
-    with_arrays = df.select(
-        F.col(id_col), *[v.alias(k) for k, v in arrs.items()]
+    units = _rep_units(F.col(text_col))
+    with_units = df.select(
+        F.col(id_col), *[v.alias(k) for k, v in units.items()]
+    )
+    # grams from the NAMED tk column (see _grams: inline tokenizer
+    # inside the gram lambda is O(L²) under interpreted HOFs)
+    with_arrays = with_units.select(
+        F.col(id_col), "ln", "pr", "tk",
+        _grams(F.col("tk"), 2).alias("g2"),
+        _grams(F.col("tk"), 3).alias("g3"),
     )
     # dup stats as single-fold structs, staged so each fold runs once
     with_dups = with_arrays.select(

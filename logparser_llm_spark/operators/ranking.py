@@ -296,7 +296,6 @@ def hybrid_rrf_topk(
 
 # --- inverted index ---------------------------------------------------------
 
-INDEX_HASH_HEX = 15  # 60-bit md5 slice, the repo's signed-BIGINT-safe width
 
 
 def build_inverted_index(
@@ -329,6 +328,8 @@ def build_inverted_index(
     array_sort on (doc, tf) structs — doc is unique per (term, shard),
     so the order is total and engine-independent.
     """
+    from ..functions.hashing import md5_slice_col
+
     if doc_shards < 1:
         raise ValueError(f"doc_shards must be >= 1, got {doc_shards}")
     if min_df < 1:
@@ -338,10 +339,7 @@ def build_inverted_index(
         lambda t: t != F.lit(""),
     )
     doc = F.col(id_col).cast("string")
-    shard = (
-        F.conv(F.substring(F.md5(doc), 1, INDEX_HASH_HEX), 16, 10).cast("bigint")
-        % doc_shards
-    )
+    shard = md5_slice_col(doc) % doc_shards
     tf = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -382,10 +380,9 @@ def inverted_index_sql(
     """DuckDB rendering of :func:`build_inverted_index` — same
     tokenizer, same md5-slice shard arithmetic, same ``doc:tf``
     postings rendering, generated here so the two cannot drift."""
-    shard = (
-        f"(('0x' || substr(md5(cast({id_expr} as varchar)), 1, {INDEX_HASH_HEX}))"
-        f"::BIGINT % {doc_shards})"
-    )
+    from ..functions.hashing import md5_slice_sql
+
+    shard = f"({md5_slice_sql(f'cast({id_expr} as varchar)')} % {doc_shards})"
     having = f"having count(*) >= {min_df}" if min_df > 1 else ""
     return f"""
       with ii_toks as (

@@ -1512,14 +1512,33 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the manifest directly from the source table, so a lost,
     duplicated or mis-routed row anywhere in the write→read round trip
     breaks the hash even when counts survive. The write happens every
-    run on purpose — the round trip IS the thing being measured."""
-    import hashlib
-
+    run on purpose — the round trip IS the thing being measured. The
+    destination is a PER-PROCESS tempdir (review r5: a path keyed only
+    on sf_dir races when a bench pass and a pytest run overwrite each
+    other's dataset mid-scan), removed at interpreter exit."""
     from ..sources.sinks import shard_export
 
     d = _read(spark, sf_dir, "documents")
-    dest = f"/tmp/spark_graft_shards_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    dest = os.path.join(_shard_export_root(), sf_dir.strip("/").replace("/", "_"))
     return shard_export(d, "doc_id", dest, 8, text_col="text")
+
+
+def _shard_export_root() -> str:
+    """One tempdir per process for shard-export round trips, cleaned up
+    at exit (repeat passes within a process legitimately reuse it —
+    overwrite mode makes the write idempotent)."""
+    global _SHARD_EXPORT_ROOT
+    if _SHARD_EXPORT_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SHARD_EXPORT_ROOT = tempfile.mkdtemp(prefix="spark_graft_shards_")
+        atexit.register(shutil.rmtree, _SHARD_EXPORT_ROOT, ignore_errors=True)
+    return _SHARD_EXPORT_ROOT
+
+
+_SHARD_EXPORT_ROOT: str | None = None
 
 
 def q_shard_export_sql(sf: str) -> str:
@@ -2247,14 +2266,12 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-level three-sentence-span dedup half of C4 is the separate
     exact_substring operator. Pure JVM chain, zero exchanges; oracle
     generated by the same module (c4_sql)."""
-    from ..functions.quality import c4_stats_cols
+    from ..functions.quality import c4_clean_frame
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", _c4_seed_col().alias("t"))
-    stats = c4_stats_cols(F.col("t"))
-    return d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        *[v.alias(k) for k, v in stats.items()],
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _c4_seed_col().alias("t")
     )
+    return c4_clean_frame(d, "doc_id", "t")
 
 
 def q_c4_clean_sql(sf: str) -> str:

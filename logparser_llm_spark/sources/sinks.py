@@ -185,25 +185,21 @@ def shard_export(
     Iceberg table identifier via a catalog-aware caller if needed);
     the manifest is one partially-aggregable scan of the written data.
     """
+    from ..functions.hashing import md5_slice_col
+
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if "shard" in df.columns:
         raise ValueError("input already has a 'shard' column")
     sid = F.col(id_col).cast("string")
-    shard = (
-        F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("bigint") % n_shards
-    )
+    shard = md5_slice_col(sid) % n_shards
     df.withColumn("shard", shard).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
     back = df.sparkSession.read.parquet(path)
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-            ).cast("bigint")
-        )
+        F.sum(md5_slice_col(F.col(id_col).cast("string"), 8))
         .cast("bigint")
         .alias("id_anchor"),
     ]
@@ -226,11 +222,13 @@ def shard_manifest_sql(
     """DuckDB recompute of the :func:`shard_export` manifest DIRECTLY
     from the source table (no files) — agreement with the Spark side's
     read-back manifest proves the write→read round trip."""
+    from ..functions.hashing import md5_slice_sql
+
     sid = f"cast({id_expr} as varchar)"
     cols = [
-        f"(('0x' || substr(md5({sid}), 1, 15))::BIGINT % {n_shards}) as shard",
+        f"({md5_slice_sql(sid)} % {n_shards}) as shard",
         "cast(count(*) as bigint) as n_rows",
-        f"cast(sum(('0x' || substr(md5({sid}), 1, 8))::BIGINT) as bigint) as id_anchor",
+        f"cast(sum({md5_slice_sql(sid, 8)}) as bigint) as id_anchor",
     ]
     if text_expr is not None:
         cols.append(

@@ -248,3 +248,45 @@ def test_gopher_repetition_query_flags_vary_at_sf001(spark):
     rows = q_gopher_repetition(spark, "/root/testdata/sf0.01").collect()
     for c in [k for k in rows[0].asDict() if k.startswith("ok_")] + ["keep"]:
         assert {r[c] for r in rows} == {True, False}, c
+
+
+def test_c4_sql_fully_dropped_page_matches_spark_empties(spark):
+    """Review r5: DuckDB's array_to_string([]) is NULL while Spark's
+    array_join([]) is '' — a page with zero kept lines must yield
+    md5('')/0/false on BOTH sides."""
+    import hashlib
+
+    import duckdb
+
+    from logparser_llm_spark.functions.quality import c4_sql, c4_stats_cols
+
+    page = "no terminal punctuation here\nToo short."
+    con = duckdb.connect()
+    sql = c4_sql(f"select 1 as doc_id, '{page.replace(chr(10), chr(39)+' || chr(10) || '+chr(39))}' as t")
+    n_lines, n_kept, n_sent, kept, md5 = con.execute(sql).fetchall()[0][1:]
+    df = spark.createDataFrame([(page,)], "t string")
+    stats = c4_stats_cols(F.col("t"))
+    r = df.select(*[v.alias(k) for k, v in stats.items()]).collect()[0]
+    assert (r["n_lines"], r["n_kept_lines"], r["n_sentences"], r["page_kept"]) == (
+        n_lines, n_kept, n_sent, kept
+    ) == (2, 0, 0, False)
+    assert r["clean_md5"] == md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_c4_clean_frame_equals_stats_cols(spark):
+    """The staged hot-path form must be row-identical to the semantic
+    single-projection definition on every seed class."""
+    from logparser_llm_spark.functions.quality import c4_clean_frame, c4_stats_cols
+    from logparser_llm_spark.plans.queries import _c4_seed_col
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), _c4_seed_col().alias("t"))
+    )
+    staged = {tuple(r) for r in c4_clean_frame(d, "doc_id", "t").collect()}
+    stats = c4_stats_cols(F.col("t"))
+    plain = {
+        tuple(r)
+        for r in d.select("doc_id", *[v.alias(k) for k, v in stats.items()]).collect()
+    }
+    assert staged == plain
