@@ -128,6 +128,9 @@ HEADLINE = [
     "gopher_repetition",
     "inverted_index",
     "shard_export",
+    # round 5 (closing): incremental crawl dedup against a snapshot
+    # (md5, simhash) summary
+    "incremental_dedup",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -145,6 +148,7 @@ LARGE_RESULT = {
     # shape), inverted_index per term-shard, dedup_best per kept doc
     "gopher_rules", "gopher_repetition", "c4_clean",
     "triangle_count", "inverted_index", "dedup_best",
+    "incremental_dedup",
 }
 
 

@@ -473,6 +473,74 @@ def embedding_near_dup_pairs(
     )
 
 
+def dedup_against_snapshot(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Incremental crawl dedup: keep only the rows of ``new_df`` that
+    are neither EXACT (md5) nor SimHash-near (Hamming ≤ max_hamming)
+    duplicates of ANY snapshot row — the continuous-crawl pattern where
+    yesterday's corpus is summarized, not rescanned.
+
+    Scale story: the snapshot side reduces to a (md5, simhash) summary
+    — ~40 bytes/doc regardless of text size — which is the table a
+    production pipeline PERSISTS between crawls; text for old documents
+    is never read again. The exact check is one hash anti-join on the
+    16-byte key; the near check band-explodes BOTH sides (pigeonhole:
+    a pair within max_hamming < bands agrees on ≥1 band) and verifies
+    candidates with one bit_count before the distinct, exactly like
+    :func:`simhash_near_dup_pairs`. Duplicates WITHIN the new batch are
+    out of scope here — compose with :func:`dedup_corpus_keep_ids`.
+    Output: the kept new rows' (doc_id).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): a pair "
+            "differing in >= bands bits can touch every band and be missed"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    new = new_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    old = snapshot_df.select(F.col(text_col).alias("_t"))
+    # the persisted-between-crawls snapshot summary (md5 + simhash)
+    old_sum = old.select(
+        F.md5("_t").alias("_h"), make_simhash_udf(bits)(F.col("_t")).alias("sh")
+    ).distinct()
+    new_sig = new.select(
+        "doc_id", F.md5("_t").alias("_h"), make_simhash_udf(bits)(F.col("_t")).alias("sh")
+    )
+    after_exact = new_sig.join(old_sum.select("_h").distinct(), "_h", "left_anti")
+
+    def banded(df2, keep_cols):
+        band_arr = F.array(
+            *[
+                F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ]
+        )
+        return df2.select(*keep_cols, "sh", F.posexplode(band_arr).alias("_band", "_key"))
+
+    nb = banded(after_exact, ["doc_id"]).alias("n")
+    ob = banded(old_sum.select("sh").distinct(), []).alias("o")
+    near_hit = (
+        nb.join(ob, ["_band", "_key"])
+        .filter(
+            F.bit_count(F.col("n.sh").bitwiseXOR(F.col("o.sh"))) <= max_hamming
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return after_exact.join(near_hit, "doc_id", "left_anti").select("doc_id")
+
+
 def dedup_corpus_keep_ids(
     df: DataFrame,
     id_col: str,

@@ -64,7 +64,11 @@ def _main() -> None:
                  "bpe_tokenize", "main_content", "cdc_dedup",
                  "decontaminate", "seq_pack", "kmeans",
                  "hybrid_rrf", "training_mix", "training_pipeline",
-                 "semantic_dedup"]:
+                 "semantic_dedup",
+                 # round 5 (closing arcs)
+                 "triangle_count", "dedup_best", "gopher_rules",
+                 "gopher_repetition", "c4_clean", "inverted_index",
+                 "shard_export", "incremental_dedup"]:
         df = QUERIES[name][0](spark, sf)
         lines.append(f"\n## {name}\n")
         lines.append(f"facts: `{plan_facts(df)}`\n")

@@ -828,13 +828,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", make_simhash_udf()(F.col("text")).alias("simhash"))
 
 
-def q_simhash_sql(sf: str) -> str:
-    bit_terms = " + ".join(
+def _simhash_bit_terms() -> str:
+    """The 32-bit SimHash majority-vote rendering shared by every
+    DuckDB oracle that recomputes simhash (single definition — a drift
+    here would desynchronize the near-dup oracles from each other)."""
+    return " + ".join(
         f"(case when coalesce(list_sum(list_transform(hs, "
         f"h -> case when (h >> {b}) & 1 = 1 then 1 else -1 end)), 0) >= 0 "
         f"then {2**b}::bigint else 0 end)"
         for b in range(32)
     )
+
+
+def q_simhash_sql(sf: str) -> str:
     return f"""
         with toks as (
           select doc_id,
@@ -843,7 +849,7 @@ def q_simhash_sql(sf: str) -> str:
           from documents
         )
         select doc_id,
-          case when len(hs) > 0 then {bit_terms} else 0 end as simhash
+          case when len(hs) > 0 then {_simhash_bit_terms()} else 0 end as simhash
         from toks
     """
 
@@ -1501,6 +1507,68 @@ def q_dedup_filtered_sql(sf: str) -> str:
         exact_reps as (select min(doc_id) as doc_id from documents group by md5(text))
         select cast(doc_id as bigint) as doc_id from exact_reps
         where doc_id not in (select node from comp where node <> cid)
+    """
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup (operators/dedup.py:
+    dedup_against_snapshot): a new batch — fresh docs (doc_id % 3 == 0)
+    ∪ EXACT copies of snapshot rows (id + 10⁶, must die via md5) ∪
+    one-token-appended NEAR copies (id + 2·10⁶, die iff their simhash
+    lands within Hamming ≤ 3 of the original — whichever way the data
+    falls, the oracle recomputes the same arithmetic) — filtered
+    against the snapshot (doc_id % 3 != 0) using only the snapshot's
+    (md5, simhash) summary. The DuckDB oracle uses the NAIVE all-pairs
+    NOT EXISTS formulation while Spark runs the banded pigeonhole path
+    — an independent algebra validating the band join's
+    no-false-negative guarantee. Output: kept (doc_id, src_class) with
+    src_class = id div 10⁶ (0 fresh / 1 copy / 2 near)."""
+    from ..operators.dedup import dedup_against_snapshot
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    snap = d.where(F.col("doc_id") % 3 != 0)
+    fresh = d.where(F.col("doc_id") % 3 == 0)
+    copies = snap.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    nears = snap.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    batch = fresh.unionByName(copies).unionByName(nears)
+    kept = dedup_against_snapshot(batch, snap, "doc_id", "text")
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.floor(F.col("doc_id") / 1_000_000).cast("bigint").alias("src_class"),
+    )
+
+
+def q_incremental_dedup_sql(sf: str) -> str:
+    toks = TOKENS_SQL.format(c="text")
+    bit_terms = _simhash_bit_terms()
+    sig = (
+        "select doc_id, md5(text) as h,\n"
+        "  case when len(hs) > 0 then " + bit_terms + " else 0 end as simhash\n"
+        "from (select doc_id, text,\n"
+        f"  list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::bigint) as hs\n"
+        "  from {src})"
+    )
+    return f"""
+        with snap as (select doc_id, text from documents where doc_id % 3 <> 0),
+        batch as (
+          select doc_id, text from documents where doc_id % 3 = 0
+          union all select doc_id + 1000000, text from snap
+          union all select doc_id + 2000000, text || ' extra' from snap
+        ),
+        ssig as ({sig.format(src='snap')}),
+        bsig as ({sig.format(src='batch')})
+        select b.doc_id, b.doc_id // 1000000 as src_class
+        from bsig b
+        where b.h not in (select h from ssig)
+          and not exists (
+            select 1 from ssig s
+            where bit_count(xor(b.simhash, s.simhash)) <= 3
+          )
     """
 
 
@@ -4557,6 +4625,9 @@ QUERIES: dict[str, tuple] = {
     # r5: sharded-export round trip — oracle recomputes the manifest
     # from the source table while Spark must earn it from written files
     "shard_export": (q_shard_export, q_shard_export_sql),
+    # r5: incremental crawl dedup against a (md5, simhash) snapshot
+    # summary; oracle is the naive all-pairs NOT EXISTS algebra
+    "incremental_dedup": (q_incremental_dedup, q_incremental_dedup_sql),
     "grok_parse": (q_grok_parse, q_grok_parse_sql),
     "repetition_signals": (q_repetition_signals, q_repetition_signals_sql),
     "region_rollup": (q_region_rollup, q_region_rollup_sql),

@@ -505,3 +505,56 @@ def test_exact_substring_k_below_two_raises(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="k must be >= 2"):
         exact_substring_dedup(df, "doc_id", "text", k=1)
+
+
+def test_dedup_against_snapshot_differential(spark):
+    """Brute-force differential: the banded snapshot filter must keep
+    exactly the batch rows with no exact-md5 AND no Hamming<=3 match in
+    the snapshot (reference computed in Python from the same simhash
+    UDF outputs — independent of banding luck)."""
+    from logparser_llm_spark.operators.dedup import (
+        dedup_against_snapshot,
+        make_simhash_udf,
+    )
+
+    snap_rows = [(i, f"snapshot document number {i} about topic {i % 7}")
+                 for i in range(30)]
+    batch_rows = (
+        [(100 + i, f"fresh document {i} with novel words {i * 13}") for i in range(10)]
+        + [(200 + i, t) for i, (_, t) in enumerate(snap_rows[:5])]          # exact dups
+        + [(300 + i, t + " extra") for i, (_, t) in enumerate(snap_rows[5:10])]  # near-ish
+    )
+    snap = spark.createDataFrame(snap_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    kept = {r["doc_id"] for r in
+            dedup_against_snapshot(batch, snap, "doc_id", "text").collect()}
+
+    sig = make_simhash_udf(32)
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in snap.unionByName(batch).select("doc_id", sig(F.col("text")).alias("s")).collect()
+    }
+    snap_texts = {t for _, t in snap_rows}
+    snap_sh = [sh[i] for i, _ in snap_rows]
+    expect = set()
+    for i, t in batch_rows:
+        if t in snap_texts:
+            continue
+        if any(bin(sh[i] ^ s).count("1") <= 3 for s in snap_sh):
+            continue
+        expect.add(i)
+    assert kept == expect
+    assert not any(200 <= k < 300 for k in kept)   # exact dups always die
+    assert {100 + i for i in range(10)} <= kept | {
+        i for i in range(100, 110) if i not in expect
+    }  # fresh rows die only if genuinely near a snapshot row
+
+
+def test_dedup_against_snapshot_validation(spark):
+    from logparser_llm_spark.operators.dedup import dedup_against_snapshot
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup_against_snapshot(df, df, "doc_id", "text", max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        dedup_against_snapshot(df, df, "doc_id", "text", bands=5)

@@ -279,3 +279,15 @@ def test_gopher_repetition_is_jvm_with_one_spread_exchange(spark):
     facts = plan_facts(q_gopher_repetition(spark, SF))
     assert facts["exchanges"] <= 1
     assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+def test_incremental_dedup_has_no_cartesian_and_no_rowwise_python(spark):
+    """The snapshot probe must be the banded bucket join + anti-joins —
+    never an all-pairs product (that algebra lives only in the DuckDB
+    oracle); simhash is the Arrow UDF, not row-wise Python."""
+    from logparser_llm_spark.plans.queries import q_incremental_dedup
+
+    plan = physical_plan(q_incremental_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
