@@ -131,6 +131,9 @@ HEADLINE = [
     # round 5 (closing): incremental crawl dedup against a snapshot
     # (md5, simhash) summary
     "incremental_dedup",
+    # round 5 (closing): DSIR hashed-ngram importance weights vs the
+    # English target subset
+    "dsir_select",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -149,6 +152,7 @@ LARGE_RESULT = {
     "gopher_rules", "gopher_repetition", "c4_clean",
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
+    "dsir_select",
 }
 
 

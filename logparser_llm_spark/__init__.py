@@ -133,6 +133,8 @@ def __getattr__(name):
         "bloom_build": ("logparser_llm_spark.operators.sketch", "bloom_build"),
         "bloom_merge": ("logparser_llm_spark.operators.sketch", "bloom_merge"),
         "bloom_contains": ("logparser_llm_spark.operators.sketch", "bloom_contains"),
+        "dsir_features": ("logparser_llm_spark.operators.dsir", "dsir_features"),
+        "dsir_weights": ("logparser_llm_spark.operators.dsir", "dsir_weights"),
         "bpe_train": ("logparser_llm_spark.operators.bpe", "bpe_train"),
         "bpe_encode": ("logparser_llm_spark.operators.bpe", "bpe_encode"),
         "bpe_merges_df": ("logparser_llm_spark.operators.bpe", "bpe_merges_df"),

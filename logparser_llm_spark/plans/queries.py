@@ -3960,6 +3960,73 @@ def q_lm_quality_sql(sf: str) -> str:
     """
 
 
+# DSIR: hashed-ngram importance weights against the English target
+# subset. Buckets deliberately small (256 over a ~30-word vocabulary +
+# bigrams) so hash collisions occur in the registered rows; the keep
+# cutoff at weight 0 splits the corpus at sf0.01 AND sf0.1 (probed:
+# 39% / 45% kept — both branches asserted in pytest).
+DSIR_BUCKETS = 256
+DSIR_TARGET_WHERE = "lang = 'en'"
+DSIR_KEEP_MIN_E6 = 0
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (operators/dsir.py, Xie et
+    al. 2023): score every document by how much more likely its hashed
+    unigram+bigram profile is under the trusted English target subset
+    than under the raw pool, keep the high-weight tail.
+
+    The published data-selection recipe for "sample the crawl down to
+    something target-shaped". Scale shape: ONE token explode feeds the
+    (doc, bucket, cnt) feature frame, both bucket models, both totals
+    and the scoring sum (persisted across its four consumers —
+    plan-gated); model frames are ≤256 rows and broadcast. Per-bucket
+    log-ratios quantize to integer micro-nats BEFORE the per-doc sum,
+    so the DuckDB oracle — features, models and weights regenerated by
+    the same module — is hash-exact (dsir.py docstring covers the
+    ≤1-ulp ln caveat).
+    """
+    from ..operators.dsir import dsir_features, dsir_weights
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        (F.col("lang") == F.lit("en")).alias("__is_t"),
+    )
+    feats = dsir_features(
+        d, "doc_id", "text", buckets=DSIR_BUCKETS, carry=("__is_t",)
+    )
+    w = dsir_weights(feats, "doc_id", target=F.col("__is_t"), buckets=DSIR_BUCKETS)
+    return (
+        d.select("doc_id")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("weight_e6", F.lit(0)).alias("weight_e6"),
+            (
+                (F.coalesce("n_feats", F.lit(0)) > 0)
+                & (F.coalesce("weight_e6", F.lit(0)) >= DSIR_KEEP_MIN_E6)
+            ).alias("keep"),
+        )
+    )
+
+
+def q_dsir_select_sql(sf: str) -> str:
+    from ..operators.dsir import dsir_sql
+
+    inner = dsir_sql(
+        score_from="documents", id_col="doc_id", text_col="text",
+        target_where=DSIR_TARGET_WHERE, buckets=DSIR_BUCKETS,
+    )
+    return f"""
+        with scored as ({inner})
+        select doc_id::BIGINT as doc_id, n_feats, weight_e6,
+               (n_feats > 0 and weight_e6 >= {DSIR_KEEP_MIN_E6}) as keep
+        from scored
+    """
+
+
 # Count-Min probe set: common vocabulary spanning a range of true
 # frequencies plus one absent term (pins the zero/absent-counter path).
 CMS_PROBE_TERMS = [
@@ -4756,6 +4823,9 @@ QUERIES: dict[str, tuple] = {
     # oracle is the Python recompute in tests/test_multimodal.py — see
     # the q_image_features_agg docstring (VERDICT r4 item 8)
     "image_features_agg": (q_image_features_agg, None),
+    # r5: DSIR hashed-ngram importance weights vs the English target
+    # subset (features/models/weights all regenerated by the oracle)
+    "dsir_select": (q_dsir_select, q_dsir_select_sql),
 }
 
 
