@@ -134,6 +134,8 @@ HEADLINE = [
     # round 5 (closing): DSIR hashed-ngram importance weights vs the
     # English target subset
     "dsir_select",
+    # round 5 (closing): fixed-size overlapping token windows
+    "chunk_windows",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -152,7 +154,7 @@ LARGE_RESULT = {
     "gopher_rules", "gopher_repetition", "c4_clean",
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
-    "dsir_select",
+    "dsir_select", "chunk_windows",
 }
 
 

@@ -134,6 +134,10 @@ def __getattr__(name):
         "bloom_merge": ("logparser_llm_spark.operators.sketch", "bloom_merge"),
         "bloom_contains": ("logparser_llm_spark.operators.sketch", "bloom_contains"),
         "dsir_features": ("logparser_llm_spark.operators.dsir", "dsir_features"),
+        "token_window_chunks": (
+            "logparser_llm_spark.operators.chunking",
+            "token_window_chunks",
+        ),
         "dsir_weights": ("logparser_llm_spark.operators.dsir", "dsir_weights"),
         "bpe_train": ("logparser_llm_spark.operators.bpe", "bpe_train"),
         "bpe_encode": ("logparser_llm_spark.operators.bpe", "bpe_encode"),

@@ -222,3 +222,121 @@ def cdc_chunks_py(
     if cuts[-1] != n:
         cuts.append(n)
     return [s[a:e] for a, e in zip(cuts, cuts[1:])]
+
+
+# --- token-window chunking (pretraining context windows) ----------------
+
+def _check_window(chunk_tokens: int, stride_tokens: int) -> None:
+    if not (isinstance(chunk_tokens, int) and chunk_tokens >= 1
+            and isinstance(stride_tokens, int) and stride_tokens >= 1):
+        raise ValueError(
+            f"chunk_tokens and stride_tokens must be ints >= 1, "
+            f"got {chunk_tokens}/{stride_tokens}"
+        )
+
+
+def token_window_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int,
+    stride_tokens: int,
+) -> DataFrame:
+    """Fixed-size overlapping token windows — the context-window chunker
+    a pretraining/RAG pipeline runs over every document (the sibling of
+    sequence packing in operators/packing.py: packing fills fixed
+    budgets ACROSS documents, this slices windows WITHIN one).
+
+    Tokens are the repo's whitespace tokens (functions/text.ws_tokens —
+    single-definition rule); window starts are ``0, stride, 2·stride, …
+    < n_tokens``; the final window may be a partial tail (kept — that's
+    the training convention). Output grain is one row per window:
+    ``(<id_col>, chunk_idx, start_tok, n_tokens, chunk_text)`` with
+    ``chunk_text`` the space-rejoined slice (original whitespace runs
+    collapse — documented, the tokenize semantics). Zero-token docs
+    (empty or NULL text) emit NO rows by contract; left-join the id
+    frame to reattach them.
+
+    Scale shape: a pure per-row map + explode — no shuffle anywhere,
+    whole-stage codegen, the window arithmetic all JVM array
+    expressions. At 100 TB this is a scan-bound stage like the C4/
+    Gopher filters.
+    """
+    from ..functions.text import ws_tokens
+
+    _check_window(chunk_tokens, stride_tokens)
+    toks = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col, "__toks",
+        F.expr(
+            f"filter(sequence(0, greatest(size(__toks) - 1, 0), {stride_tokens}),"
+            " s -> s < size(__toks))"
+        ).alias("__starts"),
+    )
+    return toks.select(
+        id_col,
+        F.posexplode("__starts").alias("chunk_idx", "start_tok"),
+        "__toks",
+    ).select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.expr(f"slice(__toks, start_tok + 1, {chunk_tokens})").alias("__chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.size("__chunk").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def token_window_sql(
+    *,
+    src: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+) -> str:
+    """DuckDB recompute of :func:`token_window_chunks`, generated here
+    so the two formulations cannot drift. Yields the same five
+    columns."""
+    from ..functions.text import TOKENS_SQL
+
+    _check_window(chunk_tokens, stride_tokens)
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+        with __tw_toks as (
+          select {id_col}, {toks} as s from {src}
+        ),
+        __tw_starts as (
+          select {id_col}, s, st,
+                 (st // {stride_tokens})::INT as chunk_idx
+          from __tw_toks,
+               unnest(list_filter(range(0, len(s), {stride_tokens}),
+                                  x -> x < len(s))) as g(st)
+        )
+        select {id_col}, chunk_idx, st::INT as start_tok,
+               len(s[st + 1 : st + {chunk_tokens}])::INT as n_tokens,
+               array_to_string(s[st + 1 : st + {chunk_tokens}], ' ') as chunk_text
+        from __tw_starts
+    """
+
+
+def token_window_py(
+    text: str, *, chunk_tokens: int, stride_tokens: int
+) -> list[tuple[int, int, int, str]]:
+    """Reference recompute: ``[(chunk_idx, start_tok, n_tokens,
+    chunk_text)]`` (whitespace tokens, empties dropped)."""
+    _check_window(chunk_tokens, stride_tokens)
+    toks = [t for t in (text or "").split(" ") if t]
+    # ws_tokens splits on the single-space delimiter; other whitespace
+    # stays inside tokens, matching the Spark/DuckDB twins
+    out = []
+    for idx, st in enumerate(range(0, len(toks), stride_tokens)):
+        chunk = toks[st:st + chunk_tokens]
+        out.append((idx, st, len(chunk), " ".join(chunk)))
+    return out

@@ -2992,6 +2992,55 @@ def q_cdc_dedup_sql(sf: str) -> str:
     """
 
 
+# Token-window chunking: 16-token windows, stride 12 (4-token overlap)
+# — small enough that the ~40-token average document yields several
+# windows including a partial tail (both shapes exercised at sf0.01).
+CHUNK_TOKENS, CHUNK_STRIDE = 16, 12
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping context windows
+    (operators/chunking.py:token_window_chunks): the chunker a
+    pretraining/RAG pipeline runs over every document — window starts
+    every ``stride`` tokens, partial tail kept.
+
+    Scale shape: a pure per-row map + explode, zero shuffles,
+    whole-stage codegen (the scan-bound 100 TB stage, like the C4 and
+    Gopher filters). The oracle regenerates the whole chunker in
+    DuckDB from the same module; ``chunk_md5`` pins each window's exact
+    token slice and joining, so an off-by-one in start, length or tail
+    handling breaks the hash.
+    """
+    from ..operators.chunking import token_window_chunks
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    w = token_window_chunks(
+        d, "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE,
+    )
+    return w.select(
+        "doc_id", "chunk_idx", "start_tok", "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_chunk_windows_sql(sf: str) -> str:
+    from ..operators.chunking import token_window_sql
+
+    inner = token_window_sql(
+        src="documents", id_col="doc_id", text_col="text",
+        chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE,
+    )
+    return f"""
+        with tw as ({inner})
+        select doc_id::BIGINT as doc_id, chunk_idx, start_tok, n_tokens,
+               md5(chunk_text) as chunk_md5
+        from tw
+    """
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content extraction (functions/html.py html_main_text) over
     the shared seeded page family: the largest-text-block heuristic at
@@ -4826,6 +4875,9 @@ QUERIES: dict[str, tuple] = {
     # r5: DSIR hashed-ngram importance weights vs the English target
     # subset (features/models/weights all regenerated by the oracle)
     "dsir_select": (q_dsir_select, q_dsir_select_sql),
+    # r5: fixed-size overlapping token windows (pretraining chunker);
+    # chunk_md5 pins every window's exact slice
+    "chunk_windows": (q_chunk_windows, q_chunk_windows_sql),
 }
 
 
