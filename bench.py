@@ -134,8 +134,10 @@ HEADLINE = [
     # round 5 (closing): DSIR hashed-ngram importance weights vs the
     # English target subset
     "dsir_select",
-    # round 5 (closing): fixed-size overlapping token windows
+    # round 5 (closing): fixed-size overlapping token windows +
+    # int8-quantized exact top-k
     "chunk_windows",
+    "ann_quantized",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

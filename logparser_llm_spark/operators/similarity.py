@@ -372,3 +372,164 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# --- int8 quantized scoring (the memory-bound scale path) ---------------
+
+QUANT_MAX = 127  # int8 range: every quantized component fits [-127, 127]
+
+
+def quantize_vec_expr(vec: Column, norm: Column, *, qmax: int = QUANT_MAX) -> Column:
+    """Symmetric int8-style quantization of a unit-normalized vector:
+    ``q_i = round(qmax · v_i / ‖v‖)`` (zero vector → all zeros). Every
+    component fits int8, so a 100 TB embedding store shrinks 4× (float32
+    → int8) and the scoring dot becomes integer SIMD work.
+
+    ``norm`` must be a NAMED column holding ``norm_expr(vec)`` — passing
+    the norm expression itself would re-evaluate it per element inside
+    the interpreted ``transform`` lambda (the gopher-repetition lesson:
+    HOFs have no common-subexpression sharing).
+
+    Elements are bigint Columns (Spark array<tinyint> buys nothing in
+    an expression pipeline; the int8 claim is about STORAGE, and the
+    value range is pinned by tests)."""
+    return F.transform(
+        vec,
+        lambda v: F.when(
+            norm > 0,
+            F.round(v.cast("double") / norm * qmax).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def int_dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over integer arrays — exact, order-free, no floats."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    k: int = 10,
+    *,
+    qmax: int = QUANT_MAX,
+) -> DataFrame:
+    """Exact top-k by QUANTIZED dot product: both sides unit-normalize →
+    int8 quantization → integer dot, so the score and therefore the
+    ranking is a pure integer computation (hash-exact cross-engine; the
+    only doubles live inside the per-component quantization, same ≤1-ulp
+    sqrt/division caveat as every kernel in this module).
+
+    ``query`` is a one-row frame holding the raw query vector in
+    ``vec_col`` (the on-cluster convention of q_ann_topk — no driver
+    probe job); it is broadcast. Output ``(id, qdot)`` ordered by
+    ``qdot`` desc, id asc — TakeOrdered, one scan, no shuffle of the
+    corpus. The float path (:func:`brute_force_topk`) is the recall
+    oracle; at qmax=127 the two rankings agree on every test corpus
+    except genuine sub-quantum ties."""
+    if not (isinstance(qmax, int) and 1 <= qmax <= 32767):
+        raise ValueError(f"qmax must be an int in [1, 32767], got {qmax}")
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be an int >= 1, got {k}")
+    qq = (
+        query.select(F.col(vec_col).alias("__v"))
+        .select("__v", norm_expr(F.col("__v")).alias("__n"))
+        .select(
+            quantize_vec_expr(F.col("__v"), F.col("__n"), qmax=qmax).alias("__qq")
+        )
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .select(id_col, "__v", norm_expr(F.col("__v")).alias("__n"))
+        .select(
+            id_col,
+            quantize_vec_expr(F.col("__v"), F.col("__n"), qmax=qmax).alias("__qv"),
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(qq))
+        .select(
+            id_col,
+            int_dot_expr(F.col("__qv"), F.col("__qq")).alias("qdot"),
+        )
+        .orderBy(F.desc("qdot"), id_col)
+        .limit(k)
+    )
+
+
+def quantized_topk_sql(
+    *,
+    src: str,
+    id_col: str,
+    vec_col: str,
+    query_where: str,
+    k: int = 10,
+    qmax: int = QUANT_MAX,
+) -> str:
+    """DuckDB recompute of :func:`quantized_topk` (query row selected by
+    ``query_where``), generated here so the two formulations cannot
+    drift."""
+    if not (isinstance(qmax, int) and 1 <= qmax <= 32767):
+        raise ValueError(f"qmax must be an int in [1, 32767], got {qmax}")
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be an int >= 1, got {k}")
+
+    def _q(alias: str) -> str:
+        return (
+            f"list_transform(v, x -> case when n > 0 then "
+            f"cast(round(x / n * {qmax}) as bigint) else 0 end) as {alias}"
+        )
+
+    norm = f"sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x * x)))"
+    return f"""
+        with __qn as (
+          select {norm} as n, {vec_col}::DOUBLE[] as v
+          from {src} where {query_where}
+        ),
+        __q as (select {_q('qq')} from __qn),
+        __cn as (
+          select {id_col}, {norm} as n, {vec_col}::DOUBLE[] as v from {src}
+        ),
+        __cq as (select {id_col}, {_q('qv')} from __cn),
+        __scored as (
+          select {id_col},
+                 list_sum(list_transform(range(1, len(qv) + 1),
+                                         i -> qv[i] * qq[i]))::BIGINT as qdot
+          from __cq, __q
+        )
+        select {id_col}, qdot from __scored
+        order by qdot desc, {id_col} limit {k}
+    """
+
+
+def quantized_topk_py(
+    rows: list[tuple[object, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    qmax: int = QUANT_MAX,
+) -> list[tuple[object, int]]:
+    """Reference recompute (HALF_UP quantization like F.round)."""
+
+    def _quant(v: list[float]) -> list[int]:
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        if n <= 0:
+            return [0] * len(v)
+        out = []
+        for x in v:
+            t = float(x) / n * qmax
+            out.append(math.floor(t + 0.5) if t >= 0 else math.ceil(t - 0.5))
+        return out
+
+    qq = _quant(query_vec)
+    scored = [
+        (i, sum(a * b for a, b in zip(_quant(v), qq))) for i, v in rows
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]

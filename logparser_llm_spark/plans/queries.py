@@ -880,6 +880,37 @@ def q_ann_topk_sql(sf: str) -> str:
     """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized exact top-k (operators/similarity.py:
+    quantized_topk): both sides unit-normalize → symmetric int8
+    quantization (q_i = round(127·v_i/‖v‖)) → INTEGER dot product, the
+    memory-bound ANN scale path (float32 → int8 cuts a 100 TB embedding
+    store 4× and turns scoring into integer SIMD work).
+
+    Same on-cluster query-vector convention as ann_topk (vec_id = 0,
+    broadcast one-row frame, no driver probe job); one scan +
+    TakeOrdered, no corpus shuffle. The score is a pure integer, so the
+    DuckDB oracle — quantization and dot regenerated by the same
+    module — is hash-exact with no float-ordering caveat; the float
+    cosine ranking (ann_topk) is the recall reference (pytest pins the
+    top-10 overlap on this corpus).
+    """
+    from ..operators.similarity import quantized_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return quantized_topk(emb, "vec_id", "embedding", q, k=10)
+
+
+def q_ann_quantized_sql(sf: str) -> str:
+    from ..operators.similarity import quantized_topk_sql
+
+    return quantized_topk_sql(
+        src="embeddings", id_col="vec_id", vec_col="embedding",
+        query_where="vec_id = 0", k=10,
+    )
+
+
 # --- embedding near-dup: planted-dup corpus + LSH bucket join ------------
 #
 # The synthetic embeddings table has no high-cosine pairs (max ≈ 0.6), so
@@ -4878,6 +4909,8 @@ QUERIES: dict[str, tuple] = {
     # r5: fixed-size overlapping token windows (pretraining chunker);
     # chunk_md5 pins every window's exact slice
     "chunk_windows": (q_chunk_windows, q_chunk_windows_sql),
+    # r5: int8-quantized exact top-k — integer scores, hash-exact oracle
+    "ann_quantized": (q_ann_quantized, q_ann_quantized_sql),
 }
 
 

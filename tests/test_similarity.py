@@ -286,3 +286,95 @@ def test_ivf_centroids_deterministic(spark):
     c2 = train_ivf_centroids(emb.repartition(9), "vec_id", "embedding", n_centroids=8)
     assert np.array_equal(c1, c2)  # partitioning-invariant
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+# --- int8 quantized top-k -------------------------------------------------
+
+def test_quantized_topk_matches_python_and_duckdb(spark, emb):
+    from logparser_llm_spark.operators.similarity import (
+        quantized_topk,
+        quantized_topk_py,
+        quantized_topk_sql,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    got = [(r["vec_id"], r["qdot"])
+           for r in quantized_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    qv = dict(rows)[0]
+    assert got == quantized_topk_py(rows, qv, k=10)
+    con = duckdb.connect()
+    con.execute(f"create view embeddings as select * from '{EMB}'")
+    orows = con.execute(quantized_topk_sql(
+        src="embeddings", id_col="vec_id", vec_col="embedding",
+        query_where="vec_id = 0", k=10,
+    )).fetchall()
+    assert got == [(r[0], r[1]) for r in orows]
+
+
+def test_quantized_topk_agrees_with_float_ranking(spark, emb):
+    """The float cosine path is the recall reference: at qmax=127 the
+    quantized top-10 must reproduce the exact top-10 on this corpus."""
+    from logparser_llm_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"]
+             for r in brute_force_topk(emb, "vec_id", "embedding", qv, k=10).collect()]
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    quant = [r["vec_id"]
+             for r in quantized_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+    # this corpus's neighbor cosines sit within quantization noise of
+    # each other past rank 4, so the head must match and the tail may
+    # swap members whose float scores differ by < one quantum
+    assert exact[:4] == quant[:4]
+    assert len(set(exact) & set(quant)) >= 8
+
+
+def test_quantized_components_fit_int8_and_zero_vector(spark):
+    from logparser_llm_spark.operators.similarity import (
+        norm_expr,
+        quantize_vec_expr,
+        quantized_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, -4.0]), (2, [0.0, 0.0]), (3, [1e-30, 0.0])],
+        "id bigint, v array<double>",
+    )
+    rows = {r["id"]: r["q"] for r in df.select(
+        "id",
+        F.col("v").alias("__v"),
+        norm_expr(F.col("v")).alias("__n"),
+    ).select("id", quantize_vec_expr(F.col("__v"), F.col("__n")).alias("q")).collect()}
+    assert rows[1] == [76, -102]                      # 127·(3,−4)/5
+    assert rows[2] == [0, 0]                          # zero vector contract
+    assert rows[3] == [127, 0]  # tiny vectors still normalize to unit
+    assert all(-127 <= x <= 127 for q in rows.values() for x in q)
+    q = df.filter(F.col("id") == 1).select("v")
+    got = quantized_topk(df, "id", "v", q, k=3).collect()
+    assert [(r["id"], r["qdot"]) for r in got] == [
+        (1, 76 * 76 + 102 * 102), (3, 127 * 76), (2, 0)]
+
+
+def test_quantized_topk_validation_and_plan(spark, emb):
+    from logparser_llm_spark.operators.similarity import (
+        quantized_topk,
+        quantized_topk_sql,
+    )
+    from logparser_llm_spark.plans.inspect import plan_facts
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    with pytest.raises(ValueError, match="qmax"):
+        quantized_topk(emb, "vec_id", "embedding", q, qmax=0)
+    with pytest.raises(ValueError, match="k must"):
+        quantized_topk(emb, "vec_id", "embedding", q, k=0)
+    with pytest.raises(ValueError, match="qmax"):
+        quantized_topk_sql(src="e", id_col="i", vec_col="v",
+                           query_where="1=1", qmax=40000)
+    facts = plan_facts(quantized_topk(emb, "vec_id", "embedding", q, k=10))
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    assert not facts["sort_merge_join"]
