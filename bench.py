@@ -138,6 +138,8 @@ HEADLINE = [
     # int8-quantized exact top-k
     "chunk_windows",
     "ann_quantized",
+    # round 5 (closing): the C4 blocklist stage
+    "c4_badwords",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -156,7 +158,7 @@ LARGE_RESULT = {
     "gopher_rules", "gopher_repetition", "c4_clean",
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
-    "dsir_select", "chunk_windows",
+    "dsir_select", "chunk_windows", "c4_badwords",
 }
 
 

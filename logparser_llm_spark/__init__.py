@@ -134,6 +134,7 @@ def __getattr__(name):
         "bloom_merge": ("logparser_llm_spark.operators.sketch", "bloom_merge"),
         "bloom_contains": ("logparser_llm_spark.operators.sketch", "bloom_contains"),
         "dsir_features": ("logparser_llm_spark.operators.dsir", "dsir_features"),
+        "badwords_cols": ("logparser_llm_spark.functions.quality", "badwords_cols"),
         "quantized_topk": ("logparser_llm_spark.operators.similarity", "quantized_topk"),
         "token_window_chunks": (
             "logparser_llm_spark.operators.chunking",

@@ -11,6 +11,8 @@ the correctness anchor.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -584,3 +586,98 @@ def gopher_repetition_sql(
         f"select {id_col}, {', '.join(k for k in sig)}, {', '.join(rule_parts)}\n"
         "from _sig"
     )
+
+
+# --- C4 badwords filter (Raffel et al. 2020 §2.2, the blocklist step) ----
+#
+# C4 drops any page containing a word from the "List of Dirty, Naughty,
+# Obscene or Otherwise Bad Words" (an external resource — callers supply
+# their list; tests/queries use a small stand-in). Words match on TOKEN
+# boundaries of the case-folded text (the lm/bm25 tokenizer — "word,"
+# still matches); multi-word phrases match as case-folded substrings,
+# counted by exact integer length arithmetic. Both signals are pure JVM
+# expressions — a scan-bound map stage like the other C4 rules. The
+# per-token list scan is O(L·W) interpreted work: fine for the classic
+# ~400-entry list; a truly huge blocklist should go through the
+# decontaminate-style broadcast-join shape instead (documented trade).
+
+def badwords_cols(
+    col: Column, *, words: Sequence[str], phrases: Sequence[str] = ()
+) -> dict[str, Column]:
+    """Signals: ``n_bad_words`` (token occurrences of blocklisted
+    words), ``n_bad_phrases`` (substring occurrences of blocklisted
+    phrases), ``ok_badwords`` (page keeps iff both are zero)."""
+    _check_badlist(words, phrases)
+    from ..operators.ranking import TOKEN_SPLIT_RE
+
+    toks = F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda w: w != F.lit("")
+    )
+    wlist = F.array(*[F.lit(w) for w in words])
+    n_words = F.size(F.filter(toks, lambda t: F.array_contains(wlist, t)))
+    lt = F.lower(col)
+    n_phr = None
+    for p in phrases:
+        cnt = (
+            (F.length(lt) - F.length(F.replace(lt, F.lit(p), F.lit(""))))
+            / F.lit(len(p))
+        ).cast("bigint")
+        n_phr = cnt if n_phr is None else n_phr + cnt
+    if n_phr is None:
+        n_phr = F.lit(0).cast("bigint")
+    n_words = F.coalesce(n_words.cast("bigint"), F.lit(0))
+    n_phr = F.coalesce(n_phr, F.lit(0))
+    return {
+        "n_bad_words": n_words,
+        "n_bad_phrases": n_phr,
+        "ok_badwords": (n_words == 0) & (n_phr == 0),
+    }
+
+
+def _check_badlist(words: Sequence[str], phrases: Sequence[str]) -> None:
+    if not words and not phrases:
+        raise ValueError("blocklist is empty: supply words and/or phrases")
+    for w in words:
+        if not w or w != w.lower() or " " in w:
+            raise ValueError(
+                f"blocklist words must be non-empty, lowercase, single tokens: {w!r}"
+            )
+    for p in phrases:
+        if not p or p != p.lower():
+            raise ValueError(f"blocklist phrases must be non-empty lowercase: {p!r}")
+
+
+def badwords_sql(
+    input_sql: str,
+    *,
+    words: Sequence[str],
+    phrases: Sequence[str] = (),
+    text_col: str = "t",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB recompute of :func:`badwords_cols` over ``input_sql``,
+    generated here so the two formulations cannot drift."""
+    _check_badlist(words, phrases)
+    from ..operators.ranking import TOKEN_SPLIT_RE
+
+    wlist = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    # coalesce the text once so NULL pages read as empty — the Spark
+    # side's coalesced zeros, not NULL signals
+    lt = f"lower(coalesce({text_col}, ''))"
+    toks = (
+        f"list_filter(regexp_split_to_array({lt}, "
+        f"'{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+    n_words = f"len(list_filter({toks}, t -> list_contains({wlist}, t)))"
+    phr_terms = [
+        f"((length({lt}) - length(replace({lt}, '{p}', ''))) // {len(p)})"
+        for p in phrases
+    ] or ["0"]
+    return f"""
+        with _bw as ({input_sql})
+        select {id_col},
+               {n_words}::BIGINT as n_bad_words,
+               ({' + '.join(phr_terms)})::BIGINT as n_bad_phrases,
+               ({n_words} = 0 and ({' + '.join(phr_terms)}) = 0) as ok_badwords
+        from _bw
+    """

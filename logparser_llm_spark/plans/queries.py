@@ -880,6 +880,73 @@ def q_ann_topk_sql(sf: str) -> str:
     """
 
 
+# C4 badwords filter: small stand-in blocklist (the real list is an
+# external resource callers supply); trip classes by doc_id residue so
+# every signal carries both verdicts at sf0.01 AND sf0.1 — word hit
+# (mod 3: a blocklisted token, punctuation-adjacent on mod 6 to pin the
+# tokenizer boundary), phrase hit (mod 5), double word hit (mod 9).
+BADWORDS = ("badwordx", "nastyterm")
+BADPHRASES = ("forbidden phrase",)
+_BADWORDS_SEED_SQL = """
+    select doc_id, text
+      || case when doc_id % 3 = 0 then case when doc_id % 6 = 0
+              then ' so badwordx, happened' else ' so badwordx happened' end
+              else '' end
+      || case when doc_id % 9 = 0 then ' NASTYTERM again' else '' end
+      || case when doc_id % 5 = 0 then ' a Forbidden Phrase appears' else '' end
+      as t from documents
+"""
+
+
+def _badwords_seed_col() -> Column:
+    """Spark twin of _BADWORDS_SEED_SQL: word hit with and without
+    adjacent punctuation (token-boundary semantics), case-folded word
+    and phrase hits, multi-hit docs."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.when(d % 6 == 0, F.lit(" so badwordx, happened"))
+            .otherwise(F.lit(" so badwordx happened")),
+        ).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit(" NASTYTERM again")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" a Forbidden Phrase appears")).otherwise(F.lit("")),
+    )
+
+
+def q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 blocklist filter (Raffel et al. 2020 §2.2;
+    functions/quality.py:badwords_cols): drop any page containing a
+    blocklisted word (token-boundary, case-folded) or phrase
+    (substring, counted by exact integer length arithmetic) — the one
+    §2.2 stage q_c4_clean deliberately left out.
+
+    Pure JVM expressions, zero exchanges (the scan-bound filter shape);
+    the DuckDB oracle is generated by the same module (badwords_sql).
+    The seed puts a word hit adjacent to punctuation on mod-6 docs, so
+    a substring-instead-of-token matcher or a case-sensitive one breaks
+    the hash.
+    """
+    from ..functions.quality import badwords_cols
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _badwords_seed_col().alias("t"),
+    )
+    sig = badwords_cols(F.col("t"), words=BADWORDS, phrases=BADPHRASES)
+    return d.select("doc_id", *[v.alias(k) for k, v in sig.items()])
+
+
+def q_c4_badwords_sql(sf: str) -> str:
+    from ..functions.quality import badwords_sql
+
+    return badwords_sql(
+        _BADWORDS_SEED_SQL, words=BADWORDS, phrases=BADPHRASES,
+        text_col="t", id_col="doc_id",
+    )
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized exact top-k (operators/similarity.py:
     quantized_topk): both sides unit-normalize → symmetric int8
@@ -4911,6 +4978,9 @@ QUERIES: dict[str, tuple] = {
     "chunk_windows": (q_chunk_windows, q_chunk_windows_sql),
     # r5: int8-quantized exact top-k — integer scores, hash-exact oracle
     "ann_quantized": (q_ann_quantized, q_ann_quantized_sql),
+    # r5: the C4 blocklist stage (token-boundary words + substring
+    # phrases, integer counts)
+    "c4_badwords": (q_c4_badwords, q_c4_badwords_sql),
 }
 
 

@@ -290,3 +290,104 @@ def test_c4_clean_frame_equals_stats_cols(spark):
         for r in d.select("doc_id", *[v.alias(k) for k, v in stats.items()]).collect()
     }
     assert staged == plain
+
+
+# --- C4 badwords filter ---------------------------------------------------
+
+def test_badwords_token_boundary_case_and_counts(spark):
+    from logparser_llm_spark.functions.quality import badwords_cols
+
+    rows = [
+        (0, "clean text only"),
+        (1, "so badwordx happened"),            # plain token hit
+        (2, "so badwordx, happened"),           # punctuation-adjacent hit
+        (3, "BADWORDX shouted"),                # case-folded hit
+        (4, "xbadwordx is a different token"),  # substring must NOT match
+        (5, "badwordx badwordx nastyterm"),     # three occurrences
+        (6, "a forbidden phrase and a FORBIDDEN PHRASE"),  # 2 phrase hits
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, t string")
+    sig = badwords_cols(
+        F.col("t"), words=("badwordx", "nastyterm"),
+        phrases=("forbidden phrase",),
+    )
+    got = {
+        r["doc_id"]: (r["n_bad_words"], r["n_bad_phrases"], r["ok_badwords"])
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in sig.items()]
+        ).collect()
+    }
+    assert got[0] == (0, 0, True)
+    assert got[1] == (1, 0, False)
+    assert got[2] == (1, 0, False)
+    assert got[3] == (1, 0, False)
+    assert got[4] == (0, 0, True)
+    assert got[5] == (3, 0, False)
+    assert got[6] == (0, 2, False)
+    assert got[7] == (0, 0, True)
+    assert got[8] == (0, 0, True)  # NULL text reads as empty: no hits
+
+
+def test_badwords_matches_duckdb(spark):
+    import duckdb
+
+    from logparser_llm_spark.functions.quality import badwords_cols, badwords_sql
+
+    rows = [(i, t) for i, t in enumerate([
+        "clean", "badwordx", "two badwordx badwordx", "FORBIDDEN phrase",
+        "a forbidden phrase twice forbidden phrase", "", None,
+        "nastyterm, and badwordx.",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id bigint, t string")
+    sig = badwords_cols(F.col("t"), words=("badwordx", "nastyterm"),
+                        phrases=("forbidden phrase",))
+    srows = sorted(
+        (r["doc_id"], r["n_bad_words"], r["n_bad_phrases"], r["ok_badwords"])
+        for r in df.select("doc_id", *[v.alias(k) for k, v in sig.items()]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table src (doc_id bigint, t varchar)")
+    con.executemany("insert into src values (?, ?)", rows)
+    orows = sorted(map(tuple, con.execute(badwords_sql(
+        "select doc_id, t from src", words=("badwordx", "nastyterm"),
+        phrases=("forbidden phrase",),
+    )).fetchall()))
+    assert srows == orows
+
+
+def test_badwords_validation(spark):
+    from logparser_llm_spark.functions.quality import badwords_cols, badwords_sql
+
+    with pytest.raises(ValueError, match="empty"):
+        badwords_cols(F.col("t"), words=())
+    with pytest.raises(ValueError, match="lowercase"):
+        badwords_cols(F.col("t"), words=("BadWord",))
+    with pytest.raises(ValueError, match="single tokens"):
+        badwords_cols(F.col("t"), words=("two words",))
+    with pytest.raises(ValueError, match="lowercase"):
+        badwords_sql("select 1", words=("ok",), phrases=("Mixed Case",))
+
+
+def test_badwords_plan_is_scan_bound(spark):
+    from logparser_llm_spark.plans.inspect import plan_facts
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    df = QUERIES["c4_badwords"][0](spark, "/root/testdata/sf0.01")
+    facts = plan_facts(df)
+    assert facts["exchanges"] == 0
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_badwords_query_has_both_verdicts(spark, sf):
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    out = QUERIES["c4_badwords"][0](spark, sf)
+    classes = {r["ok_badwords"] for r in out.select("ok_badwords").distinct().collect()}
+    assert classes == {True, False}
+    # word AND phrase signals must both fire somewhere
+    agg = out.agg(F.max("n_bad_words").alias("w"),
+                  F.max("n_bad_phrases").alias("p")).collect()[0]
+    assert agg["w"] >= 2 and agg["p"] >= 1
