@@ -150,6 +150,10 @@ def __getattr__(name):
             "logparser_llm_spark.streaming.incremental",
             "windowed_hll_registers",
         ),
+        "stream_dedup_exact": (
+            "logparser_llm_spark.streaming.incremental",
+            "stream_dedup_exact",
+        ),
         "stream_interval_join": (
             "logparser_llm_spark.streaming.incremental",
             "stream_interval_join",

@@ -264,3 +264,40 @@ def windowed_bloom_words(
             "bits",
         )
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: "list[str] | tuple[str, ...]",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    *,
+    bounded: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming face of
+    ``operators.dedup.dedup_exact`` (the crawl-stream front line: drop
+    re-fetched pages before they reach the expensive stages).
+
+    ``bounded=True`` (the scale default) uses
+    ``dropDuplicatesWithinWatermark``: a key's dedup state is DROPPED
+    once the event watermark passes its last occurrence + the watermark
+    delay, so state is O(keys seen within the horizon) regardless of
+    stream length — the contract a 10^11-url crawl needs. Duplicates
+    arriving farther apart than the horizon are NOT caught (hand those
+    to the batch `incremental_dedup` snapshot pass; the two compose).
+    ``bounded=False`` is exact-forever ``dropDuplicates`` — unbounded
+    state, only for small key spaces.
+
+    Emits the FIRST-arriving row per key (append mode). Keys must not
+    include ``ts_col`` (two fetches of the same url differ in ts — that
+    would make every row unique)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must name at least one column")
+    if ts_col in keys:
+        raise ValueError(
+            f"key_cols must not include the event-time column {ts_col!r}"
+        )
+    wm = stream.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(keys) if bounded \
+        else wm.dropDuplicates(keys)

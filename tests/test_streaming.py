@@ -555,3 +555,60 @@ def test_stream_interval_join_rejects_ambiguous_columns(spark):
     b2 = b.withColumnRenamed("ts", "ts2").withColumnRenamed("x", "y")
     with pytest.raises(ValueError, match="distinct"):
         stream_interval_join(a.drop("x"), b2.drop("y"), "user_id", "ts2", "ts2")
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark face of dedup_exact: duplicates
+    inside one micro-batch AND across micro-batches (within the
+    watermark horizon) collapse to the first arrival; the streamed key
+    set equals the batch dropDuplicates key set; validation guards."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from logparser_llm_spark.streaming.incremental import stream_dedup_exact
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 5, 1, 12, 0, 0)
+    # wave 1: urls 0..39, with 0..9 duplicated in-batch
+    wave1 = [
+        (f"https://ex.com/{i}", f"body{i}", base + dt.timedelta(minutes=i % 7))
+        for i in range(40)
+    ] + [
+        (f"https://ex.com/{i}", f"dup-in-batch{i}", base + dt.timedelta(minutes=1 + i % 7))
+        for i in range(10)
+    ]
+    # wave 2: urls 20..59 — 20..39 are cross-batch duplicates within the
+    # horizon, 40..59 fresh
+    wave2 = [
+        (f"https://ex.com/{i}", f"wave2-{i}", base + dt.timedelta(minutes=3 + i % 7))
+        for i in range(20, 60)
+    ]
+    schema = "url string, body string, ts timestamp"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = stream_dedup_exact(stream, ["url"], ts_col="ts", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.sql("select url, count(*) as n from dedup_stream group by 1")
+    rows = {r["url"]: r["n"] for r in got.collect()}
+    assert all(n == 1 for n in rows.values())          # no key emitted twice
+    want = {r["url"] for r in spark.read.parquet(src).select("url").distinct().collect()}
+    assert set(rows) == want and len(want) == 60
+
+    with _pytest.raises(ValueError, match="at least one"):
+        stream_dedup_exact(stream, [])
+    with _pytest.raises(ValueError, match="event-time"):
+        stream_dedup_exact(stream, ["url", "ts"])
