@@ -638,13 +638,19 @@ def _check_badlist(words: Sequence[str], phrases: Sequence[str]) -> None:
     if not words and not phrases:
         raise ValueError("blocklist is empty: supply words and/or phrases")
     for w in words:
-        if not w or w != w.lower() or " " in w:
+        if not w or w != w.lower() or " " in w or "'" in w:
             raise ValueError(
-                f"blocklist words must be non-empty, lowercase, single tokens: {w!r}"
+                f"blocklist words must be non-empty, lowercase, quote-free "
+                f"single tokens: {w!r}"
             )
     for p in phrases:
-        if not p or p != p.lower():
-            raise ValueError(f"blocklist phrases must be non-empty lowercase: {p!r}")
+        if not p or p != p.lower() or "'" in p:
+            # the single-quote ban keeps the generated SQL literal safe;
+            # the tokenizer strips quotes anyway, so a quoted word could
+            # never match on the Spark side either
+            raise ValueError(
+                f"blocklist phrases must be non-empty, lowercase, quote-free: {p!r}"
+            )
 
 
 def badwords_sql(

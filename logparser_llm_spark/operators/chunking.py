@@ -266,6 +266,8 @@ def token_window_chunks(
     from ..functions.text import ws_tokens
 
     _check_window(chunk_tokens, stride_tokens)
+    if id_col in {"chunk_idx", "start_tok", "n_tokens", "chunk_text"}:
+        raise ValueError(f"id_col {id_col!r} collides with an output column")
     toks = df.select(
         F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
     ).select(

@@ -103,6 +103,9 @@ def dsir_features(
     a left join (the lm.py convention, and what :func:`dsir_sql` does).
     """
     _check_params(buckets, 1, 1)
+    clash = {"bucket", "cnt"} & ({id_col} | set(carry))
+    if clash:
+        raise ValueError(f"reserved output column name(s) in id/carry: {sorted(clash)}")
     toks = F.expr(_TOKS_EXPR.format(col=text_col, re=TOKEN_SPLIT_RE))
     return (
         df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("__toks"))

@@ -215,3 +215,12 @@ def test_registered_chunk_windows_has_multiwindow_docs(spark):
     assert agg["mx"] >= 3
     tails = out.where(F.col("n_tokens") < CHUNK_TOKENS).count()
     assert tails > 0
+
+
+def test_token_windows_reserved_id_rejected(spark):
+    from logparser_llm_spark.operators.chunking import token_window_chunks
+
+    df = spark.createDataFrame([("a b", 1)], "text string, chunk_idx bigint")
+    with pytest.raises(ValueError, match="collides"):
+        token_window_chunks(df, "chunk_idx", "text",
+                            chunk_tokens=2, stride_tokens=1)

@@ -146,3 +146,9 @@ def test_registered_query_keeps_both_classes(spark, sf):
     out = QUERIES["dsir_select"][0](spark, sf)
     classes = {r["keep"] for r in out.select("keep").distinct().collect()}
     assert classes == {True, False}
+
+
+def test_reserved_carry_names_rejected(spark):
+    df = spark.createDataFrame([(1, "a b", 3)], "doc_id bigint, text string, cnt bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        dsir_features(df, "doc_id", "text", buckets=8, carry=("cnt",))

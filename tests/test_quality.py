@@ -368,6 +368,10 @@ def test_badwords_validation(spark):
         badwords_cols(F.col("t"), words=("two words",))
     with pytest.raises(ValueError, match="lowercase"):
         badwords_sql("select 1", words=("ok",), phrases=("Mixed Case",))
+    with pytest.raises(ValueError, match="quote-free"):
+        badwords_cols(F.col("t"), words=("don't",))
+    with pytest.raises(ValueError, match="quote-free"):
+        badwords_sql("select 1", words=("ok",), phrases=("o'clock phrase",))
 
 
 def test_badwords_plan_is_scan_bound(spark):
