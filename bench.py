@@ -138,8 +138,10 @@ HEADLINE = [
     # int8-quantized exact top-k
     "chunk_windows",
     "ann_quantized",
-    # round 5 (closing): the C4 blocklist stage
+    # round 5 (closing): the C4 blocklist stage + CCNet corpus-level
+    # paragraph dedup
     "c4_badwords",
+    "ccnet_para_dedup",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -158,7 +160,7 @@ LARGE_RESULT = {
     "gopher_rules", "gopher_repetition", "c4_clean",
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
-    "dsir_select", "chunk_windows", "c4_badwords",
+    "dsir_select", "chunk_windows", "c4_badwords", "ccnet_para_dedup",
 }
 
 

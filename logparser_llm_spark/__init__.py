@@ -62,6 +62,10 @@ def __getattr__(name):
         "lsh_bucket_topk": ("logparser_llm_spark.operators.similarity", "lsh_bucket_topk"),
         "dedup_corpus_keep_ids": ("logparser_llm_spark.operators.dedup", "dedup_corpus_keep_ids"),
         "dedup_corpus_keep_best": ("logparser_llm_spark.operators.dedup", "dedup_corpus_keep_best"),
+        "dedup_paragraphs_corpus": (
+            "logparser_llm_spark.operators.dedup",
+            "dedup_paragraphs_corpus",
+        ),
         "dedup_against_snapshot": ("logparser_llm_spark.operators.dedup", "dedup_against_snapshot"),
         "hash_sample": ("logparser_llm_spark.operators.sampling", "hash_sample"),
         "stratified_sample": ("logparser_llm_spark.operators.sampling", "stratified_sample"),

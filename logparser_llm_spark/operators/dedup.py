@@ -982,3 +982,122 @@ def semantic_dedup_sql(
         select w.id, w.cluster, (d.id is not null) as is_dup
         from sem_w w left join sem_dups d using (id)
       )"""
+
+
+# --- corpus-level paragraph dedup (CCNet, Wenzek et al. 2020 §3.1) -------
+
+def dedup_paragraphs_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    *,
+    keep: str = "first",
+) -> DataFrame:
+    """CORPUS-level paragraph dedup — the CCNet cleanup step: drop any
+    paragraph whose exact text occurs anywhere ELSE in the corpus (the
+    web's shared boilerplate — nav bars, cookie banners, footers — is
+    exactly the text that repeats across pages). The within-document
+    sibling is :func:`dedup_paragraphs`; this one's duplicate scope is
+    global.
+
+    ``keep="first"``: the globally first occurrence (min (id, pos))
+    survives, every other copy is removed. ``keep="none"``: a
+    duplicated paragraph is removed EVERYWHERE (CCNet's own choice —
+    boilerplate is worthless even once).
+
+    Output: ``(id, n_paras, n_kept, text_dedup)`` for EVERY input
+    document — NULL text reads as '' and a document whose every
+    paragraph was removed still emits a row with ``text_dedup = ''``
+    (the dedup_paragraphs NULL lesson, ADVICE r4).
+
+    Scale shape: split → posexplode → ONE groupBy on md5(paragraph)
+    (the HASH shuffles, never the paragraph text twice; partially
+    aggregable, so a banner repeated 10⁶ times pre-counts in the map
+    tasks) → hash-keyed join back → ONE groupBy id that counts,
+    filters and reassembles in a single collect_list (order restored by
+    pos). All JVM built-ins, no UDF. ``sep`` is a literal separator
+    (``\\Q…\\E``-quoted, same contract as dedup_paragraphs)."""
+    if "\\E" in sep:
+        raise ValueError(r"separator must not contain the \E quoting terminator")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_para"),
+    ).withColumn("_h", F.md5("_para"))
+    stats = parts.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("_fid"), F.col("_pos").alias("_fpos"))
+              ).alias("_first"),
+    )
+    kept_flag = (F.col("_c") == 1) if keep == "none" else (
+        (F.col("_c") == 1)
+        | ((F.col("_first._fid") == F.col(id_col))
+           & (F.col("_first._fpos") == F.col("_pos")))
+    )
+    tagged = parts.join(stats, "_h").select(
+        id_col, "_pos", "_para", kept_flag.alias("_k")
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("_k").cast("bigint")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_k", "_para"))),
+                    lambda s: s["_k"],
+                ),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+
+
+def dedup_paragraphs_corpus_sql(
+    *,
+    src: str,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    keep: str = "first",
+) -> str:
+    """DuckDB recompute of :func:`dedup_paragraphs_corpus` (window
+    count + row_number per paragraph hash — a different legitimate
+    spelling of the same duplicate law), generated here so the two
+    formulations cannot drift."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if not sep:
+        raise ValueError("separator must be non-empty")
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep)
+    first_term = "false" if keep == "none" else "rn = 1"
+    return f"""
+        with _pd_src as (
+          select {id_col}, coalesce({text_col}, '') as t from {src}
+        ),
+        _pd_parts as (
+          select {id_col}, g.i - 1 as pos, sp[g.i] as para
+          from (select {id_col}, string_split(t, {sep_sql}) as sp from _pd_src),
+               unnest(range(1, len(sp) + 1)) as g(i)
+        ),
+        _pd_marked as (
+          select *, count(*) over (partition by md5(para)) as c,
+                 row_number() over (partition by md5(para)
+                                    order by {id_col}, pos) as rn
+          from _pd_parts
+        ),
+        _pd_kept as (
+          select {id_col}, pos, para, (c = 1 or {first_term}) as k
+          from _pd_marked
+        )
+        select {id_col},
+               count(*)::BIGINT as n_paras,
+               coalesce(sum(k::INT), 0)::BIGINT as n_kept,
+               coalesce(array_to_string(list(para order by pos)
+                        filter (where k), {sep_sql}), '') as text_dedup
+        from _pd_kept group by {id_col}
+    """

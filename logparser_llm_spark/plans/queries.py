@@ -880,6 +880,66 @@ def q_ann_topk_sql(sf: str) -> str:
     """
 
 
+# CCNet corpus-level paragraph dedup: shared boilerplate paragraphs
+# seeded on doc_id residues (a newsletter banner on mod 2, a copyright
+# footer on mod 3) — the exact text that repeats ACROSS pages and must
+# die everywhere but its global first occurrence.
+_CCNET_SEED_SQL = """
+    select doc_id, text
+      || case when doc_id % 2 = 0 then chr(10) || 'subscribe to our newsletter' else '' end
+      || case when doc_id % 3 = 0 then chr(10) || 'all rights reserved 2026' else '' end
+      as t from documents
+"""
+
+
+def _ccnet_seed_col() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.lit("\nsubscribe to our newsletter")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("\nall rights reserved 2026")).otherwise(F.lit("")),
+    )
+
+
+def q_ccnet_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus-level paragraph dedup (Wenzek et al. 2020 §3.1;
+    operators/dedup.py:dedup_paragraphs_corpus): drop any paragraph
+    whose exact text occurs anywhere else in the corpus — the web's
+    shared boilerplate — keeping the globally first occurrence.
+
+    Scale shape: ONE partially-aggregable groupBy on md5(paragraph)
+    (the hash shuffles, never the text twice; a banner repeated 10⁶
+    times pre-counts map-side), hash-keyed join back, one doc-keyed
+    reassembly. ``dedup_md5`` pins the kept paragraphs AND their order
+    cross-engine; the DuckDB oracle is a different legitimate spelling
+    (window count + row_number) generated by the same module.
+    """
+    from ..operators.dedup import dedup_paragraphs_corpus
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _ccnet_seed_col().alias("t"),
+    )
+    out = dedup_paragraphs_corpus(d, "doc_id", "t", keep="first")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text_dedup").alias("dedup_md5")
+    )
+
+
+def q_ccnet_para_dedup_sql(sf: str) -> str:
+    from ..operators.dedup import dedup_paragraphs_corpus_sql
+
+    inner = dedup_paragraphs_corpus_sql(
+        src=f"({_CCNET_SEED_SQL})", id_col="doc_id", text_col="t", keep="first",
+    )
+    return f"""
+        with _cc as ({inner})
+        select doc_id::BIGINT as doc_id, n_paras, n_kept,
+               md5(text_dedup) as dedup_md5
+        from _cc
+    """
+
+
 # C4 badwords filter: small stand-in blocklist (the real list is an
 # external resource callers supply); trip classes by doc_id residue so
 # every signal carries both verdicts at sf0.01 AND sf0.1 — word hit
@@ -4981,6 +5041,9 @@ QUERIES: dict[str, tuple] = {
     # r5: the C4 blocklist stage (token-boundary words + substring
     # phrases, integer counts)
     "c4_badwords": (q_c4_badwords, q_c4_badwords_sql),
+    # r5: CCNet corpus-level paragraph dedup (global boilerplate kill;
+    # dedup_md5 pins kept paragraphs and order)
+    "ccnet_para_dedup": (q_ccnet_para_dedup, q_ccnet_para_dedup_sql),
 }
 
 

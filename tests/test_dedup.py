@@ -558,3 +558,118 @@ def test_dedup_against_snapshot_validation(spark):
         dedup_against_snapshot(df, df, "doc_id", "text", max_hamming=4, bands=4)
     with pytest.raises(ValueError, match="divide"):
         dedup_against_snapshot(df, df, "doc_id", "text", bands=5)
+
+
+# --- corpus-level paragraph dedup (CCNet) --------------------------------
+
+def _para_corpus(spark):
+    rows = [
+        (0, "unique zero\nshared banner\nalso unique"),
+        (1, "shared banner\nunique one"),
+        (2, "unique two\nshared banner"),
+        (3, "totally unique page"),
+        (4, None),                        # NULL -> '' -> one empty para
+        (5, "shared banner"),             # nothing else: may empty out
+        (6, ""),                          # empty: dups with doc 4's ''
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id bigint, t string")
+
+
+def test_corpus_para_dedup_keep_first(spark):
+    from logparser_llm_spark.operators.dedup import dedup_paragraphs_corpus
+
+    rows, df = _para_corpus(spark)
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_dedup"])
+        for r in dedup_paragraphs_corpus(df, "doc_id", "t", keep="first").collect()
+    }
+    assert set(got) == {r[0] for r in rows}          # every doc survives
+    # doc 0 is the global first occurrence of the banner -> keeps it
+    assert got[0] == (3, 3, "unique zero\nshared banner\nalso unique")
+    assert got[1] == (2, 1, "unique one")
+    assert got[2] == (2, 1, "unique two")
+    assert got[3] == (1, 1, "totally unique page")
+    # doc 4's '' is the first of the two empty paragraphs
+    assert got[4] == (1, 1, "")
+    assert got[5] == (1, 0, "")                      # everything removed
+    assert got[6] == (1, 0, "")                      # '' already seen at doc 4
+
+
+def test_corpus_para_dedup_keep_none(spark):
+    from logparser_llm_spark.operators.dedup import dedup_paragraphs_corpus
+
+    _, df = _para_corpus(spark)
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text_dedup"])
+        for r in dedup_paragraphs_corpus(df, "doc_id", "t", keep="none").collect()
+    }
+    assert got[0] == (2, "unique zero\nalso unique")  # banner dies everywhere
+    assert got[4] == (0, "") and got[6] == (0, "")
+
+
+def test_corpus_para_dedup_matches_duckdb_both_modes(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.dedup import (
+        dedup_paragraphs_corpus,
+        dedup_paragraphs_corpus_sql,
+    )
+
+    rows, df = _para_corpus(spark)
+    con = duckdb.connect()
+    con.execute("create table src (doc_id bigint, t varchar)")
+    con.executemany("insert into src values (?, ?)", rows)
+    for keep in ("first", "none"):
+        srows = sorted(map(tuple, dedup_paragraphs_corpus(
+            df, "doc_id", "t", keep=keep).collect()))
+        orows = sorted(map(tuple, con.execute(dedup_paragraphs_corpus_sql(
+            src="src", id_col="doc_id", text_col="t", keep=keep)).fetchall()))
+        assert srows == orows, keep
+
+
+def test_corpus_para_dedup_partition_invariance_and_validation(spark):
+    from logparser_llm_spark.operators.dedup import (
+        dedup_paragraphs_corpus,
+        dedup_paragraphs_corpus_sql,
+    )
+
+    _, df = _para_corpus(spark)
+    one = sorted(map(tuple, dedup_paragraphs_corpus(
+        df.repartition(1), "doc_id", "t").collect()))
+    eight = sorted(map(tuple, dedup_paragraphs_corpus(
+        df.repartition(8), "doc_id", "t").collect()))
+    assert one == eight
+    with pytest.raises(ValueError, match="keep must"):
+        dedup_paragraphs_corpus(df, "doc_id", "t", keep="last")
+    with pytest.raises(ValueError, match="quoting terminator"):
+        dedup_paragraphs_corpus(df, "doc_id", "t", sep="\\E")
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup_paragraphs_corpus_sql(src="s", id_col="i", text_col="t", sep="")
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ccnet_query_removes_and_keeps_at_scale(spark, sf):
+    """The seeded corpus must show: banner removed from every doc but
+    one, per-doc unique text always kept, and exactly one keeper of
+    each boilerplate paragraph."""
+    from pyspark.sql import functions as F
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    out = QUERIES["ccnet_para_dedup"][0](spark, sf).collect()
+    removed = sum(1 for r in out if r["n_kept"] < r["n_paras"])
+    intact = sum(1 for r in out if r["n_kept"] == r["n_paras"])
+    assert removed > 0 and intact > 0
+    # total removals = (banner copies - 1) + (footer copies - 1) +
+    # non-first copies of exact-duplicate document TEXTS (the synthetic
+    # corpus plants those for dedup_exact — at sf0.1 some docs lose
+    # their text paragraph too, legitimately)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_texts = docs.count()
+    n_distinct_texts = docs.select("text").distinct().count()
+    n_banner = sum(1 for r in out if r["doc_id"] % 2 == 0)
+    n_footer = sum(1 for r in out if r["doc_id"] % 3 == 0)
+    total_removed = sum(r["n_paras"] - r["n_kept"] for r in out)
+    assert total_removed == (
+        (n_banner - 1) + (n_footer - 1) + (n_texts - n_distinct_texts)
+    )
