@@ -154,6 +154,10 @@ def __getattr__(name):
             "logparser_llm_spark.streaming.incremental",
             "windowed_hll_registers",
         ),
+        "windowed_cms_counters": (
+            "logparser_llm_spark.streaming.incremental",
+            "windowed_cms_counters",
+        ),
         "stream_dedup_exact": (
             "logparser_llm_spark.streaming.incremental",
             "stream_dedup_exact",

@@ -301,3 +301,64 @@ def stream_dedup_exact(
     wm = stream.withWatermark(ts_col, watermark)
     return wm.dropDuplicatesWithinWatermark(keys) if bounded \
         else wm.dropDuplicates(keys)
+
+
+def windowed_cms_counters(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming frequency state: Count-Min counters per (tumbling
+    window, key), maintained by ONE watermarked streaming aggregation
+    (counter SUM per (depth, bucket) — additive, so update-mode
+    re-emits only ever grow a counter). Completes the streaming faces
+    of the mergeable-sketch trio: HLL = how many distinct
+    (:func:`windowed_hll_registers`), Bloom = have we seen it
+    (:func:`windowed_bloom_words`), CMS = how OFTEN.
+
+    The COUNTERS are the output on purpose, like the siblings: they are
+    the mergeable form (``operators.sketch.cms_merge`` — element-wise
+    sum), so a sink table of counters rolls up across windows/keys
+    without rescanning the stream; finish with
+    ``operators.sketch.cms_estimate`` at read time (min over the D
+    addressed counters — always ≥ the true count, never under).
+    Per-(window, key) state is ≤ depth·width integers regardless of
+    stream length; late rows beyond the watermark drop like every
+    windowed aggregate here."""
+    from ..operators.sketch import _check_cms, _cms_bucket_expr
+
+    _check_cms(depth, width)
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_i")
+    addressed = (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(ts_col), F.col(key_col), F.col(value_col), d)
+        .select(
+            ts_col,
+            key_col,
+            F.col("depth_i").cast("int").alias("depth_i"),
+            _cms_bucket_expr(F.col("depth_i"), value_col, width).alias("bucket"),
+        )
+    )
+    return (
+        addressed.groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(key_col),
+            F.col("depth_i"),
+            F.col("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "depth_i",
+            "bucket",
+            "cnt",
+        )
+    )

@@ -612,3 +612,86 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
         stream_dedup_exact(stream, [])
     with _pytest.raises(ValueError, match="event-time"):
         stream_dedup_exact(stream, ["url", "ts"])
+
+
+def test_windowed_cms_counters_stream_matches_batch(spark, tmp_path):
+    """Streaming CMS counters per (window, key) across two
+    micro-batches: the latest counter values (counts only grow, so max
+    over update-mode re-emits is the final state) must equal a BATCH
+    cms_build per (window, key) over the union, and estimates finished
+    from the streamed counters must never undercount."""
+    import datetime as dt
+
+    from logparser_llm_spark.operators.sketch import cms_build
+    from logparser_llm_spark.streaming.incremental import windowed_cms_counters
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 6, 1, 8, 0, 0)
+    wave1 = [
+        ("siteA", f"term{i % 7}", base + dt.timedelta(minutes=i % 50))
+        for i in range(140)
+    ]
+    wave2 = [
+        ("siteA", f"term{i % 5}", base + dt.timedelta(minutes=60 + i % 50))
+        for i in range(80)
+    ] + [
+        ("siteB", f"term{i % 3}", base + dt.timedelta(minutes=i % 50))
+        for i in range(30)
+    ]
+    schema = "site string, term string, ts timestamp"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    depth, width = 3, 32
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    counters = windowed_cms_counters(
+        stream, "site", "term", ts_col="ts", window="1 hour",
+        watermark="10 minutes", depth=depth, width=width,
+    )
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.sql(
+        "select window_start, site, depth_i, bucket, max(cnt) as cnt "
+        "from cms_counters group by 1, 2, 3, 4"
+    )
+    batch = spark.read.parquet(src).select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "site",
+        "term",
+    )
+    want = set()
+    for w, site in {(r["window_start"], r["site"]) for r in
+                    batch.select("window_start", "site").distinct().collect()}:
+        sub = batch.where(
+            (F.col("window_start") == w) & (F.col("site") == site)
+        )
+        for r in cms_build(sub, "term", depth=depth, width=width).collect():
+            want.add((w, site, r["depth_i"], r["bucket"], r["cnt"]))
+    assert {tuple(r) for r in got.collect()} == want and len(want) > 10
+
+    # estimates from streamed counters never undercount the true counts
+    from collections import Counter
+
+    from logparser_llm_spark.operators.sketch import cms_estimate_py
+
+    by_group: dict = {}
+    for r in got.collect():
+        by_group.setdefault((r["window_start"], r["site"]), {})[
+            (r["depth_i"], r["bucket"])] = r["cnt"]
+    truth: Counter = Counter()
+    for r in batch.collect():
+        truth[(r["window_start"], r["site"], r["term"])] += 1
+    for (w, site, term), true_n in truth.items():
+        est = cms_estimate_py(
+            by_group[(w, site)], term, depth=depth, width=width)
+        assert est >= true_n
