@@ -142,6 +142,8 @@ HEADLINE = [
     # paragraph dedup
     "c4_badwords",
     "ccnet_para_dedup",
+    # round 5 (closing): chunker→BM25 composition (RAG passage retrieval)
+    "passage_retrieval",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -940,6 +940,68 @@ def q_ccnet_para_dedup_sql(sf: str) -> str:
     """
 
 
+# Passage retrieval: BM25 over the token-window chunks — chunk ids are
+# the closed-form composite doc_id·1000 + chunk_idx (chunk counts stay
+# far below 1000 at every sf: ~40-token docs, stride 12).
+PASSAGE_QUERY = "customer window batch"
+
+
+def q_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage retrieval: the token-window chunker
+    (operators/chunking.py) feeds BM25 ranked retrieval
+    (operators/ranking.py) — retrieve the top-10 PASSAGES, not
+    documents, exactly how a retrieval index over a chunked corpus
+    works. A composition query in the training_pipeline tradition: it
+    gates the two operators working TOGETHER (a chunk-boundary bug
+    changes passage lengths and therefore BM25 length normalization —
+    the hash breaks even if each piece passes alone).
+
+    Scale shape is the two components' own: zero-shuffle chunk explode
+    into BM25's single partially-aggregable token count; df and (N,
+    avgdl) broadcast; TakeOrdered top-k. The oracle composes the two
+    module-generated SQL bodies the same way.
+    """
+    from ..operators.chunking import token_window_chunks
+    from ..operators.ranking import bm25_topk
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    chunks = token_window_chunks(
+        d, "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE,
+    )
+    passages = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("passage_id"),
+        "chunk_text",
+    )
+    return bm25_topk(passages, "passage_id", "chunk_text", PASSAGE_QUERY, top_k=10)
+
+
+def q_passage_retrieval_sql(sf: str) -> str:
+    from ..operators.chunking import token_window_sql
+    from ..operators.ranking import bm25_topk_sql
+
+    tw = token_window_sql(
+        src="documents", id_col="doc_id", text_col="text",
+        chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE,
+    )
+    passages = (
+        f"(select doc_id * 1000 + chunk_idx as passage_id, chunk_text "
+        f"from ({tw}))"
+    )
+    inner = bm25_topk_sql(
+        passages, "passage_id", "chunk_text", PASSAGE_QUERY, top_k=10
+    )
+    # the generator's internal alias for the id is doc_id; surface the
+    # passage grain under the Spark side's column name
+    return f"""
+        with _pr as ({inner})
+        select rnk, doc_id::BIGINT as passage_id, score_e6, n_terms_hit
+        from _pr
+    """
+
+
 # C4 badwords filter: small stand-in blocklist (the real list is an
 # external resource callers supply); trip classes by doc_id residue so
 # every signal carries both verdicts at sf0.01 AND sf0.1 — word hit
@@ -5044,6 +5106,9 @@ QUERIES: dict[str, tuple] = {
     # r5: CCNet corpus-level paragraph dedup (global boilerplate kill;
     # dedup_md5 pins kept paragraphs and order)
     "ccnet_para_dedup": (q_ccnet_para_dedup, q_ccnet_para_dedup_sql),
+    # r5: RAG passage retrieval — token-window chunks feeding BM25
+    # (composition gate: both operators working together)
+    "passage_retrieval": (q_passage_retrieval, q_passage_retrieval_sql),
 }
 
 

@@ -223,3 +223,45 @@ def test_inverted_index_partition_invariance_and_validation(spark):
     # min_df drops the long tail: beta0/1/2 have df<=14, alpha df=40
     kept = {r["term"] for r in build_inverted_index(a, "doc_id", "text", min_df=20).collect()}
     assert kept == {"alpha"}
+
+
+def test_passage_retrieval_composition(spark):
+    """Composition gate for chunker→BM25: composite passage ids stay
+    collision-free (chunk counts < 1000 — the id law), the returned
+    passages contain query terms, and passage-grain ranking is NOT the
+    document-grain ranking re-labelled (chunk length normalization must
+    matter)."""
+    from pyspark.sql import functions as F
+
+    from logparser_llm_spark.operators.chunking import token_window_chunks
+    from logparser_llm_spark.plans.queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        PASSAGE_QUERY,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    chunks = token_window_chunks(
+        d, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE
+    )
+    assert chunks.agg(F.max("chunk_idx")).collect()[0][0] < 1000
+
+    out = QUERIES["passage_retrieval"][0](spark, sf).collect()
+    assert len(out) == 10 and all(r["n_terms_hit"] >= 1 for r in out)
+    # decompose and verify the top passage really contains a query term
+    top = out[0]
+    doc_id, chunk_idx = divmod(top["passage_id"], 1000)
+    text = d.where(F.col("doc_id") == doc_id).first()["text"]
+    toks = [t for t in text.split(" ") if t]
+    passage = toks[chunk_idx * CHUNK_STRIDE:
+                   chunk_idx * CHUNK_STRIDE + CHUNK_TOKENS]
+    assert any(t in passage for t in PASSAGE_QUERY.split())
+    # passage ranking is its own grain: >1 distinct source doc in the
+    # top-10, and at least one doc contributes a non-zeroth chunk
+    srcs = {r["passage_id"] // 1000 for r in out}
+    assert len(srcs) > 1
+    assert any(r["passage_id"] % 1000 > 0 for r in out)
