@@ -608,11 +608,9 @@ def badwords_cols(
     words), ``n_bad_phrases`` (substring occurrences of blocklisted
     phrases), ``ok_badwords`` (page keeps iff both are zero)."""
     _check_badlist(words, phrases)
-    from ..operators.ranking import TOKEN_SPLIT_RE
+    from .text import lower_tokens
 
-    toks = F.filter(
-        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda w: w != F.lit("")
-    )
+    toks = lower_tokens(col)
     wlist = F.array(*[F.lit(w) for w in words])
     n_words = F.size(F.filter(toks, lambda t: F.array_contains(wlist, t)))
     lt = F.lower(col)
@@ -637,11 +635,17 @@ def badwords_cols(
 def _check_badlist(words: Sequence[str], phrases: Sequence[str]) -> None:
     if not words and not phrases:
         raise ValueError("blocklist is empty: supply words and/or phrases")
+    import re as _re
+
     for w in words:
-        if not w or w != w.lower() or " " in w or "'" in w:
+        # tokens are produced by the lower_tokens split on [^a-z0-9]+,
+        # so a word containing anything else can never match a token —
+        # reject it loudly instead of silently never firing (hyphenated
+        # entries belong in `phrases`, which match as substrings)
+        if not w or w != w.lower() or not _re.fullmatch("[a-z0-9]+", w):
             raise ValueError(
-                f"blocklist words must be non-empty, lowercase, quote-free "
-                f"single tokens: {w!r}"
+                f"blocklist words must be non-empty [a-z0-9]+ single tokens "
+                f"(put punctuated/multi-word entries in phrases): {w!r}"
             )
     for p in phrases:
         if not p or p != p.lower() or "'" in p:
@@ -664,16 +668,13 @@ def badwords_sql(
     """DuckDB recompute of :func:`badwords_cols` over ``input_sql``,
     generated here so the two formulations cannot drift."""
     _check_badlist(words, phrases)
-    from ..operators.ranking import TOKEN_SPLIT_RE
+    from .text import LOWER_TOKENS_SQL
 
     wlist = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     # coalesce the text once so NULL pages read as empty — the Spark
     # side's coalesced zeros, not NULL signals
     lt = f"lower(coalesce({text_col}, ''))"
-    toks = (
-        f"list_filter(regexp_split_to_array({lt}, "
-        f"'{TOKEN_SPLIT_RE}'), x -> x <> '')"
-    )
+    toks = LOWER_TOKENS_SQL.format(c=f"coalesce({text_col}, '')")
     n_words = f"len(list_filter({toks}, t -> list_contains({wlist}, t)))"
     phr_terms = [
         f"((length({lt}) - length(replace({lt}, '{p}', ''))) // {len(p)})"

@@ -39,6 +39,26 @@ def ws_tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), " "), lambda t: t != F.lit(""))
 
 
+# The LOWERCASED alphanumeric tokenizer (the lm/bm25/dsir family) —
+# same single-definition rule as TOKENS_SQL above: one split regex, one
+# Spark spelling, one DuckDB template, so a change (e.g. NFC
+# normalization) cannot desynchronize one consumer's oracle from the
+# others. operators/ranking.py re-exports TOKEN_SPLIT_RE from here.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"  # identical semantics in Java regex and RE2
+LOWER_TOKENS_SQL = (
+    f"list_filter(regexp_split_to_array(lower({{c}}), '{TOKEN_SPLIT_RE}'),"
+    " x -> x <> '')"
+)
+
+
+def lower_tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens, empties dropped — the Spark twin
+    of :data:`LOWER_TOKENS_SQL`."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(ws_tokens(col))

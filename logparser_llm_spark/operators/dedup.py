@@ -1018,6 +1018,8 @@ def dedup_paragraphs_corpus(
     filters and reassembles in a single collect_list (order restored by
     pos). All JVM built-ins, no UDF. ``sep`` is a literal separator
     (``\\Q…\\E``-quoted, same contract as dedup_paragraphs)."""
+    if not sep:
+        raise ValueError("separator must be non-empty")
     if "\\E" in sep:
         raise ValueError(r"separator must not contain the \E quoting terminator")
     if keep not in ("first", "none"):

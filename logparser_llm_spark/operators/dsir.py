@@ -61,12 +61,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import md5_bucket, md5_bucket_col, md5_bucket_sql
-from .ranking import TOKEN_SPLIT_RE
+from ..functions.text import LOWER_TOKENS_SQL, TOKEN_SPLIT_RE, lower_tokens
 
 _E6 = 1_000_000
 _MAX_BUCKETS = 10_000_000
 
-_TOKS_EXPR = "filter(split(lower({col}), '{re}'), w -> w != '')"
 # unigrams ++ space-joined bigrams, one array expression
 _GRAMS_EXPR = (
     "concat(__toks, case when size(__toks) >= 2 then "
@@ -106,7 +105,7 @@ def dsir_features(
     clash = {"bucket", "cnt"} & ({id_col} | set(carry))
     if clash:
         raise ValueError(f"reserved output column name(s) in id/carry: {sorted(clash)}")
-    toks = F.expr(_TOKS_EXPR.format(col=text_col, re=TOKEN_SPLIT_RE))
+    toks = lower_tokens(F.col(text_col))
     return (
         df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("__toks"))
         .select(id_col, *carry, F.explode(F.expr(_GRAMS_EXPR)).alias("__gram"))
@@ -207,8 +206,7 @@ def dsir_sql(
     return f"""
         with toks as (
           select {id_col}, ({target_where}) as is_t,
-                 list_filter(regexp_split_to_array(lower({text_col}), '{TOKEN_SPLIT_RE}'),
-                             x -> x <> '') as s
+                 {LOWER_TOKENS_SQL.format(c=text_col)} as s
           from {score_from}
         ),
         grams as (

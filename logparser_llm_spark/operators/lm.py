@@ -51,12 +51,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .ranking import TOKEN_SPLIT_RE
+from ..functions.text import LOWER_TOKENS_SQL, TOKEN_SPLIT_RE, lower_tokens
 
 # one million micro-units per nat, the BM25 quantum
 _E6 = 1_000_000
 
-_TOKS_EXPR = "filter(split(lower({col}), '{re}'), w -> w != '')"
 _GRAMS_EXPR = (
     "case when size(__toks) >= 2 then "
     "transform(sequence(0, size(__toks) - 2), "
@@ -85,7 +84,7 @@ def _check_k(k_num: int, k_den: int) -> None:
 
 
 def _tokens_col(text_col: str):
-    return F.expr(_TOKS_EXPR.format(col=text_col, re=TOKEN_SPLIT_RE))
+    return lower_tokens(F.col(text_col))
 
 
 def lm_train_bigram(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame, int]:
@@ -200,8 +199,7 @@ def lm_score_sql(
     _check_k(k_num, k_den)
     return f"""
         with tr_toks as (
-          select list_filter(regexp_split_to_array(lower({text_col}), '{TOKEN_SPLIT_RE}'),
-                             x -> x <> '') as s
+          select {LOWER_TOKENS_SQL.format(c=text_col)} as s
           from {score_from} where {train_where}
         ),
         tr_grams as (
@@ -215,9 +213,7 @@ def lm_score_sql(
           from tr_toks, unnest(s) as t(w)
         ),
         sc_toks as (
-          select {id_col},
-                 list_filter(regexp_split_to_array(lower({text_col}), '{TOKEN_SPLIT_RE}'),
-                             x -> x <> '') as s
+          select {id_col}, {LOWER_TOKENS_SQL.format(c=text_col)} as s
           from {score_from}
         ),
         sc_pre as (

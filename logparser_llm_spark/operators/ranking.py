@@ -39,7 +39,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"  # identical semantics in Java regex and RE2
+# single definition lives in functions/text.py next to its Spark/DuckDB
+# twins (review r5: a third spelling had crept in via dsir.py)
+from ..functions.text import TOKEN_SPLIT_RE  # noqa: F401  (re-export)
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75

@@ -941,8 +941,11 @@ def q_ccnet_para_dedup_sql(sf: str) -> str:
 
 
 # Passage retrieval: BM25 over the token-window chunks — chunk ids are
-# the closed-form composite doc_id·1000 + chunk_idx (chunk counts stay
-# far below 1000 at every sf: ~40-token docs, stride 12).
+# the closed-form composite doc_id·PASSAGE_ID_BASE + chunk_idx. The
+# base of 10⁶ means a collision needs a single document of ≥ 12M
+# whitespace tokens (stride 12) — far beyond any web page; the sf-scale
+# law (max chunk_idx ≪ base) is additionally pinned in pytest.
+PASSAGE_ID_BASE = 1_000_000
 PASSAGE_QUERY = "customer window batch"
 
 
@@ -972,7 +975,7 @@ def q_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE,
     )
     passages = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("passage_id"),
+        (F.col("doc_id") * PASSAGE_ID_BASE + F.col("chunk_idx")).alias("passage_id"),
         "chunk_text",
     )
     return bm25_topk(passages, "passage_id", "chunk_text", PASSAGE_QUERY, top_k=10)
@@ -987,8 +990,8 @@ def q_passage_retrieval_sql(sf: str) -> str:
         chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE,
     )
     passages = (
-        f"(select doc_id * 1000 + chunk_idx as passage_id, chunk_text "
-        f"from ({tw}))"
+        f"(select doc_id * {PASSAGE_ID_BASE} + chunk_idx as passage_id, "
+        f"chunk_text from ({tw}))"
     )
     inner = bm25_topk_sql(
         passages, "passage_id", "chunk_text", PASSAGE_QUERY, top_k=10
@@ -1063,10 +1066,15 @@ def q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c4_badwords_sql(sf: str) -> str:
     from ..functions.quality import badwords_sql
 
-    return badwords_sql(
+    inner = badwords_sql(
         _BADWORDS_SEED_SQL, words=BADWORDS, phrases=BADPHRASES,
         text_col="t", id_col="doc_id",
     )
+    return f"""
+        with _bw_out as ({inner})
+        select doc_id::BIGINT as doc_id, n_bad_words, n_bad_phrases, ok_badwords
+        from _bw_out
+    """
 
 
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:

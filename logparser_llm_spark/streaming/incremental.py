@@ -286,7 +286,9 @@ def stream_dedup_exact(
     arriving farther apart than the horizon are NOT caught (hand those
     to the batch `incremental_dedup` snapshot pass; the two compose).
     ``bounded=False`` is exact-forever ``dropDuplicates`` — unbounded
-    state, only for small key spaces.
+    state, only for small key spaces; NO watermark is applied on this
+    branch (a watermark would silently drop a key whose first arrival
+    trails the event watermark — the opposite of exact-forever).
 
     Emits the FIRST-arriving row per key (append mode). Keys must not
     include ``ts_col`` (two fetches of the same url differ in ts — that
@@ -298,9 +300,9 @@ def stream_dedup_exact(
         raise ValueError(
             f"key_cols must not include the event-time column {ts_col!r}"
         )
-    wm = stream.withWatermark(ts_col, watermark)
-    return wm.dropDuplicatesWithinWatermark(keys) if bounded \
-        else wm.dropDuplicates(keys)
+    if not bounded:
+        return stream.dropDuplicates(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def windowed_cms_counters(

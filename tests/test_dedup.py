@@ -644,6 +644,8 @@ def test_corpus_para_dedup_partition_invariance_and_validation(spark):
     with pytest.raises(ValueError, match="quoting terminator"):
         dedup_paragraphs_corpus(df, "doc_id", "t", sep="\\E")
     with pytest.raises(ValueError, match="non-empty"):
+        dedup_paragraphs_corpus(df, "doc_id", "t", sep="")
+    with pytest.raises(ValueError, match="non-empty"):
         dedup_paragraphs_corpus_sql(src="s", id_col="i", text_col="t", sep="")
 
 

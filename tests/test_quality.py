@@ -362,14 +362,18 @@ def test_badwords_validation(spark):
 
     with pytest.raises(ValueError, match="empty"):
         badwords_cols(F.col("t"), words=())
-    with pytest.raises(ValueError, match="lowercase"):
+    with pytest.raises(ValueError, match="single tokens"):
         badwords_cols(F.col("t"), words=("BadWord",))
     with pytest.raises(ValueError, match="single tokens"):
         badwords_cols(F.col("t"), words=("two words",))
     with pytest.raises(ValueError, match="lowercase"):
         badwords_sql("select 1", words=("ok",), phrases=("Mixed Case",))
-    with pytest.raises(ValueError, match="quote-free"):
+    with pytest.raises(ValueError, match="single tokens"):
         badwords_cols(F.col("t"), words=("don't",))
+    with pytest.raises(ValueError, match="single tokens"):
+        # a hyphenated word could never match any [a-z0-9]+ token —
+        # must be rejected loudly, not silently never fire
+        badwords_cols(F.col("t"), words=("bad-word",))
     with pytest.raises(ValueError, match="quote-free"):
         badwords_sql("select 1", words=("ok",), phrases=("o'clock phrase",))
 

@@ -237,6 +237,7 @@ def test_passage_retrieval_composition(spark):
     from logparser_llm_spark.plans.queries import (
         CHUNK_STRIDE,
         CHUNK_TOKENS,
+        PASSAGE_ID_BASE,
         PASSAGE_QUERY,
         QUERIES,
     )
@@ -248,13 +249,13 @@ def test_passage_retrieval_composition(spark):
     chunks = token_window_chunks(
         d, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, stride_tokens=CHUNK_STRIDE
     )
-    assert chunks.agg(F.max("chunk_idx")).collect()[0][0] < 1000
+    assert chunks.agg(F.max("chunk_idx")).collect()[0][0] < PASSAGE_ID_BASE // 1000
 
     out = QUERIES["passage_retrieval"][0](spark, sf).collect()
     assert len(out) == 10 and all(r["n_terms_hit"] >= 1 for r in out)
     # decompose and verify the top passage really contains a query term
     top = out[0]
-    doc_id, chunk_idx = divmod(top["passage_id"], 1000)
+    doc_id, chunk_idx = divmod(top["passage_id"], PASSAGE_ID_BASE)
     text = d.where(F.col("doc_id") == doc_id).first()["text"]
     toks = [t for t in text.split(" ") if t]
     passage = toks[chunk_idx * CHUNK_STRIDE:
@@ -262,6 +263,6 @@ def test_passage_retrieval_composition(spark):
     assert any(t in passage for t in PASSAGE_QUERY.split())
     # passage ranking is its own grain: >1 distinct source doc in the
     # top-10, and at least one doc contributes a non-zeroth chunk
-    srcs = {r["passage_id"] // 1000 for r in out}
+    srcs = {r["passage_id"] // PASSAGE_ID_BASE for r in out}
     assert len(srcs) > 1
-    assert any(r["passage_id"] % 1000 > 0 for r in out)
+    assert any(r["passage_id"] % PASSAGE_ID_BASE > 0 for r in out)

@@ -612,6 +612,11 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
         stream_dedup_exact(stream, [])
     with _pytest.raises(ValueError, match="event-time"):
         stream_dedup_exact(stream, ["url", "ts"])
+    # exact-forever mode must NOT apply a watermark (review r5e: a
+    # watermark there silently drops keys whose first arrival trails it)
+    unbounded = stream_dedup_exact(stream, ["url"], bounded=False)
+    assert "EventTimeWatermark" not in unbounded._jdf.queryExecution() \
+        .logical().toString()
 
 
 def test_windowed_cms_counters_stream_matches_batch(spark, tmp_path):
