@@ -143,7 +143,9 @@ HEADLINE = [
     "c4_badwords",
     "ccnet_para_dedup",
     # round 5 (closing): chunker→BM25 composition (RAG passage retrieval)
+    # + per-document TF-IDF keywords
     "passage_retrieval",
+    "doc_keywords",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -163,6 +165,7 @@ LARGE_RESULT = {
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
     "dsir_select", "chunk_windows", "c4_badwords", "ccnet_para_dedup",
+    "doc_keywords",
 }
 
 

@@ -106,6 +106,7 @@ def __getattr__(name):
         "robots_rules": ("logparser_llm_spark.functions.robots", "robots_rules"),
         "robots_allowed": ("logparser_llm_spark.functions.robots", "robots_allowed"),
         "gopher_repetition": ("logparser_llm_spark.functions.quality", "gopher_repetition"),
+        "doc_keywords": ("logparser_llm_spark.operators.ranking", "doc_keywords"),
         "build_inverted_index": ("logparser_llm_spark.operators.ranking", "build_inverted_index"),
         "shard_export": ("logparser_llm_spark.sources.sinks", "shard_export"),
         "gopher_signal_cols": ("logparser_llm_spark.functions.quality", "gopher_signal_cols"),

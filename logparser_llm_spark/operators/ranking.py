@@ -404,3 +404,97 @@ def inverted_index_sql(
              md5(string_agg(doc || ':' || tf, ',' order by doc)) as postings_md5
       from ii_tf group by term, shard {having}
     """
+
+
+# --- per-document TF-IDF keyword extraction -----------------------------
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per DOCUMENT by TF-IDF — the
+    per-doc inversion of :func:`bm25_topk`'s per-query ranking (tag
+    extraction / labeling / cluster naming). Smoothed idf:
+    ``idf_e6 = round(1e6·ln((1+N)/(1+df)))``; per-term score is the
+    exact integer product ``tf·idf_e6``, so ranking (score desc, term
+    asc) is deterministic and the DuckDB oracle (generated below) is
+    hash-exact — the lm/bm25 quantize-before-compare convention.
+
+    Scale shape: ONE token explode into a partially-aggregable
+    ``(doc, term, tf)`` frame persisted across its three consumers
+    (df counts, the N scalar, scoring); per-term df is a second small
+    aggregate over that frame (O(distinct terms), broadcast back); the
+    final top-k is a row_number window partitioned BY DOCUMENT —
+    partition-parallel, no global sort anywhere. Zero-token documents
+    emit no rows (keywords of nothing — the retrieval convention).
+    """
+    if not (isinstance(top_k, int) and top_k >= 1):
+        raise ValueError(f"top_k must be an int >= 1, got {top_k}")
+    from ..functions.text import lower_tokens
+
+    tf = (
+        df.select(F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = tf.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_e6 = F.round(
+        F.log((1.0 + float(n_docs)) / (1 + F.col("df"))) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", idf_e6.alias("idf_e6"))), "term")
+        .select(id_col, "term", "tf", (F.col("tf") * F.col("idf_e6")).alias("score_e6"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(id_col, "rnk", "term", "tf", "score_e6")
+    )
+
+
+def doc_keywords_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    *,
+    top_k: int = 3,
+) -> str:
+    """DuckDB rendering of :func:`doc_keywords` — same tokenizer, same
+    smoothed idf quantization, same (score desc, term asc) ranking,
+    generated here so the two cannot drift. Yields
+    ``(doc_id, rnk, term, tf, score_e6)``."""
+    if not (isinstance(top_k, int) and top_k >= 1):
+        raise ValueError(f"top_k must be an int >= 1, got {top_k}")
+    from ..functions.text import LOWER_TOKENS_SQL
+
+    toks = LOWER_TOKENS_SQL.format(c=text_expr)
+    return f"""
+      with kw_toks as (
+        select {id_expr} as doc_id, unnest({toks}) as term from {table}
+      ),
+      kw_tf as (
+        select doc_id, term, count(*) as tf from kw_toks group by 1, 2
+      ),
+      kw_n as (select count(distinct doc_id) as n from kw_tf),
+      kw_df as (select term, count(*) as df from kw_tf group by 1),
+      kw_sc as (
+        select t.doc_id, t.term, t.tf,
+               t.tf * cast(round(ln((1.0 + kw_n.n) / (1 + kw_df.df))
+                                 * 1000000) as bigint) as score_e6
+        from kw_tf t join kw_df using (term) cross join kw_n
+      ),
+      kw_rnk as (
+        select *, row_number() over (partition by doc_id
+                                     order by score_e6 desc, term) as rnk
+        from kw_sc
+      )
+      select doc_id, cast(rnk as int) as rnk, term,
+             cast(tf as bigint) as tf, score_e6
+      from kw_rnk where rnk <= {top_k}
+    """

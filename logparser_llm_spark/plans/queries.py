@@ -940,6 +940,33 @@ def q_ccnet_para_dedup_sql(sf: str) -> str:
     """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (operators/ranking.py:
+    doc_keywords): the top-3 characteristic terms of every document —
+    the per-doc inversion of BM25's per-query ranking (tagging /
+    cluster naming / corpus exploration).
+
+    Scale shape: one token explode into a persisted partially-
+    aggregable (doc, term, tf) frame; per-term df broadcast back; final
+    top-k is a row_number window partitioned BY DOCUMENT (partition-
+    parallel — no global sort). Integer score tf·idf_e6 makes the
+    ranking deterministic and the module-generated DuckDB oracle
+    hash-exact.
+    """
+    from ..operators.ranking import doc_keywords
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return doc_keywords(d, "doc_id", "text", top_k=3)
+
+
+def q_doc_keywords_sql(sf: str) -> str:
+    from ..operators.ranking import doc_keywords_sql
+
+    return doc_keywords_sql("documents", "doc_id::BIGINT", "text", top_k=3)
+
+
 # Passage retrieval: BM25 over the token-window chunks — chunk ids are
 # the closed-form composite doc_id·PASSAGE_ID_BASE + chunk_idx. The
 # base of 10⁶ means a collision needs a single document of ≥ 12M
@@ -5117,6 +5144,9 @@ QUERIES: dict[str, tuple] = {
     # r5: RAG passage retrieval — token-window chunks feeding BM25
     # (composition gate: both operators working together)
     "passage_retrieval": (q_passage_retrieval, q_passage_retrieval_sql),
+    # r5: per-document TF-IDF keyword extraction (window per doc,
+    # integer tf·idf_e6 scores)
+    "doc_keywords": (q_doc_keywords, q_doc_keywords_sql),
 }
 
 

@@ -266,3 +266,46 @@ def test_passage_retrieval_composition(spark):
     srcs = {r["passage_id"] // PASSAGE_ID_BASE for r in out}
     assert len(srcs) > 1
     assert any(r["passage_id"] % PASSAGE_ID_BASE > 0 for r in out)
+
+
+def test_doc_keywords_semantics_and_plan(spark):
+    """TF-IDF keyword extraction: a corpus-wide common word must never
+    outrank a doc-specific rare word; ties break on term; zero-token
+    docs emit nothing; validation + persisted-frame/window plan shape."""
+    import duckdb
+
+    from logparser_llm_spark.operators.ranking import doc_keywords, doc_keywords_sql
+
+    rows = [
+        (0, "common common common aardvark"),
+        (1, "common zebra zebra"),
+        (2, "common quartz"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = doc_keywords(df, "doc_id", "text", top_k=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["tf"]))
+    # 'common' appears in all 3 docs -> idf = ln(4/4) = 0 -> score 0;
+    # the doc-unique words (df=1 -> idf > 0) must rank first
+    assert got[0][0] == (1, "aardvark", 1) and got[0][1][1] == "common"
+    assert got[1][0] == (1, "zebra", 2)
+    assert got[2][0] == (1, "quartz", 1)
+    assert 3 not in got and 4 not in got
+    # DuckDB twin agrees exactly
+    con = duckdb.connect()
+    con.execute("create table src (doc_id bigint, text varchar)")
+    con.executemany("insert into src values (?, ?)", rows)
+    orows = sorted(map(tuple, con.execute(
+        doc_keywords_sql("src", "doc_id", "text", top_k=2)).fetchall()))
+    assert sorted(map(tuple, out)) == orows
+    with pytest.raises(ValueError, match="top_k"):
+        doc_keywords(df, "doc_id", "text", top_k=0)
+    with pytest.raises(ValueError, match="top_k"):
+        doc_keywords_sql("src", "doc_id", "text", top_k=-1)
+    plan = doc_keywords(df, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InMemoryTableScan" in plan          # (doc, term, tf) reused
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
