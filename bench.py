@@ -146,6 +146,8 @@ HEADLINE = [
     # + per-document TF-IDF keywords
     "passage_retrieval",
     "doc_keywords",
+    # round 5 (closing): reproducible train/val/test split rollup
+    "dataset_split",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

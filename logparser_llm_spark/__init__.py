@@ -67,6 +67,7 @@ def __getattr__(name):
             "dedup_paragraphs_corpus",
         ),
         "dedup_against_snapshot": ("logparser_llm_spark.operators.dedup", "dedup_against_snapshot"),
+        "dataset_split": ("logparser_llm_spark.operators.sampling", "dataset_split"),
         "hash_sample": ("logparser_llm_spark.operators.sampling", "hash_sample"),
         "stratified_sample": ("logparser_llm_spark.operators.sampling", "stratified_sample"),
         "reservoir_per_key": ("logparser_llm_spark.operators.sampling", "reservoir_per_key"),

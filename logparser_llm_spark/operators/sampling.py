@@ -262,3 +262,69 @@ def quota_mix_sql(
         from mix_ranked join mix_quotas on __k = k
         where __rk <= q
       )"""
+
+
+def dataset_split(
+    df: DataFrame, key_col: str, fractions: "dict[str, float]"
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment — the split
+    every training pipeline needs to be REPRODUCIBLE and leakage-free:
+    each row's split is a pure function of its key (contiguous ranges
+    of the shared md5 bucket space), so re-runs, re-partitioning and
+    incremental additions can never move a document across the split
+    boundary (the classic eval-leakage bug).
+
+    ``fractions`` (e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``)
+    must sum to 1 at bucket resolution (1/HASH_BUCKETS) — a partial
+    split would silently drop rows, so it raises instead. Insertion
+    order of the dict fixes the bucket ranges (part of the contract —
+    reordering renames every row's split). Output: the input plus a
+    ``split`` column; pure map-side CASE, no shuffle, composes with
+    column pruning like the samplers above."""
+    _check_key_type(df, key_col)
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if "split" in df.columns:
+        raise ValueError("input already has a 'split' column")
+    counts = {name: int(round(f * HASH_BUCKETS)) for name, f in fractions.items()}
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError(
+            f"every split needs >= 1/{HASH_BUCKETS} of the key space, got {fractions}"
+        )
+    if sum(counts.values()) != HASH_BUCKETS:
+        raise ValueError(
+            f"fractions must sum to 1 at bucket resolution "
+            f"(Σ round(f·{HASH_BUCKETS}) = {sum(counts.values())}, "
+            f"need {HASH_BUCKETS}): {fractions}"
+        )
+    bucket = sample_bucket(F.col(key_col))
+    expr = None
+    hi = 0
+    for name, c in counts.items():
+        hi += c
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def dataset_split_sql(expr: str, fractions: "dict[str, float]") -> str:
+    """DuckDB rendering of :func:`dataset_split`'s CASE (same bucket
+    hash, same cumulative ranges, same insertion-order contract)."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    counts = {name: int(round(f * HASH_BUCKETS)) for name, f in fractions.items()}
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError(
+            f"every split needs >= 1/{HASH_BUCKETS} of the key space, got {fractions}"
+        )
+    if sum(counts.values()) != HASH_BUCKETS:
+        raise ValueError(
+            f"fractions must sum to 1 at bucket resolution: {fractions}"
+        )
+    bucket = sample_bucket_sql(expr)
+    parts = []
+    hi = 0
+    for name, c in counts.items():
+        hi += c
+        parts.append(f"when {bucket} < {hi} then '{name}'")
+    return "case " + " ".join(parts) + " end"

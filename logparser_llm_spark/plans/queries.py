@@ -940,6 +940,49 @@ def q_ccnet_para_dedup_sql(sf: str) -> str:
     """
 
 
+# Reproducible train/val/test split: 90/5/5 on the portable doc_id hash.
+SPLIT_FRACTIONS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split rollup (operators/sampling.py:
+    dataset_split): every document lands in exactly one split as a pure
+    function of its id (contiguous md5-bucket ranges), so re-runs and
+    incremental corpus growth can never leak a document across the
+    boundary. Output: per (lang, split) count + the md5 of the sorted
+    id list — the assignment SET is the cross-engine contract, not just
+    its size. Pure map-side CASE + one partially-aggregable rollup.
+    """
+    from ..operators.sampling import dataset_split
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+    out = dataset_split(d, "doc_id", SPLIT_FRACTIONS)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
+        ).alias("ids_md5"),
+    )
+
+
+def q_dataset_split_sql(sf: str) -> str:
+    from ..operators.sampling import dataset_split_sql
+
+    case = dataset_split_sql("doc_id", SPLIT_FRACTIONS)
+    return f"""
+        with sp as (
+          select doc_id::BIGINT as doc_id, lang, {case} as split
+          from documents
+        )
+        select lang, split, count(*)::BIGINT as n_docs,
+               md5(string_agg(doc_id::VARCHAR, ','
+                   order by doc_id::VARCHAR)) as ids_md5
+        from sp group by 1, 2
+    """
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction (operators/ranking.py:
     doc_keywords): the top-3 characteristic terms of every document —
@@ -5147,6 +5190,9 @@ QUERIES: dict[str, tuple] = {
     # r5: per-document TF-IDF keyword extraction (window per doc,
     # integer tf·idf_e6 scores)
     "doc_keywords": (q_doc_keywords, q_doc_keywords_sql),
+    # r5: reproducible train/val/test split (assignment SET pinned by
+    # per-(lang, split) ids_md5)
+    "dataset_split": (q_dataset_split, q_dataset_split_sql),
 }
 
 

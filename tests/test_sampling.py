@@ -160,3 +160,58 @@ def test_quota_mix_int_keys_and_collision_guard(spark):
     bad = df.withColumnRenamed("bucket", "__rk")
     with pytest.raises(ValueError, match="__rk"):
         quota_mix(bad.withColumn("bucket", bad["__rk"]), "bucket", "doc_id", {}, 10)
+
+
+# --- deterministic dataset split -----------------------------------------
+
+def test_dataset_split_partition_disjoint_exhaustive(spark):
+    from logparser_llm_spark.operators.sampling import dataset_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    rows = out.collect()
+    assert len(rows) == 2000                      # exhaustive
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert sum(len(v) for v in by.values()) == 2000   # disjoint
+    # proportions near the targets (md5-uniform)
+    assert 0.85 < len(by["train"]) / 2000 < 0.95
+    # stability: re-running over a SUBSET never moves a doc's split
+    sub = dataset_split(
+        df.where("doc_id % 3 = 0"), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).collect()
+    full = {r["doc_id"]: r["split"] for r in rows}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_dataset_split_matches_duckdb_and_validates(spark):
+    import duckdb
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.sampling import (
+        dataset_split,
+        dataset_split_sql,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    srows = sorted(
+        (r["doc_id"], r["split"])
+        for r in dataset_split(df, "doc_id", {"a": 0.5, "b": 0.5}).collect()
+    )
+    con = duckdb.connect()
+    case = dataset_split_sql("doc_id", {"a": 0.5, "b": 0.5})
+    orows = sorted(map(tuple, con.execute(
+        f"select doc_id, {case} from range(0, 500) t(doc_id)").fetchall()))
+    assert srows == orows
+    with _pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(df, "doc_id", {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match=">= 1/"):
+        dataset_split(df, "doc_id", {"train": 1.0, "val": 0.00001})
+    with _pytest.raises(ValueError, match="at least one"):
+        dataset_split_sql("doc_id", {})
+    has_split = df.withColumn("split", df.doc_id.cast("string"))
+    with _pytest.raises(ValueError, match="'split' column"):
+        dataset_split(has_split, "doc_id", {"a": 1.0})
