@@ -167,7 +167,7 @@ LARGE_RESULT = {
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
     "dsir_select", "chunk_windows", "c4_badwords", "ccnet_para_dedup",
-    "doc_keywords",
+    "doc_keywords", "nb_classify",
 }
 
 

@@ -147,6 +147,9 @@ def __getattr__(name):
             "token_window_chunks",
         ),
         "dsir_weights": ("logparser_llm_spark.operators.dsir", "dsir_weights"),
+        "nb_train": ("logparser_llm_spark.operators.classifier", "nb_train"),
+        "nb_predict": ("logparser_llm_spark.operators.classifier", "nb_predict"),
+        "nb_sql": ("logparser_llm_spark.operators.classifier", "nb_sql"),
         "bpe_train": ("logparser_llm_spark.operators.bpe", "bpe_train"),
         "bpe_encode": ("logparser_llm_spark.operators.bpe", "bpe_encode"),
         "bpe_merges_df": ("logparser_llm_spark.operators.bpe", "bpe_merges_df"),

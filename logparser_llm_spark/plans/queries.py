@@ -4987,6 +4987,62 @@ def q_purchase_attribution_sql(sf: str) -> str:
     """
 
 
+# Naive Bayes classifier: train a language head on the 80% training
+# split (doc_id % 5 != 0), predict the language of EVERY document. The
+# per-lang word distributions of the synthetic corpus differ enough
+# that the trained head beats 5-class chance ~2x (asserted in pytest) —
+# the prediction is learned signal, not a constant.
+NB_TRAIN_WHERE = "doc_id % 5 != 0"
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style Naive Bayes classification (operators/classifier
+    .py): train class-conditional token counts on the 80% split, score
+    every document's log-posterior per class in integer micro-nats,
+    emit the argmax with its runner-up margin.
+
+    The classifier stage of the published webtext recipes (GPT-3's
+    quality head, CCNet's language head). Scale shape: training is one
+    token explode into a partially-aggregable (label, word) count;
+    scoring uses the OOV-baseline rearrangement so the model join is an
+    equi-join on the word and the class-way replication happens on the
+    one-row-per-doc frame, never the token stream; the per-doc argmax
+    is a window partitioned by document. Rational add-k smoothing +
+    quantize-before-sum make the DuckDB oracle — deliberately the NAIVE
+    direct algebra, an independent formulation — hash-exact (module
+    docstring covers the ≤1-ulp ln caveat).
+    """
+    from ..operators.classifier import nb_predict, nb_train
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
+    )
+    words, classes, v = nb_train(d.where(F.expr(NB_TRAIN_WHERE)), "text", "lang")
+    pred = nb_predict(d, "doc_id", "text", words, classes, v)
+    return pred.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "n_tokens", "pred_label", "score_e6", "margin_e6",
+        (F.col("pred_label") == F.col("lang")).alias("correct"),
+        F.expr(NB_TRAIN_WHERE).alias("is_train"),
+    )
+
+
+def q_nb_classify_sql(sf: str) -> str:
+    from ..operators.classifier import nb_sql
+
+    inner = nb_sql(
+        train_where=NB_TRAIN_WHERE, score_from="documents",
+        id_col="doc_id", text_col="text", label_col="lang",
+    )
+    return f"""
+        with scored as ({inner})
+        select s.doc_id::BIGINT as doc_id, s.n_tokens, s.pred_label,
+               s.score_e6, s.margin_e6,
+               (s.pred_label = d.lang) as correct,
+               ({NB_TRAIN_WHERE}) as is_train
+        from scored s join documents d using (doc_id)
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5193,6 +5249,10 @@ QUERIES: dict[str, tuple] = {
     # r5: reproducible train/val/test split (assignment SET pinned by
     # per-(lang, split) ids_md5)
     "dataset_split": (q_dataset_split, q_dataset_split_sql),
+    # r5: Naive Bayes language head trained on the 80% split — the
+    # oracle keeps the naive direct algebra while Spark runs the
+    # OOV-baseline rearrangement (independent formulations)
+    "nb_classify": (q_nb_classify, q_nb_classify_sql),
 }
 
 
