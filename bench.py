@@ -148,6 +148,8 @@ HEADLINE = [
     "doc_keywords",
     # round 5 (closing): reproducible train/val/test split rollup
     "dataset_split",
+    # round 5 (closing): Naive Bayes language head (train + predict)
+    "nb_classify",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -184,7 +184,10 @@ def nb_predict(
         ).alias("adj_e6"),
     )
     # map-side combinable doc token pre-agg; the model join is an
-    # equi-join on the word — only model hits produce rows
+    # equi-join on the word — only model hits produce rows. The model
+    # side is broadcast-pinned (a word-count model is fastText-sized —
+    # O(classes·distinct words); drop the hint if a model ever outgrows
+    # executor memory and the join degrades gracefully to shuffled)
     pre = (
         df.select(F.col(id_col), lower_tokens(F.col(text_col)).alias("__toks"))
         .select(id_col, F.explode("__toks").alias("w"))
@@ -193,7 +196,7 @@ def nb_predict(
     )
     ntok = pre.groupBy(id_col).agg(F.sum("cnt").alias("n_tokens"))
     doc_adj = (
-        pre.join(wq, "w")
+        pre.join(F.broadcast(wq), "w")
         .groupBy(id_col, "label")
         .agg(F.sum(F.col("cnt") * F.col("adj_e6")).alias("adj_e6"))
     )
