@@ -150,6 +150,8 @@ HEADLINE = [
     "dataset_split",
     # round 5 (closing): Naive Bayes language head (train + predict)
     "nb_classify",
+    # round 5 (closing): Z-order vs linear layout bounding boxes
+    "zorder_layout",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -147,6 +147,9 @@ def __getattr__(name):
             "token_window_chunks",
         ),
         "dsir_weights": ("logparser_llm_spark.operators.dsir", "dsir_weights"),
+        "morton_code": ("logparser_llm_spark.operators.layout", "morton_code"),
+        "zorder_write": ("logparser_llm_spark.operators.layout", "zorder_write"),
+        "zorder_file": ("logparser_llm_spark.operators.layout", "zorder_file"),
         "nb_train": ("logparser_llm_spark.operators.classifier", "nb_train"),
         "nb_predict": ("logparser_llm_spark.operators.classifier", "nb_predict"),
         "nb_sql": ("logparser_llm_spark.operators.classifier", "nb_sql"),

@@ -5043,6 +5043,105 @@ def q_nb_classify_sql(sf: str) -> str:
     """
 
 
+# Z-order layout statistics: the events table as a 2D (user bucket,
+# value bucket) space, 8 bits per dim, 16 files. Both dims scale into
+# [0, 256) by exact integer division (user_id < 2048 and value_e2 <
+# 65536 at every sf scale — the morton guard fails loudly if a future
+# corpus breaks that).
+ZORDER_BITS = 8
+ZORDER_FILES = 16
+ZORDER_X_SPARK = "user_id div 8"
+ZORDER_X_SQL = "(user_id // 8)"
+ZORDER_Y_SPARK = "cast(round(value * 100) as bigint) div 256"
+ZORDER_Y_SQL = "(cast(round(value * 100) as bigint) // 256)"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout statistics (operators/layout.py): tile
+    the events 2D space into 16 files under (a) the Morton-code z-order
+    and (b) a linear sort on x alone, and report every file's bounding
+    box — the data-layout evidence for multi-dimensional scan pruning.
+
+    The 100 TB story: a file whose (min, max) range excludes the
+    predicate is skipped at plan time; z-order gives every file a small
+    span in BOTH dimensions (each of the 16 tiles is a 64×64 quadrant)
+    while the linear layout leaves y at full width, so a predicate on y
+    touches every linear file but only one z column of tiles (pinned in
+    pytest). The file assignment here is the deterministic uniform
+    z-space tiling — pure integer bit arithmetic, zero shuffle before
+    the rollup, exact on every engine; the production writer
+    (layout.zorder_write) range-partitions on the sampled z
+    distribution instead and is pytest-gated on its actual output
+    files.
+    """
+    from ..operators.layout import morton_code, zorder_file
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.expr(ZORDER_X_SPARK).alias("x"),
+            F.expr(ZORDER_Y_SPARK).alias("y"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both strategies
+    )
+    z = morton_code([F.col("x"), F.col("y")], ZORDER_BITS)
+    zo = ev.select(
+        "x", "y",
+        zorder_file(z, n_dims=2, bits=ZORDER_BITS, files=ZORDER_FILES)
+        .alias("file_id"),
+    )
+    li = ev.select(
+        "x", "y",
+        zorder_file(F.col("x"), n_dims=1, bits=ZORDER_BITS, files=ZORDER_FILES)
+        .alias("file_id"),
+    )
+
+    def stats(df: DataFrame, strategy: str) -> DataFrame:
+        return (
+            df.groupBy(F.lit(strategy).alias("strategy"), "file_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"),
+                F.max("y").alias("y_max"),
+            )
+            .select(
+                "strategy", "file_id", "n_rows",
+                "x_min", "x_max", "y_min", "y_max",
+                (F.col("x_max") - F.col("x_min")).alias("x_span"),
+                (F.col("y_max") - F.col("y_min")).alias("y_span"),
+            )
+        )
+
+    return stats(zo, "zorder").unionByName(stats(li, "linear"))
+
+
+def q_zorder_layout_sql(sf: str) -> str:
+    from ..operators.layout import morton_sql, zorder_file_sql
+
+    z = morton_sql(["x", "y"], ZORDER_BITS)
+    zf = zorder_file_sql(z, n_dims=2, bits=ZORDER_BITS, files=ZORDER_FILES)
+    lf = zorder_file_sql("x", n_dims=1, bits=ZORDER_BITS, files=ZORDER_FILES)
+    return f"""
+        with pts as (
+          select {ZORDER_X_SQL} as x, {ZORDER_Y_SQL} as y from events
+        ),
+        assigned as (
+          select 'zorder' as strategy, {zf} as file_id, x, y from pts
+          union all
+          select 'linear' as strategy, {lf} as file_id, x, y from pts
+        )
+        select strategy, file_id::BIGINT as file_id,
+               count(*)::BIGINT as n_rows,
+               min(x)::BIGINT as x_min, max(x)::BIGINT as x_max,
+               min(y)::BIGINT as y_min, max(y)::BIGINT as y_max,
+               (max(x) - min(x))::BIGINT as x_span,
+               (max(y) - min(y))::BIGINT as y_span
+        from assigned group by 1, 2
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5253,6 +5352,10 @@ QUERIES: dict[str, tuple] = {
     # oracle keeps the naive direct algebra while Spark runs the
     # OOV-baseline rearrangement (independent formulations)
     "nb_classify": (q_nb_classify, q_nb_classify_sql),
+    # r5: Z-order vs linear layout bounding boxes — pure integer bit
+    # arithmetic (Morton interleave + power-of-two tiling), the
+    # multi-dimensional scan-pruning evidence
+    "zorder_layout": (q_zorder_layout, q_zorder_layout_sql),
 }
 
 
