@@ -152,6 +152,8 @@ HEADLINE = [
     "nb_classify",
     # round 5 (closing): Z-order vs linear layout bounding boxes
     "zorder_layout",
+    # round 5 (closing): SCD Type-2 capture history
+    "scd2_history",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -171,7 +173,7 @@ LARGE_RESULT = {
     "triangle_count", "inverted_index", "dedup_best",
     "incremental_dedup",
     "dsir_select", "chunk_windows", "c4_badwords", "ccnet_para_dedup",
-    "doc_keywords", "nb_classify",
+    "doc_keywords", "nb_classify", "scd2_history",
 }
 
 

@@ -147,6 +147,8 @@ def __getattr__(name):
             "token_window_chunks",
         ),
         "dsir_weights": ("logparser_llm_spark.operators.dsir", "dsir_weights"),
+        "scd2_history": ("logparser_llm_spark.operators.scd", "scd2_history"),
+        "scd2_sql": ("logparser_llm_spark.operators.scd", "scd2_sql"),
         "morton_code": ("logparser_llm_spark.operators.layout", "morton_code"),
         "zorder_write": ("logparser_llm_spark.operators.layout", "zorder_write"),
         "zorder_file": ("logparser_llm_spark.operators.layout", "zorder_file"),

@@ -5142,6 +5142,77 @@ def q_zorder_layout_sql(sf: str) -> str:
     """
 
 
+# SCD2 capture history: 4 seeded snapshots per document. Docs with
+# doc_id % 5 == 0 keep a constant digest (single island); all others
+# change digest whenever (doc_id + snap) div 2 increments, giving 2 OR
+# 3 islands depending on parity — single-, two- and three-version keys
+# all occur (asserted in pytest), so a collapse or off-by-one in the
+# island algebra cannot hide.
+SCD_SNAPSHOTS = 4
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (operators/scd.py): collapse 4 seeded
+    per-document content-digest snapshots into validity intervals —
+    the capture-history shape of a continuous crawl (when did this
+    url's content change?).
+
+    Scale shape: ONE shuffle on the key — the change-detection lag,
+    the running island sum, the per-island aggregate (partially
+    aggregable) and the interval-chain lead all share
+    partitionBy(doc_id), so the whole history build is partition-
+    parallel with no global sort (plan-gated: exactly one Exchange, no
+    Python). Island boundaries are exact null-safe equality over md5
+    digests, so the DuckDB oracle — the gap-and-islands algebra
+    regenerated by the same module — is hash-exact with zero
+    tolerance.
+    """
+    from ..operators.scd import scd2_history
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    snaps = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(SCD_SNAPSHOTS))).alias("snap"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("snap").cast("bigint").alias("snap_ts"),
+            F.when(F.col("doc_id") % 5 == 0, F.md5("text"))
+            .otherwise(
+                F.md5(
+                    F.concat(
+                        F.col("text"),
+                        F.lit("|"),
+                        F.expr("cast((doc_id + snap) div 2 as string)"),
+                    )
+                )
+            )
+            .alias("digest"),
+        )
+    )
+    return scd2_history(snaps, ["doc_id"], "snap_ts", ["digest"])
+
+
+def q_scd2_history_sql(sf: str) -> str:
+    from ..operators.scd import scd2_sql
+
+    snap = f"""(
+      select doc_id::BIGINT as doc_id, i::BIGINT as snap_ts,
+             case when doc_id % 5 = 0 then md5(text)
+                  else md5(text || '|' || cast((doc_id + i) // 2 as varchar))
+             end as digest
+      from documents, unnest(range(1, {SCD_SNAPSHOTS + 1})) as t(i)
+    )"""
+    return scd2_sql(
+        snapshots=snap, key_cols=["doc_id"],
+        ts_col="snap_ts", attr_cols=["digest"],
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5356,6 +5427,9 @@ QUERIES: dict[str, tuple] = {
     # arithmetic (Morton interleave + power-of-two tiling), the
     # multi-dimensional scan-pruning evidence
     "zorder_layout": (q_zorder_layout, q_zorder_layout_sql),
+    # r5: SCD Type-2 capture history over seeded digest snapshots —
+    # gap-and-islands algebra regenerated by the same module
+    "scd2_history": (q_scd2_history, q_scd2_history_sql),
 }
 
 
