@@ -154,6 +154,8 @@ HEADLINE = [
     "zorder_layout",
     # round 5 (closing): SCD Type-2 capture history
     "scd2_history",
+    # round 5 (closing): Efraimidis-Spirakis weighted sampling
+    "weighted_sample",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -147,6 +147,10 @@ def __getattr__(name):
             "token_window_chunks",
         ),
         "dsir_weights": ("logparser_llm_spark.operators.dsir", "dsir_weights"),
+        "weighted_sample": (
+            "logparser_llm_spark.operators.sampling",
+            "weighted_sample",
+        ),
         "scd2_history": ("logparser_llm_spark.operators.scd", "scd2_history"),
         "scd2_sql": ("logparser_llm_spark.operators.scd", "scd2_sql"),
         "morton_code": ("logparser_llm_spark.operators.layout", "morton_code"),

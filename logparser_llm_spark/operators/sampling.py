@@ -328,3 +328,129 @@ def dataset_split_sql(expr: str, fractions: "dict[str, float]") -> str:
         hi += c
         parts.append(f"when {bucket} < {hi} then '{name}'")
     return "case " + " ".join(parts) + " end"
+
+
+# --- weighted sampling (Efraimidis-Spirakis) ----------------------------
+
+# 13 hex chars = 52 bits: the uniform fits a double EXACTLY, so the one
+# ln() sees the same value on every engine
+_ES_HEX = 13
+_ES_SPACE = 1 << 52
+_E6 = 1_000_000
+
+
+def _es_q_neg(u_slice: Column) -> Column:
+    """``-round(1e6·ln((s+1)/2^52))`` — the non-negative quantized
+    surprisal of the md5 uniform (ln u ≤ 0 always)."""
+    return (
+        -F.round(
+            F.log((u_slice + 1).cast("double") / F.lit(float(_ES_SPACE))) * _E6
+        )
+    ).cast("bigint")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): the k rows with the largest ``u^(1/w)`` where ``u``
+    is the portable md5 uniform of ``(key, seed)`` — selection
+    probability scales with ``weight_col`` (positive integer; a
+    non-positive weight raises at execution time).
+
+    The temperature-sampling shape of training-mix composition ("sample
+    sources ∝ quality·size"). Scale shape: the rank key is a pure map
+    (one md5 + one ln per row); top-k compiles to TakeOrderedAndProject
+    — per-partition heaps + a k-row driver merge, no global sort, no
+    shuffle. Output: the selected rows plus ``es_key_e12`` (the exact
+    integer rank key, ties broken by the key column ascending).
+    """
+    from ..functions.hashing import md5_slice_col
+
+    _check_key_type(df, key_col)
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be a positive int, got {k}")
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} must be integer-typed, got {wtype!r}"
+        )
+    u = md5_slice_col(
+        F.concat(F.col(key_col).cast("string"), F.lit("|" + seed)), _ES_HEX
+    )
+    guarded_w = F.when(F.col(weight_col) > 0, F.col(weight_col)).otherwise(
+        F.raise_error(
+            F.concat(F.lit("weighted_sample: non-positive weight: "),
+                     F.col(weight_col).cast("string"))
+        ).cast("bigint")
+    )
+    # quantize-then-divide with NON-NEGATIVE operands only, so the
+    # floor division is identical in Spark (`div`), DuckDB (`//`) and
+    # Python (`//`) — negative floor/truncate semantics never enter
+    keyed = (
+        df.withColumn("__es_w", guarded_w)
+        .withColumn("__es_q", _es_q_neg(u))
+        .withColumn("es_key_e12", F.expr(f"-((__es_q * {_E6}) div __es_w)"))
+        .drop("__es_w", "__es_q")
+    )
+    return keyed.orderBy(
+        F.col("es_key_e12").desc(), F.col(key_col).asc()
+    ).limit(k)
+
+
+def weighted_sample_sql(
+    *,
+    from_rel: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int,
+    seed: str = "",
+    select: str = "*",
+) -> str:
+    """DuckDB recompute of :func:`weighted_sample`, generated here so
+    the two spellings cannot drift."""
+    from ..functions.hashing import md5_slice_sql
+
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be a positive int, got {k}")
+    s = md5_slice_sql(f"(cast({key_expr} as varchar) || '|{seed}')", _ES_HEX)
+    q_neg = (
+        f"(-cast(round(ln(({s} + 1)::DOUBLE / {float(_ES_SPACE)}) * {_E6})"
+        " as bigint))"
+    )
+    key = f"(-(({q_neg} * {_E6}) // ({weight_expr})))"
+    return f"""
+        select {select}, {key} as es_key_e12
+        from {from_rel}
+        order by es_key_e12 desc, {key_expr} asc
+        limit {k}
+    """
+
+
+def weighted_sample_py(
+    rows: "list[tuple[object, int]]", k: int, *, seed: str = ""
+) -> "list[tuple[object, int]]":
+    """Reference over ``(key, weight)`` rows → the selected
+    ``(key, es_key_e12)`` list, mirroring the engine spelling including
+    HALF_UP quantization."""
+    import math
+
+    from ..functions.hashing import md5_slice
+
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be a positive int, got {k}")
+    out = []
+    for key, w in rows:
+        if w <= 0:
+            raise ValueError(f"weighted_sample: non-positive weight: {w}")
+        s = md5_slice(f"{key}|{seed}", _ES_HEX)
+        x = math.log((s + 1) / _ES_SPACE) * _E6
+        q = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        out.append((key, -((-q) * _E6 // w)))
+    out.sort(key=lambda t: (-t[1], str(t[0])))
+    return out[:k]

@@ -5213,6 +5213,50 @@ def q_scd2_history_sql(sf: str) -> str:
     )
 
 
+# Weighted sampling: 50 documents, selection probability ∝ n_chars
+# (always ≥ 44 on the driver corpora — the operator's non-positive
+# guard would fail loudly otherwise).
+WS_K = 50
+WS_SEED = "r5"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py): the 50 documents with the largest
+    ``u^(1/weight)`` rank keys, weight = document length — the
+    temperature-sampling shape of training-mix composition.
+
+    Scale shape: the rank key is a pure map (one md5 + one ln per
+    row); top-k compiles to TakeOrderedAndProject (per-partition heaps
+    + a 50-row driver merge — no global sort, no shuffle). The key
+    quantizes the log-uniform to integer micro-nats BEFORE the integer
+    floor division by the weight (non-negative operands only, so
+    Spark/DuckDB/Python floor semantics agree), making the selected
+    SET and every rank key hash-exact against the DuckDB oracle
+    regenerated by the same module.
+    """
+    from ..operators.sampling import weighted_sample
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("weight"),
+    )
+    return weighted_sample(d, "doc_id", "weight", WS_K, seed=WS_SEED)
+
+
+def q_weighted_sample_sql(sf: str) -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql(
+        from_rel=(
+            "(select doc_id::BIGINT as doc_id, n_chars::BIGINT as weight"
+            " from documents)"
+        ),
+        key_expr="doc_id", weight_expr="weight",
+        k=WS_K, seed=WS_SEED, select="doc_id, weight",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5430,6 +5474,9 @@ QUERIES: dict[str, tuple] = {
     # r5: SCD Type-2 capture history over seeded digest snapshots —
     # gap-and-islands algebra regenerated by the same module
     "scd2_history": (q_scd2_history, q_scd2_history_sql),
+    # r5: Efraimidis-Spirakis weighted sampling (∝ doc length) — exact
+    # integer rank keys, TakeOrdered top-k
+    "weighted_sample": (q_weighted_sample, q_weighted_sample_sql),
 }
 
 

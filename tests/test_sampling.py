@@ -215,3 +215,124 @@ def test_dataset_split_matches_duckdb_and_validates(spark):
     has_split = df.withColumn("split", df.doc_id.cast("string"))
     with _pytest.raises(ValueError, match="'split' column"):
         dataset_split(has_split, "doc_id", {"a": 1.0})
+
+
+# --- weighted sampling (Efraimidis-Spirakis) ----------------------------
+
+def test_weighted_sample_matches_python_and_duckdb(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_py,
+        weighted_sample_sql,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = [
+        (r["id"], r["es_key_e12"])
+        for r in weighted_sample(df, "id", "w", 12, seed="t").collect()
+    ]
+    ref = weighted_sample_py(rows, 12, seed="t")
+    assert sorted(got) == sorted(ref)
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, w bigint)")
+    con.executemany("insert into t values (?, ?)", rows)
+    duck = con.execute(
+        weighted_sample_sql(from_rel="t", key_expr="id", weight_expr="w",
+                            k=12, seed="t", select="id")
+    ).fetchall()
+    assert sorted(duck) == sorted(ref)
+
+
+def test_weighted_sample_is_without_replacement_and_seeded():
+    from logparser_llm_spark.operators.sampling import weighted_sample_py
+
+    rows = [(i, 1) for i in range(20)]
+    out = weighted_sample_py(rows, 30, seed="a")  # k > n -> everything
+    assert len(out) == 20 and len({k for k, _ in out}) == 20
+    a = weighted_sample_py(rows, 5, seed="a")
+    b = weighted_sample_py(rows, 5, seed="b")
+    assert a == weighted_sample_py(rows, 5, seed="a")  # reproducible
+    assert a != b  # seed actually enters the hash
+
+
+def test_weighted_sample_frequency_tracks_weights():
+    """k=1 E-S is exact: P(pick a) = w_a / (w_a + w_b). Over 200 fixed
+    seeds with weights 9:1 the empirical frequency must sit within 4
+    sigma of 0.9 — a real distribution check, fully deterministic."""
+    from logparser_llm_spark.operators.sampling import weighted_sample_py
+
+    rows = [("a", 9), ("b", 1)]
+    wins = sum(
+        weighted_sample_py(rows, 1, seed=f"s{i}")[0][0] == "a"
+        for i in range(200)
+    )
+    assert 0.82 <= wins / 200 <= 0.97, wins
+
+
+def test_weighted_sample_heavy_weight_dominates(spark):
+    from logparser_llm_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1) for i in range(99)] + [(999, 1000)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10, seed="r5").collect()}
+    assert 999 in got and len(got) == 10
+
+
+def test_weighted_sample_plan_is_take_ordered_no_shuffle(spark):
+    from logparser_llm_spark.operators.sampling import weighted_sample
+    from logparser_llm_spark.plans.inspect import physical_plan, plan_facts
+
+    df = spark.createDataFrame([(i, 1) for i in range(50)], "id bigint, w bigint")
+    out = weighted_sample(df, "id", "w", 5)
+    plan = physical_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    facts = plan_facts(out)
+    assert facts["exchanges"] == 0 and not facts["python_udf"]
+
+
+def test_weighted_sample_validation(spark):
+    from logparser_llm_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_py,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "id bigint, w bigint")
+    with pytest.raises(ValueError, match="positive int"):
+        weighted_sample(df, "id", "w", 0)
+    with pytest.raises(ValueError, match="integer-typed"):
+        weighted_sample(
+            spark.createDataFrame([(1, 0.5)], "id bigint, w double"),
+            "id", "w", 1,
+        )
+    with pytest.raises(ValueError, match="sampling key"):
+        weighted_sample(
+            spark.createDataFrame([(0.5, 1)], "id double, w bigint"),
+            "id", "w", 1,
+        )
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample(
+            spark.createDataFrame([(1, 0)], "id bigint, w bigint"),
+            "id", "w", 1,
+        ).collect()
+    with pytest.raises(ValueError, match="non-positive weight"):
+        weighted_sample_py([(1, 0)], 1)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_weighted_sample_registered_query_prefers_long_docs(spark, sf):
+    """Selection ∝ length: the sampled mean document length must exceed
+    the corpus mean (loose but deterministic — the gap is wide)."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    out = QUERIES["weighted_sample"][0](spark, sf)
+    rows = out.collect()
+    assert len(rows) == 50
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
