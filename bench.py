@@ -156,6 +156,8 @@ HEADLINE = [
     "scd2_history",
     # round 5 (closing): Efraimidis-Spirakis weighted sampling
     "weighted_sample",
+    # round 5 (closing): per-file Bloom skip index
+    "file_skip_index",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -477,24 +477,36 @@ _BLOOM_MASK = f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_BITS_PER_WORD} as
 
 
 def bloom_build(
-    df: DataFrame, value_col: str, *, m_bits: int = 1 << 20, k: int = 5
+    df: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Build a Bloom filter of the ``value_col`` stream: one row per
     non-empty (word_idx, bits). NULLs are skipped. One partially
     aggregable groupBy over a k-expanded stream (the expansion happens
     inside the scan stage; at most m_bits/60 rows ever shuffle, however
-    large the input)."""
+    large the input).
+
+    With ``group_cols`` set, builds ONE INDEPENDENT filter per group
+    (at most m_bits/60 rows each) — the per-file / per-partition
+    skip-index shape: a point lookup probes every group's filter and
+    reads only the groups that might contain the key."""
     _check_bloom(m_bits, k)
+    gcols = list(group_cols)
     h = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
     return (
         df.where(F.col(value_col).isNotNull())
-        .select(F.col(value_col), h)
-        .select(_bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"))
+        .select(*gcols, F.col(value_col), h)
+        .select(*gcols, _bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"))
         .select(
+            *gcols,
             F.expr(_BLOOM_WORD).alias("word_idx"),
             F.expr(_BLOOM_MASK).alias("mask"),
         )
-        .groupBy("word_idx")
+        .groupBy(*gcols, "word_idx")
         .agg(F.bit_or("mask").alias("bits"))
     )
 
@@ -513,27 +525,36 @@ def bloom_contains(
     *,
     m_bits: int = 1 << 20,
     k: int = 5,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Membership test for every probe value: present iff ALL k
     addressed bits are set (absent word = zero). Output:
-    ``<value_col>``, ``maybe_present`` (boolean — true can be a false
-    positive, false is definitive). The probe side drives a k-way
-    expansion and a join on word_idx; the filter side is at most
-    m_bits/60 rows, so Spark broadcasts it."""
+    ``<value_col>`` (+ ``group_cols``), ``maybe_present`` (boolean —
+    true can be a false positive, false is definitive). The probe side
+    drives a k-way expansion and a join on word_idx; the filter side
+    is at most m_bits/60 rows (per group), so Spark broadcasts it.
+
+    With ``group_cols`` set, ``probes`` must already carry the group
+    columns (one row per (value, group) to test — the caller builds
+    the probe×group grid) and the verdict is per (value, group)."""
     _check_bloom(m_bits, k)
+    gcols = list(group_cols)
     h = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i")
     addressed = (
-        probes.select(F.col(value_col), h)
-        .select(value_col, _bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"))
-        .select(value_col, F.expr(_BLOOM_WORD).alias("word_idx"), F.expr(_BLOOM_MASK).alias("mask"))
+        probes.select(*gcols, F.col(value_col), h)
+        .select(*gcols, value_col,
+                _bloom_pos(F.col("hash_i"), value_col, m_bits).alias("pos"))
+        .select(*gcols, value_col,
+                F.expr(_BLOOM_WORD).alias("word_idx"),
+                F.expr(_BLOOM_MASK).alias("mask"))
     )
     hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast(
         "int"
     )
     return (
-        addressed.join(bloom_df, "word_idx", "left")
-        .select(value_col, hit.alias("hit"))
-        .groupBy(value_col)
+        addressed.join(bloom_df, [*gcols, "word_idx"], "left")
+        .select(*gcols, value_col, hit.alias("hit"))
+        .groupBy(value_col, *gcols)
         .agg((F.min("hit") == 1).alias("maybe_present"))
     )
 
@@ -546,10 +567,17 @@ def bloom_sql(
     *,
     m_bits: int = 1 << 20,
     k: int = 5,
+    group_expr: "str | None" = None,
 ) -> str:
     """DuckDB rendering of build+contains: returns the chained CTE body
     ``bloom_h, bloom_w, bloom_e`` where ``bloom_e(v, maybe_present)``
-    is the membership relation. Exact bit parity with the Spark path."""
+    is the membership relation. Exact bit parity with the Spark path.
+
+    With ``group_expr`` (a column present in BOTH ``stream_cte`` and
+    ``probes_cte`` — the probe side is the caller-built value×group
+    grid, mirroring :func:`bloom_contains`'s group_cols contract),
+    one independent filter per group: ``bloom_e(v, grp,
+    maybe_present)``."""
     _check_bloom(m_bits, k)
     pos = (
         "(('0x' || substr(md5(cast(h.hash_i as varchar) || '|' || {v}), 1, 8))"
@@ -557,24 +585,29 @@ def bloom_sql(
     )
     word = f"({pos} // {BLOOM_BITS_PER_WORD})"
     mask = f"(1::BIGINT << ({pos} % {BLOOM_BITS_PER_WORD})::INT)"
+    g_build = f"{group_expr} as grp," if group_expr else ""
+    g_build_by = ", " + "grp" if group_expr else ""
+    g_probe = f"p.{group_expr} as grp," if group_expr else ""
+    g_join = f" and w.grp = p.{group_expr}" if group_expr else ""
+    g_probe_by = f", p.{group_expr}" if group_expr else ""
     return f"""
       bloom_h as (select unnest(range({k})) as hash_i),
       bloom_w as (
-        select {word.format(v=value_expr)} as word_idx,
+        select {g_build} {word.format(v=value_expr)} as word_idx,
                bit_or({mask.format(v=value_expr)}) as bits
         from {stream_cte} cross join bloom_h h
         where {value_expr} is not null
-        group by 1
+        group by word_idx{g_build_by}
       ),
       bloom_e as (
-        select p.{probe_expr} as v,
+        select p.{probe_expr} as v, {g_probe}
                min(case when coalesce(w.bits, 0) & {mask.format(v=f"p.{probe_expr}")}
                         <> 0 then 1 else 0 end) = 1 as maybe_present
         from {probes_cte} p
         cross join bloom_h h
         left join bloom_w w
-          on w.word_idx = {word.format(v=f"p.{probe_expr}")}
-        group by 1
+          on w.word_idx = {word.format(v=f"p.{probe_expr}")}{g_join}
+        group by p.{probe_expr}{g_probe_by}
       )
     """
 

@@ -5257,6 +5257,114 @@ def q_weighted_sample_sql(sf: str) -> str:
     )
 
 
+# File-skipping Bloom index: 16 md5-sharded files, one 4096-bit k=3
+# filter per file. Sized so the index is sharp at sf0.01 (load ~0.02,
+# fp ≈ 1e-5) and still useful at sf0.1 (load ~0.23, fp ≈ 1%) — both
+# regimes visible in the registered rows. Probe ids: present at both
+# scales, present only at sf0.1 (4999), absent everywhere (99999).
+FSI_M_BITS = 4096
+FSI_K = 3
+FSI_FILES = 16
+FSI_PROBE_IDS = (0, 1, 7, 123, 444, 4999, 99999)
+
+
+def q_file_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom skip index (operators/sketch.py grouped Bloom):
+    shard documents into 16 md5-addressed files, build one independent
+    Bloom filter per file, probe a fixed key set against every file's
+    filter — the secondary-index / data-skipping shape (a point lookup
+    reads only the files whose filter might contain the key; at 10^12
+    rows that is 1-2 files instead of all of them).
+
+    Scale shape: the build is one partially-aggregable groupBy over
+    the k-expanded stream (≤ m_bits/60 rows per file shuffle, however
+    large the corpus); the probe side is the probes×files grid (7×16
+    rows) joined against the broadcast-sized filter frame. Output per
+    probe: whether the doc exists, how many candidate files the index
+    admits, and whether the true file is among them — the
+    no-false-negative law as a checked row set (true_file_covered ==
+    doc_exists on every row, pinned in pytest). All md5 bit
+    arithmetic: the DuckDB oracle (grouped bloom_sql from the same
+    module) is exact with zero tolerance.
+    """
+    from ..functions.hashing import md5_bucket_col
+    from ..operators.sketch import bloom_build, bloom_contains
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("doc-"), F.col("doc_id").cast("bigint").cast("string")
+            ).alias("v")
+        )
+        .withColumn("file_id", md5_bucket_col(F.col("v"), FSI_FILES))
+    )
+    blooms = bloom_build(
+        d, "v", m_bits=FSI_M_BITS, k=FSI_K, group_cols=("file_id",)
+    )
+    probes = spark.createDataFrame(
+        [(f"doc-{i}",) for i in FSI_PROBE_IDS], "v string"
+    )
+    grid = probes.crossJoin(
+        F.broadcast(spark.range(FSI_FILES).select(F.col("id").alias("file_id")))
+    )
+    verdicts = bloom_contains(
+        blooms, grid, "v", m_bits=FSI_M_BITS, k=FSI_K, group_cols=("file_id",)
+    )
+    truth = d.groupBy("v").agg(F.min("file_id").alias("true_file"))
+    return (
+        verdicts.join(truth, "v", "left")
+        .groupBy(F.col("v").alias("probe"))
+        .agg(
+            F.max(F.col("true_file").isNotNull()).alias("doc_exists"),
+            F.sum(F.col("maybe_present").cast("bigint")).alias("n_candidate_files"),
+            F.max(
+                F.coalesce(
+                    F.col("maybe_present") & (F.col("file_id") == F.col("true_file")),
+                    F.lit(False),
+                )
+            ).alias("true_file_covered"),
+        )
+    )
+
+
+def q_file_skip_index_sql(sf: str) -> str:
+    from ..functions.hashing import md5_bucket_sql
+    from ..operators.sketch import bloom_sql
+
+    probes_vals = ", ".join(f"('doc-{i}')" for i in FSI_PROBE_IDS)
+    inner = bloom_sql(
+        "assigned", "v", "grid", "v",
+        m_bits=FSI_M_BITS, k=FSI_K, group_expr="file_id",
+    )
+    return f"""
+        with assigned as (
+          select 'doc-' || cast(doc_id as varchar) as v,
+                 {md5_bucket_sql("('doc-' || cast(doc_id as varchar))", FSI_FILES)}
+                   as file_id
+          from documents
+        ),
+        probe_vals (v) as (values {probes_vals}),
+        grid as (
+          select p.v, f.file_id
+          from probe_vals p
+          cross join (select unnest(range({FSI_FILES})) as file_id) f
+        ),
+        {inner},
+        truth as (select v, min(file_id) as true_file from assigned group by 1)
+        select e.v as probe,
+               bool_or(t.true_file is not null) as doc_exists,
+               sum(case when e.maybe_present then 1 else 0 end)::BIGINT
+                 as n_candidate_files,
+               bool_or(coalesce(
+                 e.maybe_present and e.grp = t.true_file, false
+               )) as true_file_covered
+        from bloom_e e
+        left join truth t on t.v = e.v
+        group by 1
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5477,6 +5585,9 @@ QUERIES: dict[str, tuple] = {
     # r5: Efraimidis-Spirakis weighted sampling (∝ doc length) — exact
     # integer rank keys, TakeOrdered top-k
     "weighted_sample": (q_weighted_sample, q_weighted_sample_sql),
+    # r5: per-file Bloom skip index — the data-skipping secondary
+    # index; no-false-negative law as a checked row set
+    "file_skip_index": (q_file_skip_index, q_file_skip_index_sql),
 }
 
 

@@ -596,3 +596,96 @@ def test_heavy_hitters_registered_query_nonempty(spark, sf):
     from logparser_llm_spark.plans.queries import QUERIES
 
     assert QUERIES["heavy_hitters"][0](spark, sf).count() > 0
+
+
+# --- grouped Bloom (per-file skip index) --------------------------------
+
+def test_grouped_bloom_filters_are_independent(spark):
+    """A value inserted only into group 0 must read maybe_present=false
+    against group 1's filter (independent filters), true against its
+    own; exact parity with the per-group Python build."""
+    from logparser_llm_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_py,
+        bloom_build_py,
+    )
+
+    m, k = 1 << 12, 3
+    rows = [(i % 2, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g bigint, v string")
+    blooms = bloom_build(df, "v", m_bits=m, k=k, group_cols=("g",))
+    grid = spark.createDataFrame(
+        [(g, f"v{i}") for g in (0, 1) for i in (0, 1, 2, 3, 999)],
+        "g bigint, v string",
+    )
+    got = {
+        (r["g"], r["v"]): r["maybe_present"]
+        for r in bloom_contains(
+            blooms, grid, "v", m_bits=m, k=k, group_cols=("g",)
+        ).collect()
+    }
+    ref = {
+        g: bloom_build_py([v for gg, v in rows if gg == g], m_bits=m, k=k)
+        for g in (0, 1)
+    }
+    for (g, v), maybe in got.items():
+        assert maybe == bloom_contains_py(ref[g], v, m_bits=m, k=k)
+    # membership follows the group: v0 lives in group 0 only
+    assert got[(0, "v0")] and got[(1, "v1")]
+    assert not got[(1, "v0")] and not got[(0, "v1")]
+    assert not got[(0, "v999")] and not got[(1, "v999")]
+
+
+def test_grouped_bloom_sql_matches_spark(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_sql,
+    )
+
+    m, k = 1 << 10, 4
+    rows = [(i % 3, f"key{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "g bigint, v string")
+    grid_rows = [(g, f"key{i}") for g in range(3) for i in (0, 1, 2, 50)]
+    grid = spark.createDataFrame(grid_rows, "g bigint, v string")
+    got = sorted(
+        (r["g"], r["v"], r["maybe_present"])
+        for r in bloom_contains(
+            bloom_build(df, "v", m_bits=m, k=k, group_cols=("g",)),
+            grid, "v", m_bits=m, k=k, group_cols=("g",),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table s (g bigint, v varchar)")
+    con.executemany("insert into s values (?, ?)", rows)
+    con.execute("create table p (g bigint, v varchar)")
+    con.executemany("insert into p values (?, ?)", grid_rows)
+    inner = bloom_sql("s", "v", "p", "v", m_bits=m, k=k, group_expr="g")
+    duck = con.execute(
+        f"with {inner} select grp, v, maybe_present from bloom_e"
+    ).fetchall()
+    assert sorted(duck) == got
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_file_skip_index_laws(spark, sf):
+    """No false negatives (true_file_covered == doc_exists on every
+    probe), the absent-everywhere probe exists nowhere, and the index
+    actually skips: every existing probe's candidate count is far
+    below the 16-file full scan."""
+    from logparser_llm_spark.plans.queries import QUERIES, FSI_FILES
+
+    rows = {r["probe"]: r for r in QUERIES["file_skip_index"][0](spark, sf).collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r["true_file_covered"] == r["doc_exists"]
+    assert not rows["doc-99999"]["doc_exists"]
+    assert rows["doc-0"]["doc_exists"] and rows["doc-444"]["doc_exists"]
+    exists_4999 = rows["doc-4999"]["doc_exists"]
+    assert exists_4999 == ("sf0.1" in sf)
+    for r in rows.values():
+        if r["doc_exists"]:
+            assert 1 <= r["n_candidate_files"] <= FSI_FILES // 4
