@@ -172,6 +172,10 @@ def __getattr__(name):
             "logparser_llm_spark.streaming.incremental",
             "windowed_cms_counters",
         ),
+        "windowed_loghist_counters": (
+            "logparser_llm_spark.streaming.incremental",
+            "windowed_loghist_counters",
+        ),
         "stream_dedup_exact": (
             "logparser_llm_spark.streaming.incremental",
             "stream_dedup_exact",

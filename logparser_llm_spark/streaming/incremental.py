@@ -364,3 +364,67 @@ def windowed_cms_counters(
             "cnt",
         )
     )
+
+
+def windowed_loghist_counters(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    sub_bits: int = None,  # type: ignore[assignment]
+) -> DataFrame:
+    """Streaming quantile state: log-histogram bucket counters per
+    (tumbling window, key), maintained by ONE watermarked streaming
+    aggregation (counter COUNT per bucket — additive, so update-mode
+    re-emits only ever grow a counter, exactly the CMS contract).
+    Completes the streaming faces of the mergeable-sketch QUARTET:
+    HLL = how many distinct, Bloom = have we seen it, CMS = how often,
+    log-histogram = how BIG (p50/p95/p99 latency-style rollups).
+
+    The COUNTERS are the output on purpose, like the siblings: they
+    are the mergeable form (``operators.sketch.loghist_merge`` —
+    per-bucket sum), so a sink table of counters rolls hour→day→month
+    without rescanning the stream; finish with
+    ``operators.sketch.loghist_quantiles`` at read time. Per-(window,
+    key) state is ≤ a few hundred bucket counters regardless of stream
+    length; NULL values are skipped and negative values raise, the
+    batch builder's exact contract."""
+    from ..operators.sketch import (
+        LOGHIST_DEFAULT_SUB_BITS,
+        _check_loghist,
+        _loghist_bucket_sql,
+    )
+
+    if sub_bits is None:
+        sub_bits = LOGHIST_DEFAULT_SUB_BITS
+    _check_loghist(sub_bits)
+    bucket = F.expr(_loghist_bucket_sql("__lh_v", sub_bits, duck=False))
+    guarded = F.when(
+        F.expr("assert_true(__lh_v >= 0, 'loghist: negative value')").isNull(),
+        bucket,
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            F.col(key_col),
+            F.col(value_col).cast("bigint").alias("__lh_v"),
+        )
+        .select(ts_col, key_col, guarded.alias("bucket"))
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(key_col),
+            F.col("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "bucket",
+            "cnt",
+        )
+    )

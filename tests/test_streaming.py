@@ -700,3 +700,85 @@ def test_windowed_cms_counters_stream_matches_batch(spark, tmp_path):
         est = cms_estimate_py(
             by_group[(w, site)], term, depth=depth, width=width)
         assert est >= true_n
+
+
+def test_windowed_loghist_counters_stream_matches_batch(spark, tmp_path):
+    """Streaming log-histogram counters per (window, key) across two
+    micro-batches: the latest counter values must equal a BATCH
+    loghist_build per (window, key) over the union, and quantiles
+    finished from the streamed counters must satisfy the sketch's
+    accuracy contract (p_est <= p_exact < p_est * (1 + 1/2^sub_bits))
+    against the exact per-group ranks."""
+    import datetime as dt
+
+    from logparser_llm_spark.operators.sketch import (
+        loghist_build,
+        loghist_quantiles,
+    )
+    from logparser_llm_spark.streaming.incremental import windowed_loghist_counters
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 6, 1, 8, 0, 0)
+    wave1 = [
+        ("api", (i * 37) % 900 + 1, base + dt.timedelta(minutes=i % 50))
+        for i in range(160)
+    ]
+    wave2 = [
+        ("api", (i * 53) % 4000 + 1, base + dt.timedelta(minutes=60 + i % 50))
+        for i in range(90)
+    ] + [
+        ("db", (i * 11) % 120 + 1, base + dt.timedelta(minutes=i % 50))
+        for i in range(40)
+    ]
+    schema = "svc string, lat_ms bigint, ts timestamp"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    counters = windowed_loghist_counters(
+        stream, "svc", "lat_ms", ts_col="ts", window="1 hour",
+        watermark="10 minutes",
+    )
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("lh_counters")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.sql(
+        "select window_start, svc, bucket, max(cnt) as cnt "
+        "from lh_counters group by 1, 2, 3"
+    )
+    batch = spark.read.parquet(src).select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "svc",
+        "lat_ms",
+    )
+    want = {
+        tuple(r)
+        for r in loghist_build(batch, ["window_start", "svc"], "lat_ms").collect()
+    }
+    streamed = {tuple(r) for r in got.collect()}
+    assert streamed == want and len(want) > 20
+
+    # finish quantiles from the STREAMED state; check the accuracy law
+    # against exact ranks computed driver-side
+    est = {
+        (r["window_start"], r["svc"]): (r["p50"], r["p95"], r["p99"])
+        for r in loghist_quantiles(got, ["window_start", "svc"]).collect()
+    }
+    groups: dict = {}
+    for r in batch.collect():
+        groups.setdefault((r["window_start"], r["svc"]), []).append(r["lat_ms"])
+    assert set(est) == set(groups)
+    for g, vals in groups.items():
+        vals.sort()
+        for p_est, pct in zip(est[g], (50, 95, 99)):
+            exact = vals[(len(vals) * pct + 99) // 100 - 1]
+            assert p_est <= exact < max(p_est * (1 + 1 / 8), p_est + 1), (g, pct)
