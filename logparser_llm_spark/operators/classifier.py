@@ -160,8 +160,12 @@ def nb_predict(
     if c > MAX_CLASSES:
         raise ValueError(f"more than {MAX_CLASSES} classes")
     n_docs = sum(r["docs_c"] for r in cls_rows)
+    # the class dim is already on the driver — rebuild it as a local
+    # frame so the plan's three consumers (wq, base) don't recompute
+    # the label scan + n_c aggregate (review finding: 4 redundant jobs)
+    classes_local = df.sparkSession.createDataFrame(cls_rows, classes.schema)
     # class dim with prior and the unseen-word baseline, all ln in JVM
-    cls = classes.select(
+    cls = classes_local.select(
         "label",
         "n_c",
         _q_e6(

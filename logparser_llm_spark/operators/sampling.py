@@ -375,6 +375,9 @@ def weighted_sample(
     _check_key_type(df, key_col)
     if not (isinstance(k, int) and k >= 1):
         raise ValueError(f"k must be a positive int, got {k}")
+    clash = {"es_key_e12", "__es_w", "__es_q"} & set(df.columns)
+    if clash:
+        raise ValueError(f"reserved output column name(s): {sorted(clash)}")
     wtype = dict(df.dtypes).get(weight_col)
     if wtype not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -452,5 +455,7 @@ def weighted_sample_py(
         x = math.log((s + 1) / _ES_SPACE) * _E6
         q = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
         out.append((key, -((-q) * _E6 // w)))
-    out.sort(key=lambda t: (-t[1], str(t[0])))
+    # NATURAL key order for the tie-break — the engines order the typed
+    # key column, so str() here would pick '10' < '2' on integer ties
+    out.sort(key=lambda t: (-t[1], t[0]))
     return out[:k]

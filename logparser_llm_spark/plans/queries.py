@@ -5076,10 +5076,18 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.layout import morton_code, zorder_file
 
+    # negative inputs must fail loudly BEFORE the scaling division:
+    # Spark `div` truncates toward zero, so a small negative would
+    # slip into tile 0 past the morton guard while DuckDB's `//`
+    # floors to -1 (the review-caught divergence)
+    guard = F.expr(
+        "assert_true(user_id >= 0 and value >= 0,"
+        " 'zorder_layout: negative input')"
+    )
     ev = (
         _read(spark, sf_dir, "events")
         .select(
-            F.expr(ZORDER_X_SPARK).alias("x"),
+            F.when(guard.isNull(), F.expr(ZORDER_X_SPARK)).alias("x"),
             F.expr(ZORDER_Y_SPARK).alias("y"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both strategies

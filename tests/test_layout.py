@@ -141,3 +141,16 @@ def test_registered_query_pruning_claim(spark, sf):
     assert max(r["y_span"] for r in zo) <= 63
     y_all = max(r["y_max"] for r in li) - min(r["y_min"] for r in li)
     assert max(r["y_span"] for r in li) >= y_all * 0.9
+
+
+def test_registered_query_rejects_negative_inputs(spark, tmp_path):
+    """Spark `div` truncates toward zero, so a small negative scaled
+    value would silently land in tile 0 while DuckDB floors to -1 —
+    the query must fail loudly BEFORE the division instead."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    spark.createDataFrame(
+        [(1, -0.5), (2, 3.0)], "user_id bigint, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="negative input"):
+        QUERIES["zorder_layout"][0](spark, str(tmp_path)).collect()

@@ -336,3 +336,11 @@ def test_weighted_sample_registered_query_prefers_long_docs(spark, sf):
     )
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_reserved_columns_rejected(spark):
+    from logparser_llm_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 2, 3)], "id bigint, w bigint, es_key_e12 bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        weighted_sample(df, "id", "w", 1)
