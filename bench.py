@@ -158,6 +158,14 @@ HEADLINE = [
     "weighted_sample",
     # round 5 (closing): per-file Bloom skip index
     "file_skip_index",
+    # round 5 (seventh arc): event-analytics quartet + collocations +
+    # ingestion profiler
+    "funnel_steps",
+    "event_transitions",
+    "cohort_retention",
+    "burst_hours",
+    "pmi_bigrams",
+    "table_profile",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -178,6 +186,8 @@ LARGE_RESULT = {
     "incremental_dedup",
     "dsir_select", "chunk_windows", "c4_badwords", "ccnet_para_dedup",
     "doc_keywords", "nb_classify", "scd2_history",
+    # r5 seventh arc: the full scored hourly series (thousands of rows)
+    "burst_hours",
 }
 
 

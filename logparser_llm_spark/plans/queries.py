@@ -5373,6 +5373,226 @@ def q_file_skip_index_sql(sf: str) -> str:
     """
 
 
+# Event analytics (operators/events.py): funnel / transitions /
+# cohort / burst over the events stream. Calibration constants are
+# pinned here and verified class-complete at sf0.01 AND sf0.1 in
+# tests/test_events.py.
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 86_400  # 24h: 150/60/25 users at sf0.01, 1500/536/217 at sf0.1
+COHORT_THIN_MOD = 29  # sparse-signal thinning: ~2.3 thinned events/user
+# seeded surge hour for burst detection: 2024-01-15 12:00:00 UTC —
+# mid-corpus, so 24h of trailing baseline exists on every scale
+BURST_EPOCH_S = 1_705_320_000
+BURST_HOUR_IDX = BURST_EPOCH_S // 3600
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-attempt windowed funnel view→click→purchase within 24h
+    (operators/events.py:funnel_counts).
+
+    Scale shape: the event stream is never shuffled — each step is a
+    filter-pushed scan joined (broadcast) against the previous step's
+    per-user anchor frame (≤ |users| rows, persisted, shrinking per
+    step) and reduced by a partially-aggregable min. The 24h window is
+    calibrated so the funnel is strictly decreasing and non-empty at
+    both driver scales (pinned in tests/test_events.py).
+    """
+    from ..operators.events import funnel_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
+        window_s=FUNNEL_WINDOW_S,
+    )
+
+
+def q_funnel_steps_sql(sf: str) -> str:
+    from ..operators.events import funnel_sql
+
+    return funnel_sql(
+        events="events", user_col="user_id", ts_col="ts",
+        type_col="event_type", steps=FUNNEL_STEPS,
+        window_s=FUNNEL_WINDOW_S,
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix
+    (operators/events.py:event_transitions): per-user event sequences
+    (total order: ts micros, event_id tiebreak) → (from, to) adjacent
+    pair counts + integer-permille transition probabilities.
+
+    One shuffle on user_id (the lead window), then a partially-
+    aggregable count down to ≤ |event types|² rows.
+    """
+    from ..operators.events import event_transitions
+
+    ev = _read(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", ["event_id"])
+
+
+def q_event_transitions_sql(sf: str) -> str:
+    from ..operators.events import transitions_sql
+
+    return transitions_sql(
+        events="events", user_col="user_id", ts_col="ts",
+        type_col="event_type", order_cols=["event_id"],
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/events.py:cohort_retention) over a deterministically
+    thinned stream (event_id % 29 == 0 ≈ a sparse engagement signal —
+    the raw stream is so dense every user is active every week and the
+    triangle collapses to 1000s; thinned, every cohort week and partial
+    retention class occurs at BOTH driver scales, pinned in pytest).
+
+    Two shuffles regardless of stream size: first-seen per user and
+    the distinct over (cohort, offset, user), both partially
+    aggregable; the dimension joins broadcast.
+    """
+    from ..operators.events import cohort_retention
+
+    ev = _read(spark, sf_dir, "events").where(
+        F.col("event_id") % COHORT_THIN_MOD == 0
+    )
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def q_cohort_retention_sql(sf: str) -> str:
+    from ..operators.events import cohort_sql
+
+    return cohort_sql(
+        events=f"(select * from events where event_id % {COHORT_THIN_MOD} = 0)",
+        user_col="user_id", ts_col="ts",
+    )
+
+
+def _burst_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ∪ a seeded surge: every error event contributes 2 extra
+    copies inside the 2024-01-15 12:00 UTC hour (ts spread over the
+    hour by event_id % 3600 s) — the same seeded-corpus pattern as the
+    SCD snapshots, so a burst provably exists at every scale while the
+    rest of the series stays the natural baseline."""
+    ev = _read(spark, sf_dir, "events").select("ts", "event_type")
+    surge = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(2))).alias("__copy"),
+            F.timestamp_micros(
+                (F.lit(BURST_EPOCH_S) + F.col("event_id") % 3600)
+                * F.lit(1_000_000)
+            ).alias("ts"),
+            F.col("event_type"),
+        )
+        .select("ts", "event_type")
+    )
+    return ev.unionByName(surge)
+
+
+def q_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window burst detection (operators/events.py:
+    burst_hours) on hourly per-type counts of the seeded-surge stream:
+    a bucket is a burst when count exceeds 2× the trailing-24h mean,
+    tested as the exact integer cross-multiplication n·wn > 2·wsum
+    (12-bucket warm-up, absolute floor 5). Full scored series out, so
+    the oracle checks the negative class too.
+
+    One partially-aggregable groupBy down to (type, hour) — thousands
+    of rows however large the stream — then a per-type RANGE-frame
+    window (gap-aware) on the tiny frame.
+    """
+    from ..operators.events import burst_hours
+
+    return burst_hours(_burst_stream(spark, sf_dir), "ts", "event_type")
+
+
+def q_burst_hours_sql(sf: str) -> str:
+    from ..operators.events import burst_sql
+
+    stream = f"""(
+      select ts, event_type from events
+      union all
+      select make_timestamp(({BURST_EPOCH_S} + event_id % 3600) * 1000000)
+               as ts, event_type
+      from events, unnest(range(1, 3)) as t(i)
+      where event_type = 'error'
+    )"""
+    return burst_sql(events=stream, ts_col="ts", type_col="event_type")
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection (operators/collocation.py:bigram_pmi):
+    top-100 adjacent word pairs of the documents corpus by the
+    integer-exact PMI-monotone score — the word2phrase step of a
+    tokenizer-training pipeline.
+
+    Tokenize/zip/explode are pure JVM array ops; counts are partially
+    aggregable down to vocab size; the unigram joins broadcast; top-k
+    compiles to TakeOrderedAndProject. Bigint headroom is guarded with
+    a loud assert_true (NU ≤ 3e6) instead of Spark's silent non-ANSI
+    overflow wrap.
+    """
+    from ..operators.collocation import bigram_pmi
+
+    return bigram_pmi(_read(spark, sf_dir, "documents"), "text")
+
+
+def q_pmi_bigrams_sql(sf: str) -> str:
+    from ..operators.collocation import bigram_pmi_sql
+
+    return bigram_pmi_sql(docs="documents", text_col="text")
+
+
+# staged profile columns: everything integerized/stringified per the
+# repo convention; type_nonerr exercises the NULL-count path
+# deterministically (nullif never fires on 'error' rows)
+PROFILE_COLS = (
+    "event_id", "user_id", "event_type", "value_e2", "props", "ts_us",
+    "type_nonerr",
+)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion profiling (operators/profile.py:table_profile): per-
+    column n_rows / n_nulls / exact n_distinct / min / max over the
+    staged events table (doubles → cents, timestamps → epoch micros,
+    plus a deliberately nullable column so the NULL path is hot).
+
+    ONE aggregation pass (Expand strategy for the multi-column exact
+    distincts → a single one-row shuffle), unpivoted to per-column rows
+    by an explode over a 7-element array. The extreme-scale variant
+    swaps exact distincts for the HLL sketch (operators/sketch.py).
+    """
+    from ..operators.profile import table_profile
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type"),
+        e2(F.col("value"), "value_e2"),
+        F.col("props"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("nullif(event_type, 'error')").alias("type_nonerr"),
+    )
+    return table_profile(ev, PROFILE_COLS)
+
+
+def q_table_profile_sql(sf: str) -> str:
+    from ..operators.profile import table_profile_sql
+
+    staged = """(
+      select event_id::BIGINT as event_id, user_id::BIGINT as user_id,
+             event_type, cast(round(value * 100) as BIGINT) as value_e2,
+             props, epoch_us(ts) as ts_us,
+             nullif(event_type, 'error') as type_nonerr
+      from events
+    )"""
+    return table_profile_sql(rel=staged, cols=PROFILE_COLS)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5596,6 +5816,19 @@ QUERIES: dict[str, tuple] = {
     # r5: per-file Bloom skip index — the data-skipping secondary
     # index; no-false-negative law as a checked row set
     "file_skip_index": (q_file_skip_index, q_file_skip_index_sql),
+    # r5 (seventh arc): event-analytics quartet — windowed funnel,
+    # Markov transitions, cohort retention, trailing-window burst
+    # detection (operators/events.py; integer-exact rates and tests)
+    "funnel_steps": (q_funnel_steps, q_funnel_steps_sql),
+    "event_transitions": (q_event_transitions, q_event_transitions_sql),
+    "cohort_retention": (q_cohort_retention, q_cohort_retention_sql),
+    "burst_hours": (q_burst_hours, q_burst_hours_sql),
+    # r5 (seventh arc): adjacent-bigram PMI collocations (word2phrase)
+    # with pure-bigint scoring
+    "pmi_bigrams": (q_pmi_bigrams, q_pmi_bigrams_sql),
+    # r5 (seventh arc): per-column ingestion profile (exact distincts,
+    # Expand strategy; staged to string/bigint for engine portability)
+    "table_profile": (q_table_profile, q_table_profile_sql),
 }
 
 

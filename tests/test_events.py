@@ -1,0 +1,400 @@
+"""Event analytics (operators/events.py), collocations
+(operators/collocation.py) and the table profiler
+(operators/profile.py): constructed-corpus differentials vs the
+module Python references, semantic edge cases (window boundaries,
+warm-up, gaps, NULLs), validation contracts, plan gates, and the
+registered queries' class-completeness at sf0.01 AND sf0.1."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.collocation import bigram_pmi, bigram_pmi_py
+from logparser_llm_spark.operators.events import (
+    burst_hours,
+    burst_py,
+    cohort_py,
+    cohort_retention,
+    event_transitions,
+    funnel_counts,
+    funnel_py,
+    transitions_py,
+)
+from logparser_llm_spark.operators.profile import table_profile, table_profile_py
+
+US = 1_000_000
+
+
+def _ts(sec: int):
+    from datetime import datetime, timedelta
+
+    return datetime(2024, 1, 1) + timedelta(seconds=sec)
+
+
+EPOCH_2024 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+# (user, sec, type): u1 completes A->B->C inside the window; u2's B is
+# exactly AT the window edge (inclusive); u3's B is one second past it;
+# u4's B precedes their first A (strictly-after is violated); u5 has a
+# later A that WOULD convert but first-attempt does not credit it.
+FUNNEL_ROWS = [
+    ("u1", 0, "A"), ("u1", 10, "B"), ("u1", 20, "C"),
+    ("u2", 0, "A"), ("u2", 60, "B"),
+    ("u3", 0, "A"), ("u3", 61, "B"),
+    ("u4", 50, "A"), ("u4", 40, "B"),
+    ("u5", 0, "A"), ("u5", 1000, "A"), ("u5", 1010, "B"),
+]
+
+
+@pytest.fixture(scope="module")
+def funnel_df(spark):
+    return spark.createDataFrame(
+        [(u, _ts(s), t) for u, s, t in FUNNEL_ROWS],
+        "user_id string, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_semantics_and_python_reference(funnel_df):
+    got = sorted(
+        tuple(r)
+        for r in funnel_counts(
+            funnel_df, "user_id", "ts", "event_type", ["A", "B", "C"],
+            window_s=60,
+        ).collect()
+    )
+    ref = sorted(
+        funnel_py(
+            [((u), (EPOCH_2024 + s) * US, t) for u, s, t in FUNNEL_ROWS],
+            ["A", "B", "C"],
+            60,
+        )
+    )
+    assert got == ref
+    by_step = {r[0]: r for r in got}
+    # u1 + u2 reach B (edge inclusive), u3/u4/u5 do not; only u1 reaches C
+    assert by_step[1][2] == 5
+    assert by_step[2][2] == 2 and by_step[2][3] == 400
+    assert by_step[3][2] == 1 and by_step[3][3] == 500
+
+
+def test_funnel_empty_middle_step_yields_zero_tail(funnel_df):
+    rows = {
+        tuple(r)
+        for r in funnel_counts(
+            funnel_df, "user_id", "ts", "event_type", ["A", "X", "C"],
+            window_s=60,
+        ).collect()
+    }
+    assert (1, "A", 5, 1000) in rows
+    assert (2, "X", 0, 0) in rows
+    assert (3, "C", 0, 0) in rows
+
+
+def test_funnel_validation(funnel_df):
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_counts(funnel_df, "user_id", "ts", "event_type", ["A"],
+                      window_s=60)
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(funnel_df, "user_id", "ts", "event_type",
+                      ["A", "A"], window_s=60)
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts(funnel_df, "user_id", "ts", "event_type",
+                      ["A", "B"], window_s=0)
+    with pytest.raises(ValueError, match="reserved"):
+        funnel_counts(
+            funnel_df.withColumnRenamed("user_id", "step"),
+            "step", "ts", "event_type", ["A", "B"], window_s=60,
+        )
+
+
+def test_funnel_plan_broadcasts_anchor_frames(funnel_df):
+    from logparser_llm_spark.plans.inspect import plan_facts
+
+    df = funnel_counts(
+        funnel_df, "user_id", "ts", "event_type", ["A", "B", "C"],
+        window_s=60,
+    )
+    facts = plan_facts(df)
+    assert facts["broadcast_hash_join"]
+    assert not facts["sort_merge_join"]
+    assert not facts["python_udf"]
+
+
+# ---------------------------------------------------------------------------
+# transitions
+# ---------------------------------------------------------------------------
+
+# u1: A B A C (with a same-timestamp tie broken by the order col);
+# u2: single event -> contributes no pair
+TRANS_ROWS = [
+    ("u1", 0, "A", 1), ("u1", 10, "B", 2),
+    ("u1", 10, "A", 3),  # ties with the B row; order col puts it after
+    ("u1", 20, "C", 4),
+    ("u2", 5, "B", 5),
+]
+
+
+def test_transitions_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(u, _ts(s), t, o) for u, s, t, o in TRANS_ROWS],
+        "user_id string, ts timestamp, event_type string, event_id bigint",
+    )
+    got = sorted(
+        tuple(r)
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", ["event_id"]
+        ).collect()
+    )
+    ref = transitions_py(
+        [(u, (EPOCH_2024 + s) * US, t, o) for u, s, t, o in TRANS_ROWS]
+    )
+    assert got == ref
+    assert ("A", "B", 1, 500) in got and ("A", "C", 1, 500) in got
+    assert ("B", "A", 1, 1000) in got
+
+
+def test_transitions_requires_order_cols(spark):
+    df = spark.createDataFrame(
+        [("u", _ts(0), "A", 1)],
+        "user_id string, ts timestamp, event_type string, event_id bigint",
+    )
+    with pytest.raises(ValueError, match="order_cols"):
+        event_transitions(df, "user_id", "ts", "event_type", [])
+
+
+# ---------------------------------------------------------------------------
+# cohort
+# ---------------------------------------------------------------------------
+
+# bucket_s=10: u1 first in bucket 0, active 0 and 2 (gap at 1);
+# u2 first in bucket 1, active 1 only; u3 first in bucket 0, active 0,1
+COHORT_ROWS = [
+    ("u1", 5), ("u1", 25), ("u1", 7),
+    ("u2", 15),
+    ("u3", 2), ("u3", 12),
+]
+
+
+def test_cohort_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(u, _ts(s)) for u, s in COHORT_ROWS],
+        "user_id string, ts timestamp",
+    )
+    got = sorted(
+        tuple(r)
+        for r in cohort_retention(df, "user_id", "ts", bucket_s=10).collect()
+    )
+    ref = cohort_py(
+        [(u, (EPOCH_2024 + s) * US) for u, s in COHORT_ROWS], bucket_s=10
+    )
+    # identical buckets shifted by the 2024 epoch offset on both sides
+    assert got == ref
+    offsets = {(r[1], r[2]) for r in got if r[3] == 2}  # the 2-user cohort
+    assert (0, 2) in offsets  # both active at offset 0
+    assert (1, 1) in offsets and (2, 1) in offsets  # gap pattern survives
+
+
+def test_cohort_validation(spark):
+    df = spark.createDataFrame([("u", _ts(0))], "user_id string, ts timestamp")
+    with pytest.raises(ValueError, match="positive"):
+        cohort_retention(df, "user_id", "ts", bucket_s=0)
+
+
+# ---------------------------------------------------------------------------
+# burst
+# ---------------------------------------------------------------------------
+
+
+def _burst_rows():
+    # type 'x': buckets 0..11 at 2/bucket (warm-up exactly satisfied at
+    # bucket 12), bucket 12 spikes to 10 (burst), bucket 13 back to 2
+    # (wsum now includes the spike -> not a burst); bucket 20 spikes
+    # after a short gap — its RANGE frame still sees the 14 present
+    # buckets 0..13 (gap-aware: present buckets count, missing ones
+    # don't), so it alerts; bucket 50 spikes after a long gap — the
+    # trailing frame 26..49 is empty, wn=0 < min_periods, so an
+    # isolated spike with no baseline can never alert.
+    rows = []
+    for b in range(12):
+        rows += [(b * 3600 + 1, "x"), (b * 3600 + 2, "x")]
+    rows += [(12 * 3600 + i, "x") for i in range(10)]
+    rows += [(13 * 3600 + 1, "x"), (13 * 3600 + 2, "x")]
+    rows += [(20 * 3600 + i, "x") for i in range(30)]
+    rows += [(50 * 3600 + i, "x") for i in range(30)]
+    return rows
+
+
+def test_burst_matches_python_reference_and_semantics(spark):
+    rows = _burst_rows()
+    df = spark.createDataFrame(
+        [(_ts(s), t) for s, t in rows], "ts timestamp, event_type string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in burst_hours(df, "ts", "event_type", min_periods=12).collect()
+    )
+    base = EPOCH_2024 // 3600
+    ref = burst_py(
+        [((EPOCH_2024 + s) * US, t) for s, t in rows], min_periods=12
+    )
+    assert got == ref
+    flags = {r[1] - base: r[5] for r in got}
+    assert flags[12] is True  # the seeded spike
+    assert flags[11] is False  # warm-up not yet satisfied (wn=11)
+    assert flags[13] is False  # trailing window absorbed the spike
+    assert flags[20] is True  # short gap: 14 trailing buckets remain
+    assert flags[50] is False  # long gap: wn=0, no baseline -> no alert
+
+
+def test_burst_validation(spark):
+    df = spark.createDataFrame([(_ts(0), "x")], "ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="positive"):
+        burst_hours(df, "ts", "event_type", bucket_s=0)
+    with pytest.raises(ValueError, match="min_periods"):
+        burst_hours(df, "ts", "event_type", min_periods=0)
+    with pytest.raises(ValueError, match="min_periods"):
+        burst_hours(df, "ts", "event_type", trail=5, min_periods=6)
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+PHRASE_TEXTS = [
+    "new york is far from new jersey",
+    "new york and new york again",
+    "  padded   spacing  new york  ",
+    "york new",
+]
+
+
+def test_bigram_pmi_matches_python_reference(spark):
+    df = spark.createDataFrame([(t,) for t in PHRASE_TEXTS], "text string")
+    got = [tuple(r) for r in bigram_pmi(df, "text", min_count=2, k=5).collect()]
+    ref = bigram_pmi_py(PHRASE_TEXTS, min_count=2, k=5)
+    assert got == ref
+    assert got[0][:2] == ("new", "york")  # the collocation wins
+    # counts are exact: 'new york' appears 4 times across docs
+    top = {(r[0], r[1]): r[2] for r in got}
+    assert top[("new", "york")] == 4
+
+
+def test_bigram_pmi_validation_and_single_token_docs(spark):
+    df = spark.createDataFrame([("solo",), ("",)], "text string")
+    assert bigram_pmi(df, "text", min_count=1).collect() == []
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_pmi(df, "text", min_count=0)
+    with pytest.raises(ValueError, match="k"):
+        bigram_pmi(df, "text", k=0)
+
+
+# ---------------------------------------------------------------------------
+# profiler
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_matches_python_reference(spark):
+    rows = [
+        {"a": 1, "b": "x", "c": None},
+        {"a": 2, "b": "x", "c": None},
+        {"a": 2, "b": None, "c": None},
+    ]
+    df = spark.createDataFrame(
+        [(r["a"], r["b"], r["c"]) for r in rows],
+        "a bigint, b string, c string",
+    )
+    got = sorted(tuple(r) for r in table_profile(df).collect())
+    ref = sorted(table_profile_py(rows, ["a", "b", "c"]))
+    assert got == ref
+    by_col = {r[0]: r for r in got}
+    assert by_col["a"][1:] == (3, 0, 2, "1", "2")
+    assert by_col["b"][1:] == (3, 1, 1, "x", "x")
+    assert by_col["c"][1:] == (3, 3, 0, None, None)  # all-NULL column
+
+
+def test_table_profile_validation(spark):
+    df = spark.createDataFrame([(1.5, 1)], "d double, a bigint")
+    with pytest.raises(ValueError, match="stage to string/bigint"):
+        table_profile(df, ["d"])
+    with pytest.raises(ValueError, match="unknown column"):
+        table_profile(df, ["zz"])
+    with pytest.raises(ValueError, match="no columns"):
+        table_profile(df, [])
+    df2 = spark.createDataFrame([(1,)], "n_rows bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        table_profile(df2, ["n_rows"])
+
+
+def test_table_profile_plan_single_pass(spark):
+    from logparser_llm_spark.plans.inspect import physical_plan
+
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    plan = physical_plan(table_profile(df))
+    assert "Expand" in plan  # the multi-count-distinct strategy
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# registered queries: class completeness at sf0.01 AND sf0.1
+# ---------------------------------------------------------------------------
+
+SCALES = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_funnel_query_strictly_decreasing_and_nonempty(spark, sf):
+    from logparser_llm_spark.plans.queries import q_funnel_steps
+
+    rows = sorted(q_funnel_steps(spark, sf).collect(), key=lambda r: r["step"])
+    ns = [r["n_users"] for r in rows]
+    assert len(ns) == 3
+    assert ns[0] > ns[1] > ns[2] > 0  # calibrated: real drop at every step
+    assert rows[0]["conv_permille"] == 1000
+    assert all(0 < r["conv_permille"] < 1000 for r in rows[1:])
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_cohort_query_triangle_classes(spark, sf):
+    from logparser_llm_spark.plans.queries import q_cohort_retention
+
+    rows = q_cohort_retention(spark, sf).collect()
+    cohorts = {r["cohort_bucket"] for r in rows}
+    assert len(cohorts) >= 3  # thinning spreads first-seen over weeks
+    assert all(
+        r["retention_permille"] == 1000 for r in rows if r["offset"] == 0
+    )
+    partial = [r for r in rows if r["offset"] > 0]
+    assert partial and all(
+        0 < r["retention_permille"] < 1000 for r in partial
+    )
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_burst_query_seeded_hour_flags_both_classes(spark, sf):
+    from logparser_llm_spark.plans.queries import BURST_HOUR_IDX, q_burst_hours
+
+    rows = q_burst_hours(spark, sf).collect()
+    seeded = [
+        r for r in rows
+        if r["event_type"] == "error" and r["bucket_idx"] == BURST_HOUR_IDX
+    ]
+    assert len(seeded) == 1 and seeded[0]["is_burst"] is True
+    flags = {r["is_burst"] for r in rows}
+    assert flags == {True, False}  # negative class present too
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_transitions_query_full_matrix_and_permille_law(spark, sf):
+    from logparser_llm_spark.plans.queries import q_event_transitions
+
+    rows = q_event_transitions(spark, sf).collect()
+    assert len(rows) == 25  # all 5x5 transitions occur at driver scales
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["p_permille"])
+    for ps in by_from.values():
+        assert 1000 - len(ps) < sum(ps) <= 1000  # floor-division law
