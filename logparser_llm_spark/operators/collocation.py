@@ -40,6 +40,7 @@ def bigram_pmi(
     *,
     min_count: int = 5,
     k: int = 100,
+    nu_max: int = _NU_MAX,
 ) -> DataFrame:
     """Top-``k`` adjacent word pairs by integer PMI score.
 
@@ -47,11 +48,15 @@ def bigram_pmi(
     dropped on both the unigram and bigram sides. Output:
     ``(w1, w2, pc, c1, c2, score_e6)`` ordered by score desc with the
     (w1, w2) lexicographic total tiebreak baked into the limit.
+    ``nu_max`` exists so tests can trip the headroom guard on small
+    corpora; lowering it below the real bound is the only sane use.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if not (0 < nu_max <= _NU_MAX):
+        raise ValueError(f"nu_max must be in 1..{_NU_MAX}")
     toks = df.select(F.split(F.col(text_col), " +").alias("__l")).select(
         F.expr("filter(__l, x -> x <> '')").alias("__l")
     )
@@ -79,20 +84,22 @@ def bigram_pmi(
         .join(F.broadcast(cnt.select(F.col("w").alias("w2"),
                                      F.col("c").alias("c2"))), "w2")
         .crossJoin(F.broadcast(nu))
-        .withColumn(
-            "__guard",
-            F.expr(
-                f"assert_true(__nu <= {_NU_MAX},"
-                " 'bigram_pmi: corpus over bigint score headroom')"
-            ),
-        )
         .select(
             "w1",
             "w2",
             "pc",
             "c1",
             "c2",
-            F.expr("(pc * __nu * 1000000) div (c1 * c2)")
+            # the guard is woven INTO the kept expression (assert_true
+            # yields NULL on success, raises on violation) — a dropped
+            # side column would be pruned by Catalyst and never run
+            F.when(
+                F.expr(
+                    f"assert_true(__nu <= {nu_max},"
+                    " 'bigram_pmi: corpus over bigint score headroom')"
+                ).isNull(),
+                F.expr("(pc * __nu * 1000000) div (c1 * c2)"),
+            )
             .cast("bigint")
             .alias("score_e6"),
         )

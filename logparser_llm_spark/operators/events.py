@@ -28,8 +28,19 @@ Cross-engine determinism: all timestamps become **epoch microseconds**
 engines), every rate is an integer-permille via floor division of
 non-negative operands (Spark ``div`` == DuckDB ``//``), and the burst
 test is a pure integer cross-multiplication (``n·wn > mult·wsum`` —
-no float mean, no sqrt). Each operator's DuckDB twin is generated by
-the ``*_sql`` function in this module so the spellings cannot drift.
+no float mean, no sqrt). Time BUCKETING is exact floor division in
+pure integer arithmetic (``(us - pmod(us, b)) div b`` — see
+:func:`_floor_bucket`): Spark ``div`` and DuckDB ``//`` truncate
+toward zero while Python ``//`` floors, so a naive ``us / b`` (or a
+float division + cast) silently diverges from the module's own Python
+references on pre-epoch (negative) timestamps — exactly the corrupt-
+data profile a profiler/burst pass exists to surface.
+
+Caching: the per-step funnel anchors and the cohort first-seen frame
+persist MEMORY_AND_DISK without an explicit unpersist, per the repo's
+bench-managed cache convention — lazy results have no safe unpersist
+point inside the operator, caches are LRU-evictable, and bench.py
+``clearCache()``\\ s between queries.
 """
 
 from __future__ import annotations
@@ -53,6 +64,24 @@ def _ts_us(ts_col: str) -> F.Column:
     timezone — UTC on this host, matching DuckDB's naive-as-UTC
     ``epoch_us``."""
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _floor_bucket(us_col: str, bucket_us: int) -> F.Column:
+    """Floor-divide an epoch-micros column by the bucket width in pure
+    integer arithmetic. ``pmod`` is non-negative, so ``us - pmod`` is
+    the exact floor multiple and the closing ``div`` is exact — the
+    result equals Python's flooring ``//`` for EVERY input, including
+    pre-epoch (negative) timestamps where Spark's truncating ``div``
+    (and DuckDB's truncating ``//``) would round the other way."""
+    b = int(bucket_us)
+    return F.expr(f"({us_col} - pmod({us_col}, {b})) div {b}")
+
+
+def _floor_bucket_sql(us: str, bucket_us: int) -> str:
+    """DuckDB spelling of :func:`_floor_bucket` (``%`` follows the
+    dividend's sign there, so pmod is ``((x % b) + b) % b``)."""
+    b = int(bucket_us)
+    return f"(({us}) - ((({us}) % {b} + {b}) % {b})) // {b}"
 
 
 def funnel_counts(
@@ -291,9 +320,9 @@ def cohort_retention(
     if bucket_s <= 0:
         raise ValueError("bucket_s must be positive")
     bucket_us = int(bucket_s) * _US
-    d = df.select(
+    d = df.select(F.col(user_col), _ts_us(ts_col).alias("__us")).select(
         F.col(user_col),
-        (_ts_us(ts_col) / F.lit(bucket_us)).cast("bigint").alias("__bk"),
+        _floor_bucket("__us", bucket_us).cast("bigint").alias("__bk"),
     )
     first = (
         d.groupBy(user_col)
@@ -331,11 +360,13 @@ def cohort_sql(
 ) -> str:
     """DuckDB twin of :func:`cohort_retention`."""
     bucket_us = int(bucket_s) * _US
+    bk = _floor_bucket_sql("us", bucket_us)
     return f"""
-        with d as (
-          select {user_col},
-                 epoch_us({ts_col}) // {bucket_us} as bk
-          from {events}
+        with raw as (
+          select {user_col}, epoch_us({ts_col}) as us from {events}
+        ),
+        d as (
+          select {user_col}, {bk} as bk from raw
         ),
         firstseen as (
           select {user_col}, min(bk) as cohort_bucket from d group by 1
@@ -394,10 +425,14 @@ def burst_hours(
     if not (0 < min_periods <= trail):
         raise ValueError("min_periods must be in 1..trail")
     bucket_us = int(bucket_s) * _US
-    hourly = df.groupBy(
-        F.col(type_col).alias("event_type"),
-        (_ts_us(ts_col) / F.lit(bucket_us)).cast("bigint").alias("bucket_idx"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = (
+        df.select(F.col(type_col).alias("event_type"), _ts_us(ts_col).alias("__us"))
+        .groupBy(
+            "event_type",
+            _floor_bucket("__us", bucket_us).cast("bigint").alias("bucket_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_idx")
@@ -430,12 +465,15 @@ def burst_sql(
 ) -> str:
     """DuckDB twin of :func:`burst_hours`."""
     bucket_us = int(bucket_s) * _US
+    bk = _floor_bucket_sql("us", bucket_us)
     return f"""
-        with hourly as (
-          select {type_col} as event_type,
-                 epoch_us({ts_col}) // {bucket_us} as bucket_idx,
-                 count(*)::BIGINT as n
-          from {events} group by 1, 2
+        with raw as (
+          select {type_col} as event_type, epoch_us({ts_col}) as us
+          from {events}
+        ),
+        hourly as (
+          select event_type, {bk} as bucket_idx, count(*)::BIGINT as n
+          from raw group by 1, 2
         ),
         scored as (
           select event_type, bucket_idx, n,

@@ -5566,6 +5566,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     by an explode over a 7-element array. The extreme-scale variant
     swaps exact distincts for the HLL sketch (operators/sketch.py).
     """
+    from ..operators.events import _ts_us
     from ..operators.profile import table_profile
 
     ev = _read(spark, sf_dir, "events").select(
@@ -5574,7 +5575,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         e2(F.col("value"), "value_e2"),
         F.col("props"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        _ts_us("ts").alias("ts_us"),
         F.expr("nullif(event_type, 'error')").alias("type_nonerr"),
     )
     return table_profile(ev, PROFILE_COLS)

@@ -8,12 +8,18 @@ registered queries' class-completeness at sf0.01 AND sf0.1."""
 import pytest
 from pyspark.sql import functions as F
 
-from logparser_llm_spark.operators.collocation import bigram_pmi, bigram_pmi_py
+from logparser_llm_spark.operators.collocation import (
+    _NU_MAX,
+    bigram_pmi,
+    bigram_pmi_py,
+)
 from logparser_llm_spark.operators.events import (
     burst_hours,
     burst_py,
+    burst_sql,
     cohort_py,
     cohort_retention,
+    cohort_sql,
     event_transitions,
     funnel_counts,
     funnel_py,
@@ -250,6 +256,69 @@ def test_burst_matches_python_reference_and_semantics(spark):
     assert flags[50] is False  # long gap: wn=0, no baseline -> no alert
 
 
+def test_cohort_and_burst_pre_epoch_three_way_parity(spark):
+    """Review pin: time bucketing floors (pure integer arithmetic), so
+    pre-epoch (negative-micros) timestamps land in the same bucket on
+    Spark, DuckDB and the Python references. A truncating spelling
+    (float div + cast, or bare `div`/`//`) puts -1800s in bucket 0
+    instead of -1 and all three disagree — the corpus below is built so
+    that divergence changes cohorts, offsets AND per-bucket counts."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("u1", -1_800 * US), ("u1", 3_600 * US),
+        ("u2", -7_200 * US), ("u2", -1_800 * US),
+        ("u3", 10 * US),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, us bigint").select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    got = sorted(
+        tuple(r)
+        for r in cohort_retention(df, "user_id", "ts", bucket_s=3600).collect()
+    )
+    ref = cohort_py(rows, bucket_s=3600)
+    assert got == ref
+    # floor semantics: u1's first-seen bucket is -1, NOT the truncated 0,
+    # and their second activity is offset 2 (buckets -1 -> 1)
+    assert {r[0] for r in got} == {-2, -1, 0}
+    assert (-1, 2) in {(r[0], r[1]) for r in got}
+
+    con = duckdb.connect()
+    con.register("ev_us", pd.DataFrame(rows, columns=["user_id", "us"]))
+    rel = "(select user_id, make_timestamp(us) as ts from ev_us)"
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            cohort_sql(events=rel, user_col="user_id", ts_col="ts", bucket_s=3600)
+        ).fetchall()
+    )
+    assert oracle == ref
+
+    brows = [(-3_600 * US, "x"), (-1_800 * US, "x"), (10 * US, "x")]
+    bdf = spark.createDataFrame(brows, "us bigint, event_type string").select(
+        F.timestamp_micros("us").alias("ts"), "event_type"
+    )
+    bgot = sorted(
+        tuple(r) for r in burst_hours(bdf, "ts", "event_type").collect()
+    )
+    bref = burst_py(brows)
+    assert bgot == bref
+    # -3600s (exact boundary) and -1800s (floored) share bucket -1
+    assert [(r[1], r[2]) for r in bgot] == [(-1, 2), (0, 1)]
+
+    con.register("b_us", pd.DataFrame(brows, columns=["us", "event_type"]))
+    brel = "(select make_timestamp(us) as ts, event_type from b_us)"
+    boracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            burst_sql(events=brel, ts_col="ts", type_col="event_type")
+        ).fetchall()
+    )
+    assert boracle == bref
+
+
 def test_burst_validation(spark):
     df = spark.createDataFrame([(_ts(0), "x")], "ts timestamp, event_type string")
     with pytest.raises(ValueError, match="positive"):
@@ -290,6 +359,21 @@ def test_bigram_pmi_validation_and_single_token_docs(spark):
         bigram_pmi(df, "text", min_count=0)
     with pytest.raises(ValueError, match="k"):
         bigram_pmi(df, "text", k=0)
+    with pytest.raises(ValueError, match="nu_max"):
+        bigram_pmi(df, "text", nu_max=0)
+    with pytest.raises(ValueError, match="nu_max"):
+        bigram_pmi(df, "text", nu_max=_NU_MAX + 1)
+
+
+def test_bigram_pmi_headroom_guard_actually_executes(spark):
+    """Review pin: the assert_true guard is woven into the kept score
+    expression — a guard in a dropped side column is pruned by Catalyst
+    and never runs (the original spelling collect()ed fine with the cap
+    below the corpus size). Lowering nu_max below this corpus's token
+    count must therefore RAISE at execution."""
+    df = spark.createDataFrame([(t,) for t in PHRASE_TEXTS], "text string")
+    with pytest.raises(Exception, match="headroom"):
+        bigram_pmi(df, "text", min_count=1, nu_max=3).collect()
 
 
 # ---------------------------------------------------------------------------
