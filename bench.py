@@ -166,6 +166,9 @@ HEADLINE = [
     "burst_hours",
     "pmi_bigrams",
     "table_profile",
+    # round 5 (eighth arc): classifier-evaluation curve + AUC
+    "quality_eval",
+    "quality_auc",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

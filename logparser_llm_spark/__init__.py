@@ -199,6 +199,14 @@ def __getattr__(name):
         "hybrid_rrf_topk": ("logparser_llm_spark.operators.ranking", "hybrid_rrf_topk"),
         "quota_mix": ("logparser_llm_spark.operators.sampling", "quota_mix"),
         "semantic_dedup": ("logparser_llm_spark.operators.dedup", "semantic_dedup"),
+        # round-5 eighth arc: classifier evaluation
+        "eval_curve": ("logparser_llm_spark.operators.evaluation", "eval_curve"),
+        "eval_auc": ("logparser_llm_spark.operators.evaluation", "eval_auc"),
+        "eval_curve_sql": (
+            "logparser_llm_spark.operators.evaluation",
+            "eval_curve_sql",
+        ),
+        "eval_auc_sql": ("logparser_llm_spark.operators.evaluation", "eval_auc_sql"),
     }
     if name in api:
         import importlib

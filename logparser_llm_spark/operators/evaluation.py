@@ -1,0 +1,290 @@
+"""Binary-classifier evaluation in exact integer arithmetic: the full
+precision/recall/F1 operating curve and ROC-AUC over scored documents —
+the EVALUATE step of the published quality-classifier recipes (GPT-3's
+quality head, CCNet's language head, Gopher's rule filters are all
+tuned by exactly these curves before a threshold ships).
+
+The reference engine has no evaluation surface; this sits in the repo's
+beyond-reference training-data tier and completes the classifier story:
+train (operators/classifier.py) → predict → **evaluate** → pick the
+production threshold.
+
+Contract: scores are INTEGERS (the repo-wide quantized-score
+convention — classifier micro-nats, DSIR micro-nats, token counts all
+qualify), labels are booleans. Ties are handled exactly: the curve has
+one row per DISTINCT score (every achievable operating point, nothing
+interpolated), and AUC uses the Mann-Whitney rank form with the exact
+tie term::
+
+    AUC · (2·P·N) = Σ_s  pos_s · (2·neg_below_s + neg_s)
+
+which is an integer, so ``auc_e6 = num · 1e6 // (2·P·N)`` is exact and
+identical in Spark, DuckDB and Python — no float summation anywhere,
+every division a floor of non-negative operands (Spark ``div`` ==
+DuckDB ``//`` == Python ``//`` on non-negatives).
+
+Scale shape (what must survive 100 TB): the corpus collapses FIRST into
+a partially-aggregable per-distinct-score rollup ``(score, n, n_pos)``
+— the only pass over the data, map-side combinable — and every curve /
+AUC statistic is a window or sum over that rollup. The ordered window
+runs single-partition BY DESIGN over the aggregated frame (the
+burst_hours pattern: thousands-to-millions of rows however large the
+corpus); if distinct quantized scores ever approach corpus cardinality,
+pre-bucket the score (integer floor-divide by a coarser quantum — the
+loghist sketch trade) before calling these.
+
+Headroom: ``2·P·N·1e6`` must stay under 2^63, i.e. ``P·N ≤ 4.6e12``
+(about three million documents per class). Enforced with a loud
+``assert_true`` woven into the kept AUC expression (the bigram_pmi
+lesson — a guard in a dropped column is pruned and never runs); beyond
+that, evaluate on a deterministic sample (operators/sampling.py) or
+widen to DECIMAL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_E6 = 1_000_000
+# P·N bound keeping 2·P·N·1e6 < 2^63
+_PN_MAX = 4_600_000_000_000
+
+_EVAL_RESERVED = (
+    "score", "n", "n_pos", "n_neg", "tp", "fp", "fn",
+    "precision_e6", "recall_e6", "f1_e6", "auc_e6",
+)
+
+
+def _check_eval_input(df: DataFrame, score_col: str, label_col: str) -> None:
+    types = dict(df.dtypes)
+    if score_col not in types:
+        raise ValueError(f"unknown score column {score_col!r}")
+    if label_col not in types:
+        raise ValueError(f"unknown label column {label_col!r}")
+    if types[score_col] not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"score column {score_col!r} must be integral (got "
+            f"{types[score_col]}) — quantize first, the repo-wide "
+            "integer-score convention"
+        )
+    if types[label_col] != "boolean":
+        raise ValueError(
+            f"label column {label_col!r} must be boolean (got "
+            f"{types[label_col]})"
+        )
+
+
+def _rollup(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """The one pass over the data: per-distinct-score counts,
+    partially aggregable (map-side combinable)."""
+    return (
+        df.groupBy(F.col(score_col).cast("bigint").alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("bigint")).alias("n_pos"),
+        )
+        .withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    )
+
+
+def eval_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Every achievable operating point of the decision rule
+    ``predict positive iff score >= threshold``: one row per distinct
+    score value, with exact integer confusion counts and floor-divided
+    ``precision_e6`` / ``recall_e6`` / ``f1_e6``.
+
+    Output: ``(score, n, n_pos, n_neg, tp, fp, fn, precision_e6,
+    recall_e6, f1_e6)``. A corpus with zero positives raises at
+    execution (recall is undefined); zero negatives is legal here
+    (precision is still defined) — only AUC needs both classes.
+    """
+    _check_eval_input(df, score_col, label_col)
+    r = _rollup(df, score_col, label_col)
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_pos = F.sum("n_pos").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    scored = r.select(
+        "score",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+        tot_pos.alias("__p"),
+    )
+    return scored.select(
+        "score",
+        "n",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        (F.col("__p") - F.col("tp")).alias("fn"),
+        F.expr(f"tp * {_E6} div (tp + fp)").alias("precision_e6"),
+        # the guard is woven INTO the kept expression (assert_true is
+        # NULL on success, raises on violation) — a side column would
+        # be pruned by Catalyst and never run
+        F.when(
+            F.expr(
+                "assert_true(__p > 0,"
+                " 'eval_curve: no positive labels — recall undefined')"
+            ).isNull(),
+            F.expr(f"tp * {_E6} div __p"),
+        ).alias("recall_e6"),
+        F.expr(f"2 * tp * {_E6} div (2 * tp + fp + (__p - tp))").alias(
+            "f1_e6"
+        ),
+    )
+
+
+def eval_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """One-row ROC-AUC: ``(n_pos, n_neg, auc_e6)`` with
+    ``auc_e6 = (Σ_s pos_s·(2·neg_below_s + neg_s)) · 1e6 // (2·P·N)``
+    — the Mann-Whitney rank statistic with the exact midrank tie term,
+    pure integer arithmetic. Raises at execution when either class is
+    empty (AUC undefined) or ``P·N`` exceeds the bigint headroom."""
+    _check_eval_input(df, score_col, label_col)
+    r = _rollup(df, score_col, label_col)
+    wb = Window.orderBy(F.col("score").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = r.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("n_pos")
+            * (2 * F.coalesce(F.sum("n_neg").over(wb), F.lit(0)) + F.col("n_neg"))
+        ).alias("__t"),
+    )
+    agg = terms.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum("__t").alias("__num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.expr(
+                "assert_true(n_pos > 0 and n_neg > 0,"
+                " 'eval_auc: needs both classes present')"
+            ).isNull()
+            & F.expr(
+                f"assert_true(n_pos * n_neg <= {_PN_MAX},"
+                " 'eval_auc: corpus over bigint AUC headroom — sample"
+                " or widen to DECIMAL')"
+            ).isNull(),
+            F.expr(f"__num * {_E6} div (2 * n_pos * n_neg)"),
+        )
+        .cast("bigint")
+        .alias("auc_e6"),
+    )
+
+
+# --- oracle ------------------------------------------------------------
+
+
+def _rollup_sql(rel: str, score_col: str, label_col: str) -> str:
+    return f"""_r as (
+          select {score_col}::BIGINT as score,
+                 count(*)::BIGINT as n,
+                 sum(case when {label_col} then 1 else 0 end)::BIGINT as n_pos,
+                 sum(case when {label_col} then 0 else 1 end)::BIGINT as n_neg
+          from {rel} group by 1
+        )"""
+
+
+def eval_curve_sql(*, rel: str, score_col: str, label_col: str) -> str:
+    """DuckDB twin of :func:`eval_curve`, generated here so the two
+    spellings cannot drift. ``rel`` is a relation or parenthesized
+    subquery yielding (score_col, label_col)."""
+    return f"""
+        with {_rollup_sql(rel, score_col, label_col)},
+        c as (
+          select score, n, n_pos, n_neg,
+                 sum(n_pos) over (order by score desc
+                   rows between unbounded preceding and current row) as tp,
+                 sum(n_neg) over (order by score desc
+                   rows between unbounded preceding and current row) as fp,
+                 sum(n_pos) over () as p
+          from _r
+        )
+        select score, n, n_pos, n_neg, tp::BIGINT as tp, fp::BIGINT as fp,
+               (p - tp)::BIGINT as fn,
+               (tp * {_E6} // (tp + fp))::BIGINT as precision_e6,
+               (tp * {_E6} // p)::BIGINT as recall_e6,
+               (2 * tp * {_E6} // (2 * tp + fp + (p - tp)))::BIGINT as f1_e6
+        from c
+    """
+
+
+def eval_auc_sql(*, rel: str, score_col: str, label_col: str) -> str:
+    """DuckDB twin of :func:`eval_auc`."""
+    return f"""
+        with {_rollup_sql(rel, score_col, label_col)},
+        b as (
+          select n_pos, n_neg,
+                 n_pos * (2 * coalesce(sum(n_neg) over (order by score asc
+                   rows between unbounded preceding and 1 preceding), 0)
+                   + n_neg) as t
+          from _r
+        )
+        select sum(n_pos)::BIGINT as n_pos,
+               sum(n_neg)::BIGINT as n_neg,
+               (sum(t) * {_E6} // (2 * sum(n_pos) * sum(n_neg)))::BIGINT
+                 as auc_e6
+        from b
+    """
+
+
+# --- driver-side reference (differential tests) ------------------------
+
+
+def eval_py(
+    rows: Iterable[tuple[int, bool]]
+) -> tuple[list[tuple], tuple[int, int, int]]:
+    """Reference over ``(score, label)`` pairs → (curve rows sorted by
+    score desc, (n_pos, n_neg, auc_e6)). Same integer algebra as the
+    engines; floor division on non-negative operands throughout."""
+    per: dict[int, list[int]] = {}
+    for s, y in rows:
+        c = per.setdefault(int(s), [0, 0])
+        c[0 if y else 1] += 1
+    p = sum(c[0] for c in per.values())
+    n = sum(c[1] for c in per.values())
+    if p == 0:
+        raise ValueError("no positive labels")
+    curve = []
+    tp = fp = 0
+    for s in sorted(per, reverse=True):
+        pos, neg = per[s]
+        tp += pos
+        fp += neg
+        curve.append(
+            (
+                s, pos + neg, pos, neg, tp, fp, p - tp,
+                tp * _E6 // (tp + fp),
+                tp * _E6 // p,
+                2 * tp * _E6 // (2 * tp + fp + (p - tp)),
+            )
+        )
+    if n == 0:
+        raise ValueError("no negative labels")
+    num = 0
+    below = 0
+    for s in sorted(per):
+        pos, neg = per[s]
+        num += pos * (2 * below + neg)
+        below += neg
+    return curve, (p, n, num * _E6 // (2 * p * n))
+
+
+def eval_auc_py(rows: Sequence[tuple[int, bool]]) -> int:
+    """Just the ``auc_e6`` of :func:`eval_py` (convenience)."""
+    return eval_py(rows)[1][2]

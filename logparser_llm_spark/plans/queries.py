@@ -5581,6 +5581,74 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(ev, PROFILE_COLS)
 
 
+def _quality_eval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_words, keep) over the gopher-seeded corpus: the evaluation
+    corpus for eval_curve/eval_auc — score = raw word count (the
+    trivial length baseline every recipe compares against), truth = the
+    full Gopher A1.1 verdict. Length dominates the keep rule (ok_words)
+    but the residue-class trip lines fail long documents on OTHER rules,
+    so the curve is genuinely non-trivial (AUC strictly inside
+    (0.5, 1.0)) and the score has heavy ties — exactly the regime the
+    exact tie algebra exists for."""
+    from ..functions.quality import gopher_rule_cols, gopher_signal_cols
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _gopher_seed_col().alias("t")
+    )
+    sig = gopher_signal_cols(F.col("t"))
+    with_sig = d.select(*[v.alias(k) for k, v in sig.items()])
+    rules = gopher_rule_cols({k: F.col(k) for k in sig})
+    return with_sig.select(F.col("n_words"), rules["keep"].alias("keep"))
+
+
+def _quality_eval_rel() -> str:
+    from ..functions.quality import gopher_sql
+
+    g = gopher_sql(_GOPHER_SEED_SQL, text_col="t", id_col="doc_id")
+    return f"(with _g as ({g}) select n_words, keep from _g)"
+
+
+def q_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter operating curve (operators/evaluation.py:
+    eval_curve): every achievable precision/recall/F1 point of the
+    decision rule "keep iff n_words >= threshold" against the Gopher
+    A1.1 verdict, exact integer arithmetic with one row per distinct
+    score (ties handled exactly). One partially-aggregable rollup over
+    the corpus, then windows over the tiny distinct-score frame (the
+    burst_hours pattern). Oracle: the gopher CTE composed with the
+    curve SQL, both regenerated by their modules."""
+    from ..operators.evaluation import eval_curve
+
+    return eval_curve(_quality_eval_frame(spark, sf_dir), "n_words", "keep")
+
+
+def q_quality_eval_sql(sf: str) -> str:
+    from ..operators.evaluation import eval_curve_sql
+
+    return eval_curve_sql(
+        rel=_quality_eval_rel(), score_col="n_words", label_col="keep"
+    )
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row ROC-AUC of the length baseline against the Gopher
+    verdict (operators/evaluation.py:eval_auc) — Mann-Whitney rank form
+    with the exact integer tie term, identical in Spark/DuckDB/Python.
+    Both class-presence and bigint-headroom guards are woven into the
+    kept expression (the bigram_pmi lesson)."""
+    from ..operators.evaluation import eval_auc
+
+    return eval_auc(_quality_eval_frame(spark, sf_dir), "n_words", "keep")
+
+
+def q_quality_auc_sql(sf: str) -> str:
+    from ..operators.evaluation import eval_auc_sql
+
+    return eval_auc_sql(
+        rel=_quality_eval_rel(), score_col="n_words", label_col="keep"
+    )
+
+
 def q_table_profile_sql(sf: str) -> str:
     from ..operators.profile import table_profile_sql
 
@@ -5830,6 +5898,8 @@ QUERIES: dict[str, tuple] = {
     # r5 (seventh arc): per-column ingestion profile (exact distincts,
     # Expand strategy; staged to string/bigint for engine portability)
     "table_profile": (q_table_profile, q_table_profile_sql),
+    "quality_eval": (q_quality_eval, q_quality_eval_sql),
+    "quality_auc": (q_quality_auc, q_quality_auc_sql),
 }
 
 

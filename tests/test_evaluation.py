@@ -1,0 +1,155 @@
+"""Binary-classifier evaluation (operators/evaluation.py): differential
+vs the module Python reference, hand-computed AUC pins (perfect /
+inverted / interleaved-with-ties), DuckDB twin parity, validation and
+execution-time guard contracts, plan gates, and the registered
+quality_eval / quality_auc queries' class-completeness at sf0.01 AND
+sf0.1."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_llm_spark.operators.evaluation import (
+    eval_auc,
+    eval_auc_py,
+    eval_auc_sql,
+    eval_curve,
+    eval_curve_sql,
+    eval_py,
+)
+
+# ties at 5 (1 pos, 1 neg) and at -2 (2 neg), a negative-score positive:
+# exercises the midrank tie term and the below-zero ordering
+ROWS = [
+    (9, True), (7, True), (5, True), (5, False), (3, False),
+    (1, True), (0, False), (-2, False), (-2, False), (-4, True),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "score bigint, y boolean")
+
+
+def test_curve_and_auc_match_python_reference(spark):
+    curve_ref, (p, n, auc_ref) = eval_py(ROWS)
+    got_curve = [
+        tuple(r)
+        for r in eval_curve(_df(spark, ROWS), "score", "y")
+        .orderBy(F.desc("score"))
+        .collect()
+    ]
+    assert got_curve == curve_ref
+    got_auc = eval_auc(_df(spark, ROWS), "score", "y").collect()[0]
+    assert (got_auc["n_pos"], got_auc["n_neg"], got_auc["auc_e6"]) == (
+        p, n, auc_ref
+    )
+    # exact hand check of the tie algebra: P=5, N=5, pairs won:
+    # pos 9,7 beat all 5 negs (10); pos 5 beats 4 negs + ties 1 (4.5·2=9);
+    # pos 1 beats 3 negs (6); pos -4 beats none (0) → num2 = 35
+    assert auc_ref == 35 * 1_000_000 // (2 * 5 * 5)
+
+
+def test_auc_extremes_and_monotone_curve(spark):
+    perfect = [(10, True), (9, True), (1, False), (0, False)]
+    inverted = [(s, not y) for s, y in perfect]
+    assert eval_auc(_df(spark, perfect), "score", "y").collect()[0][
+        "auc_e6"
+    ] == 1_000_000
+    assert eval_auc(_df(spark, inverted), "score", "y").collect()[0][
+        "auc_e6"
+    ] == 0
+    rows = eval_curve(_df(spark, ROWS), "score", "y").orderBy(
+        "score", ascending=False
+    ).collect()
+    # tp/fp cumulative, recall monotone non-decreasing, final recall = 1
+    tps = [r["tp"] for r in rows]
+    recs = [r["recall_e6"] for r in rows]
+    assert tps == sorted(tps) and recs == sorted(recs)
+    assert recs[-1] == 1_000_000
+    assert all(r["tp"] + r["fn"] == 5 for r in rows)
+
+
+def test_matches_duckdb_twin_unit_scale(spark):
+    con = duckdb.connect()
+    con.register("ev", pd.DataFrame(ROWS, columns=["score", "y"]))
+    curve_oracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            eval_curve_sql(rel="ev", score_col="score", label_col="y")
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r) for r in eval_curve(_df(spark, ROWS), "score", "y").collect()
+    )
+    assert got == curve_oracle
+    auc_oracle = con.sql(
+        eval_auc_sql(rel="ev", score_col="score", label_col="y")
+    ).fetchall()
+    got_auc = [
+        tuple(r) for r in eval_auc(_df(spark, ROWS), "score", "y").collect()
+    ]
+    assert got_auc == auc_oracle
+    assert eval_auc_py(ROWS) == auc_oracle[0][2]
+
+
+def test_validation_contracts(spark):
+    df = _df(spark, ROWS)
+    with pytest.raises(ValueError, match="unknown score column"):
+        eval_curve(df, "zz", "y")
+    with pytest.raises(ValueError, match="unknown label column"):
+        eval_auc(df, "score", "zz")
+    dbl = spark.createDataFrame([(1.5, True)], "score double, y boolean")
+    with pytest.raises(ValueError, match="must be integral"):
+        eval_curve(dbl, "score", "y")
+    intlab = spark.createDataFrame([(1, 1)], "score bigint, y bigint")
+    with pytest.raises(ValueError, match="must be boolean"):
+        eval_auc(intlab, "score", "y")
+
+
+def test_single_class_raises_at_execution(spark):
+    """The class-presence guards are woven into the KEPT expressions
+    (the bigram_pmi lesson) — they must actually fire."""
+    all_neg = [(s, False) for s, _ in ROWS]
+    with pytest.raises(Exception, match="no positive labels"):
+        eval_curve(_df(spark, all_neg), "score", "y").collect()
+    with pytest.raises(Exception, match="both classes"):
+        eval_auc(_df(spark, all_neg), "score", "y").collect()
+    all_pos = [(s, True) for s, _ in ROWS]
+    with pytest.raises(Exception, match="both classes"):
+        eval_auc(_df(spark, all_pos), "score", "y").collect()
+    # zero negatives is legal for the curve (precision still defined)
+    rows = eval_curve(_df(spark, all_pos), "score", "y").collect()
+    assert all(r["precision_e6"] == 1_000_000 for r in rows)
+
+
+def test_plan_partial_agg_and_no_python(spark):
+    from logparser_llm_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(eval_auc(_df(spark, ROWS), "score", "y"))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan_c = physical_plan(eval_curve(_df(spark, ROWS), "score", "y"))
+    assert "BatchEvalPython" not in plan_c and "ArrowEvalPython" not in plan_c
+
+
+SCALES = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_quality_queries_class_complete(spark, sf):
+    from logparser_llm_spark.plans.queries import q_quality_auc, q_quality_eval
+
+    auc = q_quality_auc(spark, sf).collect()[0]
+    assert auc["n_pos"] > 0 and auc["n_neg"] > 0
+    # the length baseline beats chance but trip-line rule failures on
+    # long docs keep it strictly imperfect
+    assert 550_000 < auc["auc_e6"] < 999_999
+    rows = q_quality_eval(spark, sf).orderBy(
+        "score", ascending=False
+    ).collect()
+    assert len(rows) >= 20  # real tie structure: many distinct counts
+    assert rows[-1]["recall_e6"] == 1_000_000
+    # both label classes really appear among the score rows
+    assert any(r["n_pos"] > 0 for r in rows)
+    assert any(r["n_neg"] > 0 for r in rows)
