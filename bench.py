@@ -169,6 +169,7 @@ HEADLINE = [
     # round 5 (eighth arc): classifier-evaluation curve + AUC
     "quality_eval",
     "quality_auc",
+    "quality_calibration",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -207,6 +207,14 @@ def __getattr__(name):
             "eval_curve_sql",
         ),
         "eval_auc_sql": ("logparser_llm_spark.operators.evaluation", "eval_auc_sql"),
+        "calibration_bins": (
+            "logparser_llm_spark.operators.evaluation",
+            "calibration_bins",
+        ),
+        "calibration_sql": (
+            "logparser_llm_spark.operators.evaluation",
+            "calibration_sql",
+        ),
     }
     if name in api:
         import importlib

@@ -187,7 +187,98 @@ def eval_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, *, bin_width: int
+) -> DataFrame:
+    """Reliability diagram: fixed-width score bins with the observed
+    positive rate per bin — the third standard evaluation artifact next
+    to the PR curve and AUC (a score is CALIBRATED when pos_permille
+    tracks the bin).
+
+    Binning and the mean are exact FLOOR division in pure integer
+    arithmetic (``(x - pmod(x, w)) div w`` — the events.py lesson), so
+    negative scores bin identically in Spark, DuckDB and Python.
+    Output: ``(bin, bin_lo, n, n_pos, pos_permille, score_sum,
+    mean_score_floor)`` — one partially-aggregable groupBy, no window,
+    map-side combinable however large the corpus.
+    """
+    _check_eval_input(df, score_col, label_col)
+    if not (isinstance(bin_width, int) and bin_width >= 1):
+        raise ValueError(f"bin_width must be a positive int, got {bin_width}")
+    w = int(bin_width)
+    s = f"cast({score_col} as bigint)"
+    binned = df.select(
+        F.expr(f"({s} - pmod({s}, {w})) div {w}").alias("bin"),
+        F.col(score_col).cast("bigint").alias("__score"),
+        F.col(label_col).cast("bigint").alias("__y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum("__score").alias("score_sum"),
+    )
+    return agg.select(
+        "bin",
+        (F.col("bin") * w).alias("bin_lo"),
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000 div n").alias("pos_permille"),
+        "score_sum",
+        F.expr("(score_sum - pmod(score_sum, n)) div n").alias(
+            "mean_score_floor"
+        ),
+    )
+
+
 # --- oracle ------------------------------------------------------------
+
+
+def _floor_div_sql(x: str, d: str) -> str:
+    """DuckDB exact floor division (``//`` truncates on integers)."""
+    return f"(({x}) - ((({x}) % ({d}) + ({d})) % ({d}))) // ({d})"
+
+
+def calibration_sql(
+    *, rel: str, score_col: str, label_col: str, bin_width: int
+) -> str:
+    """DuckDB twin of :func:`calibration_bins`."""
+    w = int(bin_width)
+    if w < 1:
+        raise ValueError(f"bin_width must be a positive int, got {bin_width}")
+    b = _floor_div_sql(f"{score_col}::BIGINT", str(w))
+    m = _floor_div_sql("score_sum", "n")
+    return f"""
+        with a as (
+          select {b} as bin,
+                 count(*)::BIGINT as n,
+                 sum(case when {label_col} then 1 else 0 end)::BIGINT as n_pos,
+                 sum({score_col}::BIGINT)::BIGINT as score_sum
+          from {rel} group by 1
+        )
+        select bin, (bin * {w})::BIGINT as bin_lo, n, n_pos,
+               (n_pos * 1000 // n)::BIGINT as pos_permille,
+               score_sum, ({m})::BIGINT as mean_score_floor
+        from a
+    """
+
+
+def calibration_py(
+    rows: Iterable[tuple[int, bool]], *, bin_width: int
+) -> list[tuple]:
+    """Reference over ``(score, label)`` pairs (Python ``//`` floors
+    natively — the spelling the engine twins must reproduce)."""
+    w = int(bin_width)
+    per: dict[int, list[int]] = {}
+    for s, y in rows:
+        b = int(s) // w
+        c = per.setdefault(b, [0, 0, 0])
+        c[0] += 1
+        c[1] += 1 if y else 0
+        c[2] += int(s)
+    return sorted(
+        (b, b * w, n, p, p * 1000 // n, ss, ss // n)
+        for b, (n, p, ss) in per.items()
+    )
 
 
 def _rollup_sql(rel: str, score_col: str, label_col: str) -> str:

@@ -5649,6 +5649,33 @@ def q_quality_auc_sql(sf: str) -> str:
     )
 
 
+_CALIB_BIN_WORDS = 20
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the length baseline vs the Gopher verdict
+    (operators/evaluation.py:calibration_bins, 20-word bins): per-bin
+    observed keep rate in permille — ONE partially-aggregable groupBy,
+    no window, map-side combinable. Binning and the bin mean are exact
+    integer floor division (the events.py pre-epoch lesson applied from
+    birth), so the DuckDB twin agrees for any score sign."""
+    from ..operators.evaluation import calibration_bins
+
+    return calibration_bins(
+        _quality_eval_frame(spark, sf_dir), "n_words", "keep",
+        bin_width=_CALIB_BIN_WORDS,
+    )
+
+
+def q_quality_calibration_sql(sf: str) -> str:
+    from ..operators.evaluation import calibration_sql
+
+    return calibration_sql(
+        rel=_quality_eval_rel(), score_col="n_words", label_col="keep",
+        bin_width=_CALIB_BIN_WORDS,
+    )
+
+
 def q_table_profile_sql(sf: str) -> str:
     from ..operators.profile import table_profile_sql
 
@@ -5900,6 +5927,7 @@ QUERIES: dict[str, tuple] = {
     "table_profile": (q_table_profile, q_table_profile_sql),
     "quality_eval": (q_quality_eval, q_quality_eval_sql),
     "quality_auc": (q_quality_auc, q_quality_auc_sql),
+    "quality_calibration": (q_quality_calibration, q_quality_calibration_sql),
 }
 
 

@@ -11,6 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from logparser_llm_spark.operators.evaluation import (
+    calibration_bins,
+    calibration_py,
+    calibration_sql,
     eval_auc,
     eval_auc_py,
     eval_auc_sql,
@@ -133,6 +136,41 @@ def test_plan_partial_agg_and_no_python(spark):
     assert "BatchEvalPython" not in plan_c and "ArrowEvalPython" not in plan_c
 
 
+def test_calibration_three_way_parity_with_negative_scores(spark):
+    """Negative scores pin the floor-division binning (a truncating
+    spelling puts score -1 in bin 0 with width 5 and the three
+    spellings diverge — the cohort/burst review lesson applied here
+    from birth)."""
+    rows = [(-7, False), (-1, False), (0, True), (4, True), (5, True),
+            (9, False), (12, True), (-1, True)]
+    got = sorted(
+        tuple(r)
+        for r in calibration_bins(
+            _df(spark, rows), "score", "y", bin_width=5
+        ).collect()
+    )
+    ref = calibration_py(rows, bin_width=5)
+    assert got == ref
+    # floor semantics: -7 and -1 land in bins -2 and -1, never bin 0
+    assert [r[0] for r in got] == [-2, -1, 0, 1, 2]
+    # the -1 tie bin: mean of (-1, -1) floors to -1 (not trunc-to-0)
+    by_bin = {r[0]: r for r in got}
+    assert by_bin[-1][6] == -1
+    con = duckdb.connect()
+    con.register("cal", pd.DataFrame(rows, columns=["score", "y"]))
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            calibration_sql(
+                rel="cal", score_col="score", label_col="y", bin_width=5
+            )
+        ).fetchall()
+    )
+    assert oracle == ref
+    with pytest.raises(ValueError, match="bin_width"):
+        calibration_bins(_df(spark, rows), "score", "y", bin_width=0)
+
+
 SCALES = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
@@ -153,3 +191,19 @@ def test_quality_queries_class_complete(spark, sf):
     # both label classes really appear among the score rows
     assert any(r["n_pos"] > 0 for r in rows)
     assert any(r["n_neg"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_quality_calibration_monotone_tendency(spark, sf):
+    from logparser_llm_spark.plans.queries import q_quality_calibration
+
+    rows = sorted(
+        (r["bin"], r["n"], r["pos_permille"])
+        for r in q_quality_calibration(spark, sf).collect()
+    )
+    assert len(rows) >= 4  # several populated 20-word bins
+    assert all(n >= 1 for _, n, _ in rows)
+    # the length score is informative: the keep rate in the best bin
+    # beats the worst bin by a wide margin (calibration has signal)
+    rates = [p for _, _, p in rows]
+    assert max(rates) - min(rates) >= 300
