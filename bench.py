@@ -170,6 +170,10 @@ HEADLINE = [
     "quality_eval",
     "quality_auc",
     "quality_calibration",
+    # r5 ninth arc
+    "assoc_rules",
+    "trend_slopes",
+    "winnow_dups",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

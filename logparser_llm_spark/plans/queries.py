@@ -5689,6 +5689,131 @@ def q_table_profile_sql(sf: str) -> str:
     return table_profile_sql(rel=staged, cols=PROFILE_COLS)
 
 
+_DAY_US = 86_400_000_000
+_ASSOC_MIN_SUPPORT = 5
+_WINNOW_K, _WINNOW_W = 12, 6
+
+
+def _events_day_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day, event_type) staging for the basket queries: the
+    epoch-day floor in the events.py pmod spelling, as a NAMED column
+    before anything consumes it (the staged-select house lesson)."""
+    staged = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return staged.select(
+        "user_id",
+        "event_type",
+        F.expr(f"(us - pmod(us, {_DAY_US})) div {_DAY_US}").alias("day"),
+    )
+
+
+def _events_day_sql() -> str:
+    us = "epoch_us(ts)"
+    day = f"(({us}) - ((({us}) % {_DAY_US} + {_DAY_US}) % {_DAY_US})) // {_DAY_US}"
+    return day
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule pair mining (operators/assoc.py:assoc_pairs —
+    A-Priori's pair pass) over (user, day) session baskets of event
+    types: exact integer support/confidence/lift, pure bigint (no
+    floats, no logs). One groupBy collapses the stream to distinct
+    basket items; pairs come from a per-basket sorted-array upper
+    triangle (JVM HOFs, size-guarded); the count joins broadcast. The
+    oracle deliberately uses the independent self-join formulation."""
+    from ..operators.assoc import assoc_pairs
+
+    return assoc_pairs(
+        _events_day_items(spark, sf_dir),
+        ["user_id", "day"],
+        "event_type",
+        min_support=_ASSOC_MIN_SUPPORT,
+        k=50,
+    )
+
+
+def q_assoc_rules_sql(sf: str) -> str:
+    from ..operators.assoc import assoc_pairs_sql
+
+    return assoc_pairs_sql(
+        rel="events",
+        basket_exprs=["user_id", f"{_events_day_sql()} as day"],
+        item_expr="event_type",
+        min_support=_ASSOC_MIN_SUPPORT,
+        k=50,
+    )
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily volume (operators/trend.py:
+    group_trend): slope numerator/denominator as exact bigints and
+    slope_e6 via the sign-safe pmod floor — falling trends (negative
+    numerators) hash identically on all three engines. The corpus pass
+    is one partially-aggregable (type, day) count; the window + OLS
+    groupBy run on that tiny frame, reusing its hash partitioning."""
+    from ..operators.trend import group_trend
+
+    daily = (
+        _events_day_items(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    return group_trend(daily, ["event_type"], "day", "y")
+
+
+def q_trend_slopes_sql(sf: str) -> str:
+    from ..operators.trend import group_trend_sql
+
+    daily = f"""(
+      select event_type, {_events_day_sql()} as day,
+             count(*)::BIGINT as y
+      from events group by 1, 2
+    ) daily"""
+    return group_trend_sql(
+        rel=daily, group_exprs=["event_type"], x_expr="day", y_expr="y"
+    )
+
+
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing copy detection (operators/winnow.py:winnow_pairs,
+    Schleimer et al. 2003): document pairs sharing ≥2 selected local
+    fingerprints — finds shared PASSAGES (with the w+k-1 guarantee)
+    where MinHash/SimHash only see global overlap. The per-window
+    argmin is one integer min over a packed (hash, rightmost-pos) key;
+    the pair join is doc-frequency-capped like ngram_jaccard's rare
+    filter, so no boilerplate hash can square a bucket at 100 TB."""
+    from ..operators.winnow import winnow_pairs
+
+    return winnow_pairs(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=2,
+        max_doc_freq=8,
+        topk=100,
+    )
+
+
+def q_winnow_dups_sql(sf: str) -> str:
+    from ..operators.winnow import winnow_pairs_sql
+
+    return winnow_pairs_sql(
+        docs="documents",
+        id_col="doc_id",
+        text_col="text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=2,
+        max_doc_freq=8,
+        topk=100,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5928,6 +6053,15 @@ QUERIES: dict[str, tuple] = {
     "quality_eval": (q_quality_eval, q_quality_eval_sql),
     "quality_auc": (q_quality_auc, q_quality_auc_sql),
     "quality_calibration": (q_quality_calibration, q_quality_calibration_sql),
+    # r5 (ninth arc): A-Priori pair rules over (user, day) baskets —
+    # exact integer support/confidence/lift; independent oracle
+    "assoc_rules": (q_assoc_rules, q_assoc_rules_sql),
+    # r5 (ninth arc): per-type OLS daily-volume trend — exact rational
+    # num/den + sign-safe pmod floor slope_e6
+    "trend_slopes": (q_trend_slopes, q_trend_slopes_sql),
+    # r5 (ninth arc): MOSS winnowing local-fingerprint copy detection —
+    # packed-argmin windows, doc-frequency-capped pair join
+    "winnow_dups": (q_winnow_dups, q_winnow_dups_sql),
 }
 
 

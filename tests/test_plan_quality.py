@@ -291,3 +291,18 @@ def test_incremental_dedup_has_no_cartesian_and_no_rowwise_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_winnow_pairs_reuses_fingerprint_subtree(spark):
+    """The fingerprint frame feeds three branches of the pair join
+    (doc-frequency count + both join sides); without persist Catalyst
+    re-evaluates the explode+window subtree per branch (the
+    ngram_jaccard lesson). The plan must read the caches, stay JVM-only,
+    and never fall back to an all-pairs product."""
+    from logparser_llm_spark.plans.queries import q_winnow_dups
+
+    df = q_winnow_dups(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3, "persisted fps/kept not reused"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
