@@ -99,6 +99,8 @@ def __getattr__(name):
         "synth_audio_corpus": ("logparser_llm_spark.operators.media", "synth_audio_corpus"),
         "pagerank_integer": ("logparser_llm_spark.operators.graph", "pagerank_integer"),
         "triangle_counts": ("logparser_llm_spark.operators.graph", "triangle_counts"),
+        "resolve_redirects": ("logparser_llm_spark.operators.graph", "resolve_redirects"),
+        "redirect_oracle_sql": ("logparser_llm_spark.operators.graph", "redirect_oracle_sql"),
         "parse_warc": ("logparser_llm_spark.sources.warc", "parse_warc"),
         "write_warc_record": ("logparser_llm_spark.sources.warc", "write_warc_record"),
         "warc_records": ("logparser_llm_spark.sources.warc", "warc_records"),

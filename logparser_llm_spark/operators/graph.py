@@ -233,6 +233,165 @@ def triangle_oracle_sql(node_source: str, node_col: str, edge_cte: str) -> str:
     """
 
 
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    max_hops: int = 64,
+) -> DataFrame:
+    """Resolve redirect chains over a FUNCTIONAL graph (each ``src`` has
+    exactly one ``dst``) → (node, final, hops, resolved) per node: the
+    terminal target reached within ``max_hops`` hops, or
+    resolved = false (final/hops NULL) when the chase exceeds the budget
+    — which covers both cycles and over-long chains, exactly the way an
+    HTTP client reports "maximum redirects followed" without
+    distinguishing the two. A node with no outgoing edge resolves to
+    itself with hops = 0.
+
+    Scale story — pointer doubling: the state frame (node, cur, hops,
+    done) composes with ITSELF each round (cur' = state[cur].cur,
+    hops' = hops + state[cur].hops), so the resolved horizon doubles per
+    round and the loop runs ceil(log2(max_hops)) rounds TOTAL —
+    independent of corpus size (6 rounds for the default budget of 64,
+    whether the frontier holds 10^4 or 10^11 urls). Each round is one
+    equi-join + a union with the done rows; lineage is truncated with a
+    lazy localCheckpoint per round (the components.py convention) so the
+    self-join's plan tree cannot double every round. The linear chase an
+    oracle runs (one hop per recursion step) is a deliberately
+    INDEPENDENT algebra — see :func:`redirect_oracle_sql`.
+
+    The one-outgoing-edge contract is enforced loudly: a duplicate src
+    raises at execution time (guard woven into the kept dst expression —
+    a dropped-column assert would be pruned away, the bigram_pmi
+    lesson). ``nodes`` defaults to the distinct edge endpoints; pass the
+    url universe to include never-redirecting pages (hops 0).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    m = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_c"), F.max("dst").alias("_dst"))
+        .select(
+            "src",
+            F.when(
+                F.assert_true(
+                    F.col("_c") == 1,
+                    F.concat(
+                        F.lit("resolve_redirects: src has multiple outgoing "
+                              "edges (functional-graph contract): "),
+                        F.col("src").cast("string"),
+                    ),
+                ).isNull(),
+                F.col("_dst"),
+            ).alias("dst"),
+        )
+    )
+    if nodes is None:
+        universe = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    # the chase table must contain every endpoint so a not-done row's
+    # composition partner always exists; output is filtered to the
+    # caller's universe at the end
+    chase_nodes = (
+        universe.select("node")
+        .union(m.select(F.col("src").alias("node")))
+        .union(m.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_edge = m.select(F.col("src").alias("node"), F.col("dst").alias("_nxt"))
+    is_src = m.select(F.col("src").alias("_t"), F.lit(True).alias("_t_has"))
+    state = (
+        chase_nodes.join(out_edge, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_nxt"), F.col("node")).alias("cur"),
+            F.when(F.col("_nxt").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hops"),
+        )
+        .join(is_src, F.col("cur") == F.col("_t"), "left")
+        .select(
+            "node", "cur", "hops", F.col("_t_has").isNull().alias("done")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = max(0, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
+    for _ in range(rounds):
+        s2 = state.select(
+            F.col("node").alias("_jn"),
+            F.col("cur").alias("_jc"),
+            F.col("hops").alias("_jh"),
+            F.col("done").alias("_jd"),
+        )
+        active = (
+            state.where(~F.col("done"))
+            .join(s2, F.col("cur") == F.col("_jn"))
+            .select(
+                "node",
+                F.col("_jc").alias("cur"),
+                (F.col("hops") + F.col("_jh")).alias("hops"),
+                F.col("_jd").alias("done"),
+            )
+        )
+        state = (
+            state.where(F.col("done"))
+            .unionByName(active)
+            .localCheckpoint(eager=False)
+        )
+    resolved = F.col("done") & (F.col("hops") <= max_hops)
+    return universe.join(state, "node").select(
+        "node",
+        F.when(resolved, F.col("cur")).alias("final"),
+        F.when(resolved, F.col("hops")).cast("long").alias("hops"),
+        resolved.alias("resolved"),
+    )
+
+
+def redirect_oracle_sql(
+    node_source: str,
+    node_col: str,
+    edge_cte: str,
+    *,
+    max_hops: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`resolve_redirects` as a recursive CTE
+    LINEAR chase (one hop per recursion step, bounded at ``max_hops``) —
+    a deliberately independent algebra: the Spark side doubles the
+    horizon per round, so agreement validates the composition arithmetic
+    rather than restating it. ``edge_cte`` must yield (src, dst) with
+    unique srcs."""
+    return f"""
+    with recursive edges as ({edge_cte}),
+    chase as (
+      select n.{node_col} as node, n.{node_col} as cur, 0 as hops
+      from {node_source} n
+      union all
+      select c.node, e.dst, c.hops + 1
+      from chase c join edges e on e.src = c.cur
+      where c.hops < {max_hops}
+    ),
+    term as (
+      select c.node, c.cur as final, c.hops
+      from chase c
+      where not exists (select 1 from edges e where e.src = c.cur)
+    )
+    select n.{node_col} as node,
+           t.final as final,
+           cast(t.hops as bigint) as hops,
+           t.node is not null as resolved
+    from {node_source} n left join term t on t.node = n.{node_col}
+    """
+
+
 def pagerank_oracle_sql(
     node_source: str,
     node_col: str,

@@ -2991,6 +2991,83 @@ def q_triangle_count_sql(sf: str) -> str:
     return f"select node as doc_id, degree, triangles from ({inner})"
 
 
+REDIRECT_MAX_HOPS = 8
+
+
+def _redirect_edges_cte() -> str:
+    """DuckDB edge generator mirroring q_redirect_resolve's Spark synth:
+    within each group of 7 consecutive doc_ids, residue 0 is terminal,
+    residues 1-3 chain down one step each (chains of length 1-3 ending
+    at the group's residue-0 terminal), residues 4 and 5 form a 2-cycle
+    (4→5→4), and residue 6 leads INTO that cycle (6→4) — so cycles and
+    cycle lead-ins both exercise the unresolved branch. The residue-4
+    edge is emitted only when its target exists (tail group guard)."""
+    return """
+        select doc_id as src,
+               case when doc_id % 7 in (1, 2, 3) then doc_id - 1
+                    when doc_id % 7 = 4 then doc_id + 1
+                    when doc_id % 7 = 5 then doc_id - 1
+                    when doc_id % 7 = 6 then doc_id - 2 end as dst
+        from documents
+        where doc_id % 7 <> 0
+          and not (doc_id % 7 = 4
+                   and doc_id + 1 >= (select count(*) from documents))
+    """
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/graph.py:resolve_redirects —
+    pointer doubling, ceil(log2(max_hops)) co-partitioned self-join
+    rounds TOTAL regardless of corpus size) over a SEEDED functional
+    redirect graph on documents: per 7-id group, residue 0 is terminal,
+    residues 1-3 chain down to it (hops 1-3), residues 4-5 form a
+    2-cycle and residue 6 leads into that cycle — so the output carries
+    both verdict classes (resolved with exact hop counts / unresolved
+    with NULL final) at sf0.01 AND sf0.1. The DuckDB oracle chases the
+    same chains LINEARLY (one hop per recursive-CTE step,
+    graph.redirect_oracle_sql, generated by the same module) — an
+    independent algebra, so agreement validates the doubling composition
+    arithmetic (cur/hops/done) rather than restating it. Budget
+    semantics are the crawler's: anything not terminated within
+    max_hops = 8 hops reports resolved = false, cycles included."""
+    from ..operators.graph import resolve_redirects
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    m = F.col("doc_id") % 7
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.when(m.isin(1, 2, 3, 5), F.col("doc_id") - 1)
+            .when((m == 4) & (F.col("doc_id") + 1 < F.lit(n)), F.col("doc_id") + 1)
+            .when(m == 6, F.col("doc_id") - 2)
+            .alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    out = resolve_redirects(edges, nodes=d, max_hops=REDIRECT_MAX_HOPS)
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("final").cast("bigint").alias("final_id"),
+        F.col("hops").cast("bigint").alias("hops"),
+        F.col("resolved").alias("resolved"),
+    )
+
+
+def q_redirect_resolve_sql(sf: str) -> str:
+    from ..operators.graph import redirect_oracle_sql
+
+    inner = redirect_oracle_sql(
+        "documents", "doc_id", _redirect_edges_cte(), max_hops=REDIRECT_MAX_HOPS
+    )
+    return (
+        "select node as doc_id, final as final_id, hops, resolved "
+        f"from ({inner})"
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/web.py) over SEEDED messy crawl
     URLs: each documents row gets a deterministic URL whose spelling
@@ -5892,6 +5969,7 @@ QUERIES: dict[str, tuple] = {
     # r5: degree-ordered triangle counting over a seeded ring+hub graph
     # — oracle is the independent naive triple join
     "triangle_count": (q_triangle_count, q_triangle_count_sql),
+    "redirect_resolve": (q_redirect_resolve, q_redirect_resolve_sql),
     # r5: quality-priority dedup — keep each dup family's LONGEST member;
     # oracle recomputes simhash pairs + exact star edges + recursive-CTE
     # components + a window argmax

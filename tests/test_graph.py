@@ -209,3 +209,131 @@ def test_triangle_oracle_sql_mirrors_reference(spark):
     for u in range(24):
         edges += [(u, (u * 5 + 3) % 24), (u, (u + 1) % 24), (u, (u + 2) % 24)]
     assert got == ref_triangles(edges, list(range(24)))
+
+
+# ---------------------------------------------------------------- redirects
+
+
+def ref_resolve(edges: dict, nodes, max_hops):
+    """Single-threaded linear chase reference for resolve_redirects."""
+    out = {}
+    for n in nodes:
+        cur, hops = n, 0
+        while cur in edges and hops <= max_hops:
+            cur = edges[cur]
+            hops += 1
+        if cur in edges or hops > max_hops:  # budget exhausted mid-chain
+            out[n] = (None, None, False)
+        else:
+            out[n] = (cur, hops, True)
+    return out
+
+
+def _redirect_frame(spark, edges):
+    return spark.createDataFrame(
+        [(s, d) for s, d in edges.items()], "src long, dst long"
+    )
+
+
+def test_resolve_redirects_matches_reference_chase(spark):
+    """Chains, a 2-cycle, a self-loop, a cycle lead-in, and a chain of
+    length exactly max_hops all agree with the linear-chase reference
+    (doubling vs linear — independent formulations)."""
+    from logparser_llm_spark.operators.graph import resolve_redirects
+
+    edges = {1: 0, 2: 1, 3: 2, 4: 3, 5: 4,            # chain 5→…→0
+             10: 11, 11: 10,                           # 2-cycle
+             12: 12,                                   # self-loop
+             13: 10,                                   # leads into cycle
+             20: 21}                                   # 1-hop
+    nodes = list(range(0, 7)) + [10, 11, 12, 13, 20, 21, 30]
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    for max_hops in (1, 3, 5, 8):
+        got = {
+            r["node"]: (r["final"], r["hops"], r["resolved"])
+            for r in resolve_redirects(
+                _redirect_frame(spark, edges), nodes=nodes_df, max_hops=max_hops
+            ).collect()
+        }
+        assert got == ref_resolve(edges, nodes, max_hops), max_hops
+
+
+def test_resolve_redirects_default_universe_is_endpoints(spark):
+    from logparser_llm_spark.operators.graph import resolve_redirects
+
+    edges = {5: 3, 3: 1}
+    got = {
+        r["node"]: (r["final"], r["hops"], r["resolved"])
+        for r in resolve_redirects(_redirect_frame(spark, edges)).collect()
+    }
+    assert got == {5: (1, 2, True), 3: (1, 1, True), 1: (1, 0, True)}
+
+
+def test_resolve_redirects_duplicate_src_raises(spark):
+    from logparser_llm_spark.operators.graph import resolve_redirects
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    with pytest.raises(SparkRuntimeException, match="multiple outgoing"):
+        resolve_redirects(df).collect()
+
+
+def test_resolve_redirects_validates_max_hops(spark):
+    from logparser_llm_spark.operators.graph import resolve_redirects
+
+    df = _redirect_frame(spark, {1: 0})
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirects(df, max_hops=0)
+
+
+def test_redirect_oracle_sql_mirrors_reference():
+    """Drift gate: the generated recursive-CTE oracle must agree with
+    the linear-chase reference on the registered seed shape."""
+    import duckdb
+
+    from logparser_llm_spark.operators.graph import redirect_oracle_sql
+
+    n = 40
+    con = duckdb.connect()
+    con.execute(f"create table pages as select range as pid from range({n})")
+    edge_cte = f"""
+        select pid as src,
+               case when pid % 7 in (1, 2, 3) then pid - 1
+                    when pid % 7 = 4 then pid + 1
+                    when pid % 7 = 5 then pid - 1
+                    when pid % 7 = 6 then pid - 2 end as dst
+        from pages
+        where pid % 7 <> 0 and not (pid % 7 = 4 and pid + 1 >= {n})
+    """
+    sql = redirect_oracle_sql("pages", "pid", edge_cte, max_hops=8)
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    edges = {}
+    for u in range(n):
+        m = u % 7
+        if m in (1, 2, 3, 5):
+            edges[u] = u - 1
+        elif m == 4 and u + 1 < n:
+            edges[u] = u + 1
+        elif m == 6:
+            edges[u] = u - 2
+    assert got == ref_resolve(edges, list(range(n)), 8)
+
+
+def test_redirect_resolve_classes_present_both_sf(spark):
+    """The registered corpus must carry BOTH verdict classes (resolved
+    at hops 0-3, unresolved cycles) at sf0.01 AND sf0.1."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    fn, _ = QUERIES["redirect_resolve"]
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        rows = fn(spark, sf).collect()
+        hist = {}
+        for r in rows:
+            hist[(r["resolved"], r["hops"])] = hist.get(
+                (r["resolved"], r["hops"]), 0) + 1
+        for h in (0, 1, 2, 3):
+            assert hist.get((True, h), 0) > 0, (sf, h)
+        assert hist.get((False, None), 0) > 0, sf
+        assert all(
+            (r["final_id"] is None) == (not r["resolved"]) for r in rows
+        )
