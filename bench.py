@@ -174,6 +174,10 @@ HEADLINE = [
     "assoc_rules",
     "trend_slopes",
     "winnow_dups",
+    # r5 tenth arc: pointer-doubling redirect resolution
+    "redirect_resolve",
+    # r5 eleventh arc: prefix-filtering exact set-similarity join
+    "set_jaccard_join",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

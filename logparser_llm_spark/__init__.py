@@ -101,6 +101,8 @@ def __getattr__(name):
         "triangle_counts": ("logparser_llm_spark.operators.graph", "triangle_counts"),
         "resolve_redirects": ("logparser_llm_spark.operators.graph", "resolve_redirects"),
         "redirect_oracle_sql": ("logparser_llm_spark.operators.graph", "redirect_oracle_sql"),
+        "prefix_filter_pairs": ("logparser_llm_spark.operators.setjoin", "prefix_filter_pairs"),
+        "prefix_filter_pairs_sql": ("logparser_llm_spark.operators.setjoin", "prefix_filter_pairs_sql"),
         "parse_warc": ("logparser_llm_spark.sources.warc", "parse_warc"),
         "write_warc_record": ("logparser_llm_spark.sources.warc", "write_warc_record"),
         "warc_records": ("logparser_llm_spark.sources.warc", "warc_records"),

@@ -5891,6 +5891,90 @@ def q_winnow_dups_sql(sf: str) -> str:
     )
 
 
+_SETJOIN_T = (9, 10)  # Jaccard threshold as an exact rational
+
+
+def _setjoin_seed_spark(d) -> DataFrame:
+    """Seeded set-similarity corpus over documents ids: every doc gets
+    1 corpus-wide stopword ('the'), 18 family tokens shared by its
+    5-id group, and m = doc_id%5 member-only tokens — so within a
+    family J(m1,m2) = 19/(19+m1+m2): (0,1)=0.950 and (0,2)=19/21
+    (cross-mult 190 >= 189, one count inside the 9/10 boundary) pass
+    while (1,2)=19/22 and everything wider fail, and cross-family
+    pairs share only 'the'. The raw documents TEXT column is useless
+    here — its word sets are drawn from so small a vocabulary that
+    5k docs yield 965k pairs at J>=0.9 (measured), i.e. everything is
+    everything's near-dup; the seed keeps both verdict classes at
+    every sf instead. Member tokens are the variable-arity part:
+    NULL-skipping concat_ws (identical semantics in Spark and DuckDB)
+    avoids Spark's descending sequence(1,0) footgun."""
+    sid = F.col("doc_id").cast("string")
+    fam = F.expr(
+        "array_join(transform(sequence(1, 18),"
+        " j -> concat('f', cast(doc_id div 5 as string), 't',"
+        " cast(j as string))), ' ')"
+    )
+    m = F.col("doc_id") % 5
+    own = [
+        F.when(m >= j, F.concat(F.lit("doc"), sid, F.lit(f"u{j}")))
+        for j in (1, 2, 3, 4)
+    ]
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.lit("the"), fam, *own).alias("text"),
+    )
+
+
+_SETJOIN_SEED_SQL = """
+    select cast(doc_id as bigint) as doc_id,
+           concat_ws(' ', 'the',
+             array_to_string(list_transform(range(1, 19),
+               j -> 'f' || cast(doc_id // 5 as varchar) || 't'
+                 || cast(j as varchar)), ' '),
+             case when doc_id % 5 >= 1 then 'doc' || cast(doc_id as varchar) || 'u1' end,
+             case when doc_id % 5 >= 2 then 'doc' || cast(doc_id as varchar) || 'u2' end,
+             case when doc_id % 5 >= 3 then 'doc' || cast(doc_id as varchar) || 'u3' end,
+             case when doc_id % 5 >= 4 then 'doc' || cast(doc_id as varchar) || 'u4' end
+           ) as text
+    from documents
+"""
+
+
+def q_set_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (operators/setjoin.py —
+    the All-Pairs/PPJoin candidate rule): exact word-set Jaccard >=
+    9/10 pairs where candidates join only on each doc's rarest-token
+    prefix under the global (df ASC, token ASC) order, so the
+    every-doc stopword 'the' (df = corpus size) never enters a
+    candidate bucket — the skew guard IS the ordering. The DuckDB
+    oracle uses the naive every-shared-token candidate rule (12.5M
+    intermediate pairs at sf0.1 from 'the' alone) with the same
+    integer cross-multiplication verify — an independent algebra, so
+    the hash match checks the prefix-completeness lemma itself.
+    Two pairs qualify per 5-doc family, one of them a single count
+    inside the threshold boundary (190 >= 189)."""
+    from ..operators.setjoin import prefix_filter_pairs
+
+    d = _setjoin_seed_spark(
+        _read(spark, sf_dir, "documents").select("doc_id")
+    )
+    num, den = _SETJOIN_T
+    return prefix_filter_pairs(d, "doc_id", "text", t_num=num, t_den=den)
+
+
+def q_set_jaccard_join_sql(sf: str) -> str:
+    from ..operators.setjoin import prefix_filter_pairs_sql
+
+    num, den = _SETJOIN_T
+    return prefix_filter_pairs_sql(
+        f"({_SETJOIN_SEED_SQL}) seeded",
+        "doc_id",
+        "text",
+        t_num=num,
+        t_den=den,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6140,6 +6224,9 @@ QUERIES: dict[str, tuple] = {
     # r5 (ninth arc): MOSS winnowing local-fingerprint copy detection —
     # packed-argmin windows, doc-frequency-capped pair join
     "winnow_dups": (q_winnow_dups, q_winnow_dups_sql),
+    # r5 (tenth arc): All-Pairs/PPJoin prefix-filtering exact Jaccard
+    # join over a seeded family corpus — naive-candidate oracle
+    "set_jaccard_join": (q_set_jaccard_join, q_set_jaccard_join_sql),
 }
 
 

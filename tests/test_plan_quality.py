@@ -306,3 +306,18 @@ def test_winnow_pairs_reuses_fingerprint_subtree(spark):
     assert plan.count("InMemoryTableScan") >= 3, "persisted fps/kept not reused"
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prefix_filter_join_reuses_token_subtree(spark):
+    """setjoin's token frame feeds four branches (df counts, sizes,
+    prefix rank, both verify sides) and the candidate frame two; both
+    are persisted so the scan+explode+distinct subtree materializes
+    once (the ngram_jaccard lesson). JVM-only, no all-pairs product."""
+    from logparser_llm_spark.plans.queries import q_set_jaccard_join
+
+    df = q_set_jaccard_join(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 4, "persisted tok/cand not reused"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
