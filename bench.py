@@ -178,6 +178,12 @@ HEADLINE = [
     "redirect_resolve",
     # r5 eleventh arc: prefix-filtering exact set-similarity join
     "set_jaccard_join",
+    # r5 twelfth arc: integer HITS, BFS crawl depth, CDC MERGE/upsert,
+    # blocklist-as-a-join
+    "hits_scores",
+    "crawl_depth",
+    "cdc_upsert",
+    "blocklist_join",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -200,6 +206,8 @@ LARGE_RESULT = {
     "doc_keywords", "nb_classify", "scd2_history",
     # r5 seventh arc: the full scored hourly series (thousands of rows)
     "burst_hours",
+    # r5 twelfth arc: per-node / per-doc result shapes
+    "hits_scores", "crawl_depth", "cdc_upsert", "blocklist_join",
 }
 
 

@@ -219,6 +219,16 @@ def __getattr__(name):
             "logparser_llm_spark.operators.evaluation",
             "calibration_sql",
         ),
+        # round-5 twelfth arc: HITS, BFS crawl depth, CDC upsert,
+        # blocklist-as-a-join
+        "hits_integer": ("logparser_llm_spark.operators.graph", "hits_integer"),
+        "bfs_depths": ("logparser_llm_spark.operators.graph", "bfs_depths"),
+        "cdc_apply": ("logparser_llm_spark.operators.scd", "cdc_apply"),
+        "cdc_apply_sql": ("logparser_llm_spark.operators.scd", "cdc_apply_sql"),
+        "blocklist_join": (
+            "logparser_llm_spark.operators.blocklist",
+            "blocklist_join",
+        ),
     }
     if name in api:
         import importlib

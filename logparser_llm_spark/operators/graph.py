@@ -392,6 +392,250 @@ def redirect_oracle_sql(
     """
 
 
+def hits_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    iterations: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over ``edges`` →
+    (node, hub, auth), both scaled int64 in [0, ``scale``].
+
+    The float formulation normalizes by an L2 norm — order-dependent
+    float sums, so (like PageRank, see module docstring) it cannot be
+    compared exactly across engines. This formulation is INTEGER end to
+    end: each half-iteration is an integer sum (auth'(v) = Σ hub(u) over
+    u→v, then hub'(u) = Σ auth'(v) over u→v), normalized by the exact
+    MAX instead of the L2 norm — ``s · scale div max(s)`` — which is a
+    deterministic floor division (max-normalized HITS converges to the
+    same principal eigenvector direction; only the scoring scale
+    differs, and ranking order per iteration is IDENTICAL to the
+    float/max variant since x ↦ x·k div m is monotone).
+
+    Scale story: both half-steps are partially aggregable integer
+    groupBy sums over the persisted edge frame (hub skew pre-aggregates
+    map-side, the pagerank argument); the normalizer is a ONE-ROW
+    max aggregate broadcast back (the bm25 global-row pattern) — no
+    driver collect. Headroom: raw sums ≤ scale·max_degree and the
+    normalizing multiply peaks at scale²·max_degree, so with the
+    default scale 10⁶ a 10⁶-degree hub stays inside int64; at true web
+    scale drop scale to 10³ or switch the sums to decimal(38,0).
+
+    The DuckDB mirror (:func:`hits_oracle_sql`) unrolls the same
+    iterations as CTEs with scalar-subquery normalizers — generated by
+    this module so the formulations cannot drift."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        # raw: (node, s) sparse (missing node ⇒ 0, and 0 normalizes to 0,
+        # so sparse frames stay sparse). max over the sparse rows equals
+        # the max over all nodes unless every score is 0, which the
+        # greatest(…, 1) guard turns into all-zeros-stay-zero.
+        mx = raw.agg(F.greatest(F.max("s"), F.lit(1)).alias("_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"s * {scale} div _mx").cast("long").alias("s"),
+        )
+
+    # hub starts at scale for every node that has an outgoing edge —
+    # sparse on purpose; isolated/sink nodes hold hub 0 (they endorse
+    # nothing), matching the oracle's h0 over distinct srcs.
+    hub = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(scale).cast("long").alias("s")
+    )
+    auth = None
+    for _ in range(iterations):
+        auth = _normalize(
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(F.sum("s").alias("s"))
+        ).localCheckpoint(eager=False)
+        hub = _normalize(
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(e["src"].alias("node"))
+            .agg(F.sum("s").alias("s"))
+        ).localCheckpoint(eager=False)
+    h = hub.select("node", F.col("s").alias("hub"))
+    a = auth.select("node", F.col("s").alias("auth"))
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
+def hits_oracle_sql(
+    node_source: str,
+    node_col: str,
+    edge_cte: str,
+    *,
+    iterations: int = 3,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB CTE chain mirroring :func:`hits_integer` exactly (one
+    auth + one hub CTE per iteration, scalar-subquery max normalizers).
+    ``edge_cte`` must yield (src, dst). All operands are non-negative,
+    so DuckDB's truncating ``//`` equals floor here."""
+    parts = [
+        f"edges as ({edge_cte})",
+        f"h0 as (select distinct src as node, cast({scale} as bigint) as s "
+        "from edges)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"a{i}r as (select e.dst as node, sum(h.s) as s from edges e "
+            f"join h{i - 1} h on h.node = e.src group by e.dst)"
+        )
+        parts.append(
+            f"a{i} as (select node, s * {scale} // "
+            f"greatest((select max(s) from a{i}r), 1) as s from a{i}r)"
+        )
+        parts.append(
+            f"h{i}r as (select e.src as node, sum(a.s) as s from edges e "
+            f"join a{i} a on a.node = e.dst group by e.src)"
+        )
+        parts.append(
+            f"h{i} as (select node, s * {scale} // "
+            f"greatest((select max(s) from h{i}r), 1) as s from h{i}r)"
+        )
+    k = iterations
+    return (
+        "with " + ",\n".join(parts) + f"""
+    select n.{node_col} as node,
+           cast(coalesce(h.s, 0) as bigint) as hub,
+           cast(coalesce(a.s, 0) as bigint) as auth
+    from {node_source} n
+    left join h{k} h on h.node = n.{node_col}
+    left join a{k} a on a.node = n.{node_col}
+    """
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Multi-source BFS hop distance — crawl depth from the seed list —
+    over ``edges`` → (node, depth, reached): the MINIMUM number of hops
+    from any seed, or reached = false (depth NULL) beyond ``max_depth``.
+    The crawl-scheduling signal every frontier manager keys on (seed
+    pages are depth 0; a politeness budget caps how deep a crawl
+    follows links).
+
+    Scale story — level-synchronous frontier expansion: round r joins
+    only the NEW frontier (nodes first reached at depth r−1) against
+    the persisted edge frame, anti-joins the already-reached set, and
+    unions the survivors in. Work per round is O(frontier-out-edges),
+    total O(m) over the whole run regardless of round count; both the
+    join and the anti-join are plain equi-joins on the node id (no
+    window, no UDF). Lineage is truncated with a lazy localCheckpoint
+    per round (the components.py convention) and the loop exits early
+    on an empty frontier via one bounded driver scalar per round — the
+    fixpoint-check pattern the CC operators established. Exactness is
+    structural: integer depths, min-by-construction (a node enters the
+    reached set the first round it is seen and is never revisited).
+
+    The DuckDB mirror chases the same graph with a recursive CTE and a
+    min() rollup (:func:`bfs_oracle_sql`) — an independent algebra
+    (every path up to the budget, then min) validating the
+    first-seen-wins invariant rather than restating it."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct()
+    if nodes is None:
+        universe = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .union(seed_nodes)
+            .distinct()
+        )
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    reached = seed_nodes.select(
+        "node", F.lit(0).cast("long").alias("depth")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = reached
+    for r in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():  # bounded fixpoint scalar, one per round
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return universe.join(reached, "node", "left").select(
+        "node",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("depth").isNotNull().alias("reached"),
+    )
+
+
+def bfs_oracle_sql(
+    node_source: str,
+    node_col: str,
+    edge_cte: str,
+    seed_pred: str,
+    *,
+    max_depth: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`bfs_depths`: a recursive CTE enumerating
+    every (node, depth) reachable within ``max_depth`` (UNION dedup
+    bounds the recursion), then a min() rollup — deliberately
+    independent of the Spark side's first-seen-wins frontier algebra.
+    ``seed_pred`` is a boolean SQL predicate over ``node_source``
+    columns selecting the seed rows."""
+    return f"""
+    with recursive edges as ({edge_cte}),
+    walk as (
+      select n.{node_col} as node, 0 as d
+      from {node_source} n where {seed_pred}
+      union
+      select e.dst, w.d + 1
+      from walk w join edges e on e.src = w.node
+      where w.d < {max_depth}
+    ),
+    best as (select node, min(d) as depth from walk group by node)
+    select n.{node_col} as node,
+           cast(b.depth as bigint) as depth,
+           b.node is not null as reached
+    from {node_source} n left join best b on b.node = n.{node_col}
+    """
+
+
 def pagerank_oracle_sql(
     node_source: str,
     node_col: str,

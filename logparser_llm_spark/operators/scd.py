@@ -137,6 +137,167 @@ def scd2_sql(
     """
 
 
+_CDC_RESERVED = ("last_seq", "_n", "_nd", "_op", "_seq")
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a CDC change batch to a snapshot — the MERGE INTO / upsert
+    shape every lakehouse ingestion job runs: ``changes`` carries
+    ``(keys…, seq, op, attrs…)`` rows with op ∈ {'I','U','D'}; the
+    output is the NEW snapshot ``(keys…, attrs…, last_seq)`` where each
+    key's LATEST change (max ``seq``) wins — 'I'/'U' upsert the attrs
+    (``last_seq`` = the applied seq), 'D' removes the row, and keys
+    untouched by the batch pass through (``last_seq`` NULL).
+
+    Scale shape: the change batch collapses FIRST via one partially
+    aggregable groupBy (``max_by(attr, seq)`` per column — a key
+    churned by 10⁶ changes pre-reduces inside map tasks before the
+    shuffle; no window, no sort), then ONE full-outer equi-join against
+    the snapshot. Contracts are enforced loudly at execution time, not
+    in droppable columns (the bigram_pmi dead-guard lesson): a
+    duplicate (key, seq) pair — which would make "latest" ill-defined —
+    and an unknown op letter both raise inside the KEPT op expression.
+
+    The DuckDB mirror (:func:`cdc_apply_sql`) deliberately reduces the
+    batch with the INDEPENDENT window row_number spelling, so hash
+    agreement validates the max_by reduction rather than restating it.
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    clash = set(_CDC_RESERVED) & (
+        set(key_cols) | {seq_col, op_col} | set(attr_cols)
+    )
+    if clash:
+        raise ValueError(f"reserved output column name(s): {sorted(clash)}")
+    keys = list(key_cols)
+    latest = (
+        changes.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(F.col(seq_col)).alias("_nd"),
+            F.max(F.col(seq_col)).alias("_seq"),
+            F.max_by(F.col(op_col), F.col(seq_col)).alias("_rawop"),
+            *[
+                F.max_by(F.col(c), F.col(seq_col)).alias(f"_c_{c}")
+                for c in attr_cols
+            ],
+        )
+        .select(
+            *keys,
+            "_seq",
+            # both guards woven into the kept op expression — Catalyst
+            # cannot prune them away without dropping the op itself
+            F.when(
+                F.assert_true(
+                    F.col("_n") == F.col("_nd"),
+                    F.lit("cdc_apply: duplicate (key, seq) in change batch"),
+                ).isNull()
+                & F.assert_true(
+                    F.col("_rawop").isin("I", "U", "D"),
+                    F.concat(
+                        F.lit("cdc_apply: unknown op: "), F.col("_rawop")
+                    ),
+                ).isNull(),
+                F.col("_rawop"),
+            ).alias("_op"),
+            *[F.col(f"_c_{c}") for c in attr_cols],
+        )
+    )
+    snap = snapshot.select(*keys, *attr_cols)
+    joined = snap.alias("s").join(latest.alias("c"), keys, "full_outer")
+    upserted = F.col("_op").isin("I", "U")
+    return (
+        joined.where(F.col("_op").isNull() | (F.col("_op") != "D"))
+        .select(
+            *keys,
+            *[
+                F.when(upserted, F.col(f"_c_{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+                for c in attr_cols
+            ],
+            F.when(upserted, F.col("_seq")).cast("long").alias("last_seq"),
+        )
+    )
+
+
+def cdc_apply_sql(
+    *,
+    snapshot: str,
+    changes: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    attr_cols: Sequence[str],
+) -> str:
+    """DuckDB recompute of :func:`cdc_apply` using the window
+    row_number latest-change spelling (independent of the Spark side's
+    max_by reduction). ``snapshot``/``changes`` are relations or
+    parenthesized subqueries with the documented columns."""
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    on = " and ".join(f"s.{k} is not distinct from c.{k}" for k in key_cols)
+    key_out = ", ".join(f"coalesce(s.{k}, c.{k}) as {k}" for k in key_cols)
+    attr_out = ", ".join(
+        f"case when c.{op_col} in ('I','U') then c.{c} else s.{c} end as {c}"
+        for c in attr_cols
+    )
+    cattrs = ", ".join(f"c.{c}" for c in attr_cols)
+    return f"""
+        with ranked as (
+          select {keys}, {seq_col}, {op_col},
+                 {", ".join(attr_cols)},
+                 row_number() over (
+                   partition by {keys} order by {seq_col} desc
+                 ) as rn
+          from {changes}
+        ),
+        latest as (select * from ranked where rn = 1)
+        select {key_out}, {attr_out},
+               (case when c.{op_col} in ('I','U')
+                     then c.{seq_col} end)::BIGINT as last_seq
+        from {snapshot} s
+        full outer join (select {keys}, {seq_col}, {op_col}, {cattrs}
+                         from latest c) c
+          on {on}
+        where c.{op_col} is null or c.{op_col} <> 'D'
+    """
+
+
+def cdc_apply_py(
+    snapshot: dict,
+    changes: Sequence[tuple],
+) -> dict:
+    """Reference over single-key single-attr rows: ``snapshot`` maps
+    key → attr; ``changes`` is (key, seq, op, attr) tuples. Returns the
+    new key → (attr, last_seq) mapping."""
+    latest: dict = {}
+    seen = set()
+    for k, seq, op, a in changes:
+        if (k, seq) in seen:
+            raise ValueError(f"duplicate (key, seq): {(k, seq)}")
+        if op not in ("I", "U", "D"):
+            raise ValueError(f"unknown op: {op}")
+        seen.add((k, seq))
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op, a)
+    out = {k: (a, None) for k, a in snapshot.items()}
+    for k, (seq, op, a) in latest.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = (a, seq)
+    return out
+
+
 # --- driver-side reference (differential tests) ------------------------
 
 def scd2_py(

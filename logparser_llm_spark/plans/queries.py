@@ -5975,6 +5975,251 @@ def q_set_jaccard_join_sql(sf: str) -> str:
     )
 
 
+HITS_ITERATIONS = 3
+HITS_SCALE = 10**6
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer max-normalized HITS hubs & authorities
+    (operators/graph.py:hits_integer) over the SAME seeded link graph
+    as `pagerank` and `anchor_text_agg` — the three web-graph queries
+    deliberately share one edge family so an edge-generation bug breaks
+    all three hashes differently. Three iterations, every step an
+    integer sum or floor division, so the result is bit-exact under any
+    partitioning; the DuckDB oracle unrolls the same iterations with
+    scalar-subquery max normalizers (graph.hits_oracle_sql, generated
+    by the same module). Hub scores separate pages by out-degree class
+    (u mod 3) while authorities separate by inbound pattern — both
+    carry many distinct values at sf0.01 AND sf0.1."""
+    from ..operators.graph import hits_integer
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 7 + F.col("j") * 3 + 1) % F.lit(n)).alias("dst"),
+        )
+    )
+    out = hits_integer(
+        edges, nodes=d, iterations=HITS_ITERATIONS, scale=HITS_SCALE
+    )
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("hub").cast("bigint").alias("hub"),
+        F.col("auth").cast("bigint").alias("auth"),
+    )
+
+
+def q_hits_scores_sql(sf: str) -> str:
+    from ..operators.graph import hits_oracle_sql
+
+    edge_cte = f"select src, dst from ({_pagerank_edges_cte()})"
+    inner = hits_oracle_sql(
+        "documents", "doc_id", edge_cte,
+        iterations=HITS_ITERATIONS, scale=HITS_SCALE,
+    )
+    return f"select node as doc_id, hub, auth from ({inner})"
+
+
+CRAWL_SEED_MOD = 29
+CRAWL_MAX_DEPTH = 2
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl depth (operators/graph.py:bfs_depths —
+    level-synchronous frontier expansion, O(m) total work over all
+    rounds) from the seed list doc_id % 29 == 0 over the shared
+    pagerank/HITS/anchor edge family, depth budget 2. The seed density
+    and fan-out bound (out-degree ≤ 3, so reached ≤ 13·|seeds|)
+    GUARANTEE both verdict classes — reached at depths 0/1/2 and
+    unreached — at sf0.01 and sf0.1. The DuckDB oracle walks every
+    path up to the budget with a recursive CTE and takes min(depth)
+    (graph.bfs_oracle_sql) — an independent algebra validating the
+    Spark side's first-seen-wins frontier invariant."""
+    from ..operators.graph import bfs_depths
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 7 + F.col("j") * 3 + 1) % F.lit(n)).alias("dst"),
+        )
+    )
+    seeds = d.where(F.col("doc_id") % CRAWL_SEED_MOD == 0)
+    out = bfs_depths(edges, seeds, nodes=d, max_depth=CRAWL_MAX_DEPTH)
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+        F.col("reached").alias("reached"),
+    )
+
+
+def q_crawl_depth_sql(sf: str) -> str:
+    from ..operators.graph import bfs_oracle_sql
+
+    edge_cte = f"select src, dst from ({_pagerank_edges_cte()})"
+    inner = bfs_oracle_sql(
+        "documents", "doc_id", edge_cte,
+        f"n.doc_id % {CRAWL_SEED_MOD} = 0",
+        max_depth=CRAWL_MAX_DEPTH,
+    )
+    return f"select node as doc_id, depth, reached from ({inner})"
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert apply (operators/scd.py:cdc_apply) — the
+    lakehouse ingestion shape next to its history sibling
+    `scd2_history`: a seeded change batch against the documents
+    snapshot where every residue class of doc_id % 7 pins a different
+    merge rule — %7=1 two updates (LATEST seq wins, the earlier one
+    must be invisible), %7=2 a delete, %7=3 delete THEN update (row
+    survives updated — op order), %7=4 update THEN delete (row gone —
+    delete-wins), %7=5 an insert under a brand-new key doc_id + N.
+    Spark reduces the batch with one partially-aggregable max_by
+    groupBy; the DuckDB oracle reduces it with the INDEPENDENT window
+    row_number spelling (scd.cdc_apply_sql) and regenerates the same
+    change batch from the residue algebra — so the hash gates both the
+    reduction and the apply-join semantics."""
+    from ..operators.scd import cdc_apply
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    n = d.count()  # bounded driver scalar (insert-key offset)
+    m = F.col("doc_id") % 7
+    did = F.col("doc_id")
+
+    def ch(pred, key, seq, op, lang, n_chars):
+        return d.where(pred).select(
+            key.cast("long").alias("doc_id"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            (F.lit(lang) if isinstance(lang, (str, type(None))) else lang
+             ).cast("string").alias("lang"),
+            (F.lit(None) if n_chars is None else n_chars
+             ).cast("long").alias("n_chars"),
+        )
+
+    changes = (
+        ch(m == 1, did, 1, "U", "u1", did * 3 + 7)
+        .unionByName(ch(m == 1, did, 2, "U", "u2", did * 5 + 1))
+        .unionByName(ch(m == 2, did, 1, "D", None, None))
+        .unionByName(ch(m == 3, did, 1, "D", None, None))
+        .unionByName(ch(m == 3, did, 2, "U", "u3", did + 11))
+        .unionByName(ch(m == 4, did, 1, "U", "u4", did + 13))
+        .unionByName(ch(m == 4, did, 2, "D", None, None))
+        .unionByName(ch(m == 5, did + F.lit(n), 1, "I", "new", did * 2))
+    )
+    return cdc_apply(
+        d, changes, ["doc_id"], "seq", "op", ["lang", "n_chars"]
+    )
+
+
+def _cdc_changes_cte() -> str:
+    """DuckDB change-batch generator mirroring q_cdc_upsert's Spark
+    synth (see its docstring for the residue-class merge rules)."""
+    return """
+        select doc_id, 1 as seq, 'U' as op, 'u1' as lang,
+               cast(doc_id * 3 + 7 as bigint) as n_chars
+        from documents where doc_id % 7 = 1
+        union all
+        select doc_id, 2, 'U', 'u2', doc_id * 5 + 1
+        from documents where doc_id % 7 = 1
+        union all
+        select doc_id, 1, 'D', null, null
+        from documents where doc_id % 7 = 2
+        union all
+        select doc_id, 1, 'D', null, null
+        from documents where doc_id % 7 = 3
+        union all
+        select doc_id, 2, 'U', 'u3', doc_id + 11
+        from documents where doc_id % 7 = 3
+        union all
+        select doc_id, 1, 'U', 'u4', doc_id + 13
+        from documents where doc_id % 7 = 4
+        union all
+        select doc_id, 2, 'D', null, null
+        from documents where doc_id % 7 = 4
+        union all
+        select doc_id + (select count(*) from documents), 1, 'I', 'new',
+               doc_id * 2
+        from documents where doc_id % 7 = 5
+    """
+
+
+def q_cdc_upsert_sql(sf: str) -> str:
+    from ..operators.scd import cdc_apply_sql
+
+    return cdc_apply_sql(
+        snapshot="(select doc_id, lang, cast(n_chars as bigint) as n_chars"
+                 " from documents)",
+        changes=f"({_cdc_changes_cte()})",
+        key_cols=["doc_id"],
+        seq_col="seq",
+        op_col="op",
+        attr_cols=["lang", "n_chars"],
+    )
+
+
+_BLOCKLIST_TERMS = ["Merge!", "STREAM", "window", "zzzgone"]
+
+
+def q_blocklist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huge-blocklist filtering as a JOIN
+    (operators/blocklist.py:blocklist_join) — the scale path
+    c4_badwords' docstring promises for blocklists too large to live
+    in an expression: the list is a TABLE met in an equi-join after a
+    partially-aggregable per-(doc, token) count, so a 10⁷-entry
+    denylist shuffles instead of being O(L·W)-scanned per row. The
+    seeded list carries messy spellings ('Merge!', 'STREAM') that must
+    canonicalize through the single-sourced tokenizer, plus a term
+    absent from the corpus ('zzzgone'); ~3% of documents contain none
+    of the terms, so both verdict classes (clean / hit with exact
+    occurrence and distinct-term counts) appear at sf0.01 AND sf0.1.
+    The DuckDB oracle retokenizes and recounts everything from the raw
+    text (blocklist.blocklist_join_sql, generated by the same
+    module)."""
+    from ..operators.blocklist import blocklist_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bl = spark.createDataFrame(
+        [(t,) for t in _BLOCKLIST_TERMS], "term string"
+    )
+    out = blocklist_join(d, "doc_id", "text", bl)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "hits", "hit_terms", "clean",
+    )
+
+
+def q_blocklist_join_sql(sf: str) -> str:
+    from ..operators.blocklist import blocklist_join_sql
+
+    vals = ", ".join(f"('{t}')" for t in _BLOCKLIST_TERMS)
+    return blocklist_join_sql(
+        doc_source="documents",
+        id_col="doc_id",
+        text_col="text",
+        blocklist_cte=f"select * from (values {vals}) t(term)",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6227,6 +6472,19 @@ QUERIES: dict[str, tuple] = {
     # r5 (tenth arc): All-Pairs/PPJoin prefix-filtering exact Jaccard
     # join over a seeded family corpus — naive-candidate oracle
     "set_jaccard_join": (q_set_jaccard_join, q_set_jaccard_join_sql),
+    # r5 (twelfth arc): integer max-normalized HITS over the shared
+    # pagerank edge family — unrolled-CTE oracle with scalar-subquery
+    # normalizers
+    "hits_scores": (q_hits_scores, q_hits_scores_sql),
+    # r5 (twelfth arc): multi-source BFS crawl depth — recursive-CTE
+    # min-rollup oracle (independent of the frontier algebra)
+    "crawl_depth": (q_crawl_depth, q_crawl_depth_sql),
+    # r5 (twelfth arc): CDC MERGE/upsert apply — max_by reduction vs
+    # the oracle's window row_number spelling
+    "cdc_upsert": (q_cdc_upsert, q_cdc_upsert_sql),
+    # r5 (twelfth arc): huge-blocklist filtering as a join (the
+    # c4_badwords scale path)
+    "blocklist_join": (q_blocklist_join, q_blocklist_join_sql),
 }
 
 

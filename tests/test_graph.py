@@ -337,3 +337,208 @@ def test_redirect_resolve_classes_present_both_sf(spark):
         assert all(
             (r["final_id"] is None) == (not r["resolved"]) for r in rows
         )
+
+
+# --- HITS (integer max-normalized hubs & authorities) --------------------
+
+
+def ref_hits(edges, nodes, iterations, scale=10**6):
+    """Single-threaded mirror of hits_integer's documented semantics."""
+    srcs = {s for s, _ in edges}
+    hub = {s: scale for s in srcs}
+    auth = {}
+    for _ in range(iterations):
+        raw = defaultdict(int)
+        for s, t in edges:
+            if s in hub:
+                raw[t] += hub[s]
+        mx = max(raw.values(), default=0) or 1
+        auth = {v: x * scale // mx for v, x in raw.items()}
+        raw = defaultdict(int)
+        for s, t in edges:
+            if t in auth:
+                raw[s] += auth[t]
+        mx = max(raw.values(), default=0) or 1
+        hub = {v: x * scale // mx for v, x in raw.items()}
+    return {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
+
+
+def _run_hits(spark, edges, nodes, iterations, partitions=None):
+    from logparser_llm_spark.operators.graph import hits_integer
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if partitions:
+        e = e.repartition(partitions)
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    out = hits_integer(e, nodes=nd, iterations=iterations)
+    return {r["node"]: (r["hub"], r["auth"]) for r in out.collect()}
+
+
+def test_hits_matches_reference_bit_exact(spark):
+    edges, nodes = _graph()
+    assert _run_hits(spark, edges, nodes, 3) == ref_hits(edges, nodes, 3)
+
+
+def test_hits_partition_invariance(spark):
+    edges, nodes = _graph(n_nodes=40, seed=9)
+    a = _run_hits(spark, edges, nodes, 2, partitions=1)
+    b = _run_hits(spark, edges, nodes, 2, partitions=17)
+    assert a == b
+
+
+def test_hits_shapes(spark):
+    # star: center 0 points at 1..4 → 0 is the only hub, leaves are the
+    # authorities; isolated node 9 scores (0, 0)
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    nodes = [0, 1, 2, 3, 4, 9]
+    got = _run_hits(spark, edges, nodes, 2)
+    assert got == ref_hits(edges, nodes, 2)
+    scale = 10**6
+    assert got[0] == (scale, 0)
+    assert got[9] == (0, 0)
+    assert all(got[v] == (0, scale) for v in (1, 2, 3, 4))
+
+
+def test_hits_contracts(spark):
+    from logparser_llm_spark.operators.graph import hits_integer
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits_integer(e, iterations=0)
+    with pytest.raises(ValueError):
+        hits_integer(e, scale=0)
+
+
+def test_hits_oracle_sql_mirrors_reference():
+    """Drift gate between hits_oracle_sql and the reference loop on a
+    closed-form graph."""
+    import duckdb
+
+    from logparser_llm_spark.operators.graph import hits_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("create table pages as select range as pid from range(30)")
+    edge_cte = """
+        select p.pid as src, (p.pid * 11 + 5 * j.j + 2) % 30 as dst
+        from pages p, generate_series(0, 1) as j(j)
+        where j.j <= p.pid % 2
+    """
+    sql = hits_oracle_sql("pages", "pid", edge_cte, iterations=3)
+    got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    edges = []
+    for u in range(30):
+        for j in range(1 + u % 2):
+            edges.append((u, (u * 11 + 5 * j + 2) % 30))
+    assert got == ref_hits(edges, list(range(30)), 3)
+
+
+# --- BFS crawl depth ------------------------------------------------------
+
+
+def ref_bfs(edges, seeds, nodes, max_depth):
+    adj = defaultdict(list)
+    for s, t in edges:
+        adj[s].append(t)
+    depth = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for r in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in depth:
+                    depth[v] = r
+                    nxt.append(v)
+        frontier = nxt
+    return {v: (depth.get(v), v in depth) for v in nodes}
+
+
+def _run_bfs(spark, edges, seeds, nodes, max_depth, partitions=None):
+    from logparser_llm_spark.operators.graph import bfs_depths
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if partitions:
+        e = e.repartition(partitions)
+    sd = spark.createDataFrame([(v,) for v in seeds], "node long")
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    out = bfs_depths(e, sd, nodes=nd, max_depth=max_depth)
+    return {r["node"]: (r["depth"], r["reached"]) for r in out.collect()}
+
+
+def test_bfs_matches_reference(spark):
+    edges, nodes = _graph()
+    seeds = [0, 7, 31]
+    got = _run_bfs(spark, edges, seeds, nodes, 3)
+    assert got == ref_bfs(edges, seeds, nodes, 3)
+
+
+def test_bfs_partition_invariance(spark):
+    edges, nodes = _graph(n_nodes=40, seed=9)
+    a = _run_bfs(spark, edges, [0, 5], nodes, 2, partitions=1)
+    b = _run_bfs(spark, edges, [0, 5], nodes, 2, partitions=17)
+    assert a == b
+
+
+def test_bfs_min_depth_wins_and_budget(spark):
+    # two paths to node 3: 0→1→2→3 and 0→3 — min (depth 1) must win;
+    # chain past the budget stays unreached; early-exit path (frontier
+    # empties before max_depth) must not error
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (3, 4), (4, 5)]
+    nodes = [0, 1, 2, 3, 4, 5, 9]
+    got = _run_bfs(spark, edges, [0], nodes, 2)
+    assert got == ref_bfs(edges, [0], nodes, 2)
+    assert got[3] == (1, True)
+    assert got[5] == (None, False)
+    assert got[9] == (None, False)
+    deep = _run_bfs(spark, edges, [0], nodes, 50)  # frontier dries up
+    assert deep == ref_bfs(edges, [0], nodes, 50)
+
+
+def test_bfs_depth_zero_and_contract(spark):
+    from logparser_llm_spark.operators.graph import bfs_depths
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: (r["depth"], r["reached"])
+        for r in bfs_depths(e, s, max_depth=0).collect()
+    }
+    assert got == {0: (0, True), 1: (None, False)}
+    with pytest.raises(ValueError):
+        bfs_depths(e, s, max_depth=-1)
+
+
+def test_bfs_oracle_sql_mirrors_reference():
+    import duckdb
+
+    from logparser_llm_spark.operators.graph import bfs_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("create table pages as select range as pid from range(40)")
+    edge_cte = """
+        select p.pid as src, (p.pid * 11 + 5 * j.j + 2) % 40 as dst
+        from pages p, generate_series(0, 1) as j(j)
+        where j.j <= p.pid % 2
+    """
+    sql = bfs_oracle_sql("pages", "pid", edge_cte, "n.pid % 13 = 0",
+                         max_depth=2)
+    got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    edges = []
+    for u in range(40):
+        for j in range(1 + u % 2):
+            edges.append((u, (u * 11 + 5 * j + 2) % 40))
+    seeds = [u for u in range(40) if u % 13 == 0]
+    assert got == ref_bfs(edges, seeds, list(range(40)), 2)
+
+
+def test_crawl_depth_classes_present_both_sf(spark):
+    """The registered corpus must carry reached rows at every depth in
+    the budget AND unreached rows at sf0.01 and sf0.1."""
+    from logparser_llm_spark.plans.queries import CRAWL_MAX_DEPTH, QUERIES
+
+    fn, _ = QUERIES["crawl_depth"]
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        rows = fn(spark, sf).collect()
+        depths = {r["depth"] for r in rows if r["reached"]}
+        assert depths == set(range(CRAWL_MAX_DEPTH + 1)), sf
+        assert any(not r["reached"] for r in rows), sf
+        assert all((r["depth"] is None) == (not r["reached"]) for r in rows)

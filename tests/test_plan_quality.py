@@ -321,3 +321,27 @@ def test_prefix_filter_join_reuses_token_subtree(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_twelfth_arc_queries_stay_jvm_no_cartesian(spark):
+    """cdc_upsert's batch reduction and blocklist_join's per-(doc,
+    token) count are partial aggregates; none of the four may plan a
+    cartesian product, a nested-loop join, or any Python stage. (HITS
+    and BFS persist the edge frame across rounds, but their per-round
+    lazy localCheckpoints truncate lineage — the components.py
+    convention — so the FINAL plan shows checkpoint RDD scans rather
+    than InMemoryTableScans; the reuse is exercised by the graph
+    differential tests, not assertable here.)"""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    for name in ["hits_scores", "crawl_depth", "cdc_upsert",
+                 "blocklist_join"]:
+        df = QUERIES[name][0](spark, SF)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        if name in ("cdc_upsert", "blocklist_join"):
+            assert plan_facts(QUERIES[name][0](spark, SF))[
+                "partial_aggregate"], name

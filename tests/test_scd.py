@@ -152,3 +152,133 @@ def test_registered_query_branch_coverage(spark, sf):
     for rs in by_key.values():
         assert sum(r["is_current"] for r in rs) == 1
         assert min(r["valid_from"] for r in rs) == 1
+
+
+# --- CDC MERGE/upsert apply ----------------------------------------------
+
+
+CDC_SNAP = {"a": "x", "b": "y", "c": "z", "d": "w"}
+CDC_CHANGES = [
+    ("a", 1, "U", "x1"), ("a", 3, "U", "x3"), ("a", 2, "U", "x2"),  # latest
+    ("b", 1, "D", None),                                            # delete
+    ("c", 1, "D", None), ("c", 2, "U", "z2"),                       # D then U
+    ("d", 1, "U", "w1"), ("d", 2, "D", None),                       # U then D
+    ("e", 1, "I", "new"),                                           # insert
+]
+
+
+def _cdc_frames(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    snap = spark.createDataFrame(
+        [(k, v) for k, v in CDC_SNAP.items()], "k string, attr string"
+    )
+    ch = spark.createDataFrame(CDC_CHANGES, "k string, seq long, op string,"
+                                            " attr string")
+    return snap, ch
+
+
+def test_cdc_matches_python_reference(spark):
+    from logparser_llm_spark.operators.scd import cdc_apply, cdc_apply_py
+
+    snap, ch = _cdc_frames(spark)
+    got = {
+        r["k"]: (r["attr"], r["last_seq"])
+        for r in cdc_apply(snap, ch, ["k"], "seq", "op", ["attr"]).collect()
+    }
+    assert got == cdc_apply_py(CDC_SNAP, CDC_CHANGES)
+    # the rule pins spelled out: latest-seq wins, delete-then-update
+    # survives, update-then-delete dies, untouched passes through
+    assert got["a"] == ("x3", 3)
+    assert "b" not in got and "d" not in got
+    assert got["c"] == ("z2", 2)
+    assert got["e"] == ("new", 1)
+
+
+def test_cdc_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.scd import cdc_apply, cdc_apply_sql
+
+    snap, ch = _cdc_frames(spark)
+    got = sorted(
+        (r["k"], r["attr"], r["last_seq"])
+        for r in cdc_apply(snap, ch, ["k"], "seq", "op", ["attr"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table snap (k varchar, attr varchar)")
+    con.executemany("insert into snap values (?, ?)", list(CDC_SNAP.items()))
+    con.execute(
+        "create table ch (k varchar, seq bigint, op varchar, attr varchar)"
+    )
+    con.executemany("insert into ch values (?, ?, ?, ?)", CDC_CHANGES)
+    sql = cdc_apply_sql(snapshot="snap", changes="ch", key_cols=["k"],
+                        seq_col="seq", op_col="op", attr_cols=["attr"])
+    assert got == sorted(con.execute(sql).fetchall())
+
+
+def test_cdc_partition_invariance(spark):
+    from logparser_llm_spark.operators.scd import cdc_apply
+
+    snap, ch = _cdc_frames(spark)
+    a = cdc_apply(snap.repartition(1), ch.repartition(1),
+                  ["k"], "seq", "op", ["attr"]).collect()
+    b = cdc_apply(snap.repartition(7), ch.repartition(13),
+                  ["k"], "seq", "op", ["attr"]).collect()
+    key = lambda r: r["k"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_cdc_contracts_fire_at_execution(spark):
+    """Duplicate (key, seq) and unknown op must raise — and the guards
+    are woven into the kept op expression, so they fire on collect()
+    (the bigram_pmi dead-guard lesson)."""
+    from logparser_llm_spark.operators.scd import cdc_apply
+
+    snap, _ = _cdc_frames(spark)
+    dup = spark.createDataFrame(
+        [("a", 1, "U", "p"), ("a", 1, "U", "q")],
+        "k string, seq long, op string, attr string",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        cdc_apply(snap, dup, ["k"], "seq", "op", ["attr"]).collect()
+    bad = spark.createDataFrame(
+        [("a", 1, "X", "p")], "k string, seq long, op string, attr string"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        cdc_apply(snap, bad, ["k"], "seq", "op", ["attr"]).collect()
+    with pytest.raises(ValueError, match="reserved"):
+        cdc_apply(snap.withColumnRenamed("attr", "last_seq"), dup,
+                  ["k"], "seq", "op", ["last_seq"])
+    with pytest.raises(ValueError, match="non-empty"):
+        cdc_apply(snap, dup, [], "seq", "op", ["attr"])
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_cdc_registered_query_branch_coverage(spark, sf):
+    """Every residue class of the seeded batch must land its rule:
+    %7=1 updated to the LATEST change, %7=2 and %7=4 gone, %7=3
+    updated (delete-then-update survives), %7=5 inserted under
+    doc_id + N, untouched classes pass through with NULL last_seq."""
+    from logparser_llm_spark.plans.queries import QUERIES, _read
+
+    n = _read(spark, sf, "documents").count()
+    rows = {r["doc_id"]: r for r in QUERIES["cdc_upsert"][0](spark, sf).collect()}
+    for did, r in rows.items():
+        m = did % 7 if did < n else None
+        if did >= n:  # insert
+            assert (r["lang"], r["last_seq"]) == ("new", 1)
+            assert (did - n) % 7 == 5
+        elif m == 1:
+            assert (r["lang"], r["n_chars"], r["last_seq"]) == (
+                "u2", did * 5 + 1, 2)
+        elif m == 3:
+            assert (r["lang"], r["n_chars"], r["last_seq"]) == (
+                "u3", did + 11, 2)
+        else:
+            assert m in (0, 5, 6) and r["last_seq"] is None
+    present = {d for d in rows if d < n}
+    assert not any(d % 7 in (2, 4) for d in present)
+    for m in (0, 1, 3, 5, 6):
+        assert any(d % 7 == m for d in present), (sf, m)
+    assert any(d >= n for d in rows), sf
