@@ -137,7 +137,7 @@ def scd2_sql(
     """
 
 
-_CDC_RESERVED = ("last_seq", "_n", "_nd", "_op", "_seq")
+_CDC_RESERVED = ("last_seq", "_n", "_nd", "_op", "_seq", "_rawop")
 
 
 def cdc_apply(
@@ -168,12 +168,18 @@ def cdc_apply(
     The DuckDB mirror (:func:`cdc_apply_sql`) deliberately reduces the
     batch with the INDEPENDENT window row_number spelling, so hash
     agreement validates the max_by reduction rather than restating it.
+
+    NULL keys never match (the join is null-unsafe on BOTH engines —
+    the oracle spells ``=`` on purpose): a NULL-key snapshot row passes
+    through untouched and a NULL-key change row applies as its own row.
+    Use a sentinel if NULL must be a joinable key value.
     """
     if not key_cols or not attr_cols:
         raise ValueError("key_cols and attr_cols must be non-empty")
-    clash = set(_CDC_RESERVED) & (
-        set(key_cols) | {seq_col, op_col} | set(attr_cols)
-    )
+    names = set(key_cols) | {seq_col, op_col} | set(attr_cols)
+    clash = (set(_CDC_RESERVED) & names) | {
+        c for c in names if c.startswith("_c_")  # internal attr aliases
+    }
     if clash:
         raise ValueError(f"reserved output column name(s): {sorted(clash)}")
     keys = list(key_cols)
@@ -244,7 +250,10 @@ def cdc_apply_sql(
     if not key_cols or not attr_cols:
         raise ValueError("key_cols and attr_cols must be non-empty")
     keys = ", ".join(key_cols)
-    on = " and ".join(f"s.{k} is not distinct from c.{k}" for k in key_cols)
+    # plain (null-UNSAFE) equality on purpose: Spark's join-on-name-list
+    # is null-unsafe, so a NULL-key row never matches on either engine —
+    # a null-safe spelling here would silently diverge from the Spark side
+    on = " and ".join(f"s.{k} = c.{k}" for k in key_cols)
     key_out = ", ".join(f"coalesce(s.{k}, c.{k}) as {k}" for k in key_cols)
     attr_out = ", ".join(
         f"case when c.{op_col} in ('I','U') then c.{c} else s.{c} end as {c}"

@@ -250,8 +250,46 @@ def test_cdc_contracts_fire_at_execution(spark):
     with pytest.raises(ValueError, match="reserved"):
         cdc_apply(snap.withColumnRenamed("attr", "last_seq"), dup,
                   ["k"], "seq", "op", ["last_seq"])
+    with pytest.raises(ValueError, match="reserved"):
+        # _c_<attr> would collide with the internal attr aliases
+        cdc_apply(snap.withColumnRenamed("attr", "_c_attr"), dup,
+                  ["k"], "seq", "op", ["_c_attr"])
     with pytest.raises(ValueError, match="non-empty"):
         cdc_apply(snap, dup, [], "seq", "op", ["attr"])
+
+
+def test_cdc_null_keys_never_match_on_either_engine(spark):
+    """NULL keys are null-UNSAFE on both engines (the oracle spells
+    `=` on purpose — `is not distinct from` would silently diverge
+    from Spark's join-on-name-list): a NULL-key snapshot row passes
+    through untouched and a NULL-key change row applies separately."""
+    import duckdb
+
+    from logparser_llm_spark.operators.scd import cdc_apply, cdc_apply_sql
+
+    snap_rows = [(None, "keepme"), ("a", "x")]
+    ch_rows = [(None, 1, "U", "upd"), ("a", 1, "U", "x1")]
+    snap = spark.createDataFrame(snap_rows, "k string, attr string")
+    ch = spark.createDataFrame(ch_rows, "k string, seq long, op string,"
+                                        " attr string")
+    got = sorted(
+        ((r["k"], r["attr"], r["last_seq"])
+         for r in cdc_apply(snap, ch, ["k"], "seq", "op",
+                            ["attr"]).collect()),
+        key=str,
+    )
+    con = duckdb.connect()
+    con.execute("create table snap (k varchar, attr varchar)")
+    con.executemany("insert into snap values (?, ?)", snap_rows)
+    con.execute(
+        "create table ch (k varchar, seq bigint, op varchar, attr varchar)"
+    )
+    con.executemany("insert into ch values (?, ?, ?, ?)", ch_rows)
+    sql = cdc_apply_sql(snapshot="snap", changes="ch", key_cols=["k"],
+                        seq_col="seq", op_col="op", attr_cols=["attr"])
+    assert got == sorted(con.execute(sql).fetchall(), key=str)
+    # both NULL-key rows present: untouched snapshot + applied change
+    assert (None, "keepme", None) in got and (None, "upd", 1) in got
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
