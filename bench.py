@@ -184,6 +184,11 @@ HEADLINE = [
     "crawl_depth",
     "cdc_upsert",
     "blocklist_join",
+    # r5 thirteenth arc: asymmetric containment join, prefix-sum
+    # curriculum ordering, crawl politeness scheduling
+    "containment_join",
+    "curriculum_order",
+    "fetch_schedule",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -208,6 +213,9 @@ LARGE_RESULT = {
     "burst_hours",
     # r5 twelfth arc: per-node / per-doc result shapes
     "hits_scores", "crawl_depth", "cdc_upsert", "blocklist_join",
+    # r5 thirteenth arc: per-doc result shapes (containment_join's pair
+    # list is group-bounded and small)
+    "curriculum_order", "fetch_schedule",
 }
 
 

@@ -229,6 +229,21 @@ def __getattr__(name):
             "logparser_llm_spark.operators.blocklist",
             "blocklist_join",
         ),
+        # round-5 thirteenth arc: containment join, global ordering,
+        # crawl politeness scheduling
+        "containment_pairs": (
+            "logparser_llm_spark.operators.setjoin",
+            "containment_pairs",
+        ),
+        "containment_pairs_sql": (
+            "logparser_llm_spark.operators.setjoin",
+            "containment_pairs_sql",
+        ),
+        "global_rank": ("logparser_llm_spark.operators.packing", "global_rank"),
+        "fetch_schedule": (
+            "logparser_llm_spark.operators.frontier",
+            "fetch_schedule",
+        ),
     }
     if name in api:
         import importlib

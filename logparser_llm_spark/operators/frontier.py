@@ -1,0 +1,113 @@
+"""Crawl-frontier politeness scheduling.
+
+A polite crawler fetches at most one URL per host per delay interval
+(RFC 9309 leaves the rate to the crawler; every production crawler
+implements per-host spacing). At 10^11 frontier URLs "assign each URL
+its fetch slot" is a DATA operation: one shuffle on the host, a
+partition-parallel rank, pure integer arithmetic for the schedule —
+never a driver-side queue.
+
+Determinism contract: within a host, URLs are ordered by the portable
+md5 of their id (tie-broken by the id itself), NOT by id order — hash
+order interleaves sources fairly (consecutive ids from one ingest
+batch don't monopolize the host's early slots) and is reproducible
+across engines, unlike arrival order. All arithmetic is non-negative
+integer multiply/floor-divide, so the schedule is bit-exact in Spark,
+DuckDB (:func:`fetch_schedule_sql`) and Python.
+
+Scale shape: ONE hash partition by host (the window is
+partition-parallel — a 10^7-URL host ranks inside its own partition;
+for a host so hot it skews a partition, cap it upstream with
+``sampling.py`` source caps). No UDF, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RESERVED = ("slot", "cycle", "sched_ms", "_ord")
+
+
+def fetch_schedule(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    *,
+    delay_ms: int = 1000,
+    per_cycle: int = 32,
+) -> DataFrame:
+    """Per-host fetch slots → every input row plus ``slot`` (0-based
+    fetch order within the host, md5-interleaved), ``cycle``
+    (= slot div per_cycle — the crawl round this URL lands in) and
+    ``sched_ms`` (= slot · delay_ms — the politeness offset from the
+    host's first fetch)."""
+    if delay_ms < 1 or per_cycle < 1:
+        raise ValueError("delay_ms and per_cycle must be >= 1")
+    clash = set(_RESERVED) & {id_col, host_col}
+    if clash or any(c in _RESERVED for c in df.columns):
+        bad = sorted(clash or (set(df.columns) & set(_RESERVED)))
+        raise ValueError(f"reserved output column name(s): {bad}")
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    slot = F.row_number().over(w) - F.lit(1)
+    return (
+        df.withColumn("slot", slot.cast("long"))
+        .withColumn(
+            "cycle", F.expr(f"slot div {per_cycle}").cast("long")
+        )
+        .withColumn("sched_ms", (F.col("slot") * delay_ms).cast("long"))
+    )
+
+
+def fetch_schedule_sql(
+    *,
+    source: str,
+    id_col: str,
+    host_col: str,
+    delay_ms: int = 1000,
+    per_cycle: int = 32,
+) -> str:
+    """DuckDB recompute of :func:`fetch_schedule` (same md5 interleave,
+    same integer arithmetic), generated here so the two spellings
+    cannot drift. ``source`` is a relation or parenthesized subquery."""
+    if delay_ms < 1 or per_cycle < 1:
+        raise ValueError("delay_ms and per_cycle must be >= 1")
+    return f"""
+        select {id_col}, {host_col},
+               slot,
+               cast(slot // {per_cycle} as bigint) as cycle,
+               cast(slot * {delay_ms} as bigint) as sched_ms
+        from (
+          select {id_col}, {host_col},
+                 cast(row_number() over (
+                   partition by {host_col}
+                   order by md5(cast({id_col} as varchar)), {id_col}
+                 ) - 1 as bigint) as slot
+          from {source}
+        ) t
+    """
+
+
+def fetch_schedule_py(
+    rows: list[tuple],
+    *,
+    delay_ms: int = 1000,
+    per_cycle: int = 32,
+) -> dict:
+    """Reference over (id, host) rows → id → (slot, cycle, sched_ms)."""
+    import hashlib
+    from collections import defaultdict
+
+    if delay_ms < 1 or per_cycle < 1:
+        raise ValueError("delay_ms and per_cycle must be >= 1")
+    by_host = defaultdict(list)
+    for i, h in rows:
+        by_host[h].append(i)
+    out = {}
+    for h, ids in by_host.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for slot, i in enumerate(ids):
+            out[i] = (slot, slot // per_cycle, slot * delay_ms)
+    return out

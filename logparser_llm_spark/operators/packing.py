@@ -119,3 +119,33 @@ def pack_sequences(
         .withColumn("seq_offset", F.col("cum_before") % seq_len)
         .withColumn("straddles", F.col("seq_offset") + tok > seq_len)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    *,
+    out_col: str = "global_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Every input column plus ``out_col`` = the row's exact 0-based
+    GLOBAL position in ``order_col`` order — the scale-correct spelling
+    of ``row_number() over (order by …)``, whose empty-window form
+    funnels the whole table through ONE task (the classic 100 TB
+    stage-killer). Built as :func:`exclusive_prefix_sum` of the
+    constant 1: range shuffle on the order key, partition-parallel
+    local ranks, one bounded driver pass over per-partition counts.
+    ``order_col`` must be a TOTAL order (unique keys) — with ties the
+    positions of tied rows are partition-placement-dependent, exactly
+    like the window spelling without a full tiebreak."""
+    for reserved in ("__one", out_col):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a column named {reserved!r}")
+    ranked = exclusive_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        order_col,
+        "__one",
+        out_col=out_col,
+        num_partitions=num_partitions,
+    )
+    return ranked.drop("__one")

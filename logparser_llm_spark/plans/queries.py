@@ -6220,6 +6220,213 @@ def q_blocklist_join_sql(sf: str) -> str:
     )
 
 
+_CONTAIN_T = (9, 10)  # containment threshold as an exact rational
+
+
+def _containment_seed_spark(d) -> DataFrame:
+    """Seeded containment corpus over documents ids: groups of 4
+    consecutive ids share a token family g{G}w0..w18 and the residue
+    class picks the shape — %4=0 the CONTAINER (all 19 family tokens +
+    a unique token, size 20), %4=1 a fully-contained quote (w0..w9,
+    C→container = 1.0), %4=2 a boundary case (w0..w8 + unique,
+    C = 9/10 exactly — qualifies by the cross-multiplication with zero
+    slack), %4=3 a near-miss (w0..w7 + TWO uniques, C = 8/10, fails).
+    Four ordered pairs qualify per complete group (1→0 at 1.0; 2→0,
+    1→2 and 2→1 at the 0.9 boundary) and NOTHING crosses groups, so
+    both verdict classes and the asymmetry (0→1 never qualifies while
+    1→0 does) are pinned at every sf. Jaccard CANNOT see the 1→0 pair
+    (J = 10/20 = 0.5) — the reason this operator exists next to
+    set_jaccard_join."""
+    sid = F.col("doc_id").cast("string")
+
+    def fam(n: int):
+        return F.expr(
+            f"array_join(transform(sequence(0, {n - 1}),"
+            " j -> concat('g', cast(doc_id div 4 as string), 'w',"
+            " cast(j as string))), ' ')"
+        )
+
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.concat_ws(" ", fam(19), F.concat(F.lit("u"), sid)))
+        .when(m == 1, fam(10))
+        .when(m == 2, F.concat_ws(" ", fam(9), F.concat(F.lit("u"), sid)))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                fam(8),
+                F.concat(F.lit("u"), sid, F.lit("a")),
+                F.concat(F.lit("u"), sid, F.lit("b")),
+            )
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
+    )
+
+
+_CONTAINMENT_SEED_SQL = """
+    select cast(doc_id as bigint) as doc_id,
+           case doc_id % 4
+             when 0 then concat_ws(' ',
+               array_to_string(list_transform(range(0, 19),
+                 j -> 'g' || cast(doc_id // 4 as varchar) || 'w'
+                   || cast(j as varchar)), ' '),
+               'u' || cast(doc_id as varchar))
+             when 1 then
+               array_to_string(list_transform(range(0, 10),
+                 j -> 'g' || cast(doc_id // 4 as varchar) || 'w'
+                   || cast(j as varchar)), ' ')
+             when 2 then concat_ws(' ',
+               array_to_string(list_transform(range(0, 9),
+                 j -> 'g' || cast(doc_id // 4 as varchar) || 'w'
+                   || cast(j as varchar)), ' '),
+               'u' || cast(doc_id as varchar))
+             else concat_ws(' ',
+               array_to_string(list_transform(range(0, 8),
+                 j -> 'g' || cast(doc_id // 4 as varchar) || 'w'
+                   || cast(j as varchar)), ' '),
+               'u' || cast(doc_id as varchar) || 'a',
+               'u' || cast(doc_id as varchar) || 'b')
+           end as text
+    from documents
+"""
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-CONTAINMENT join (operators/setjoin.py:
+    containment_pairs — one-sided prefix filtering): ordered pairs
+    with C(a→b) = |a∩b|/|a| >= 9/10 over the seeded group corpus. The
+    contained side probes with its rarest-token prefix only; the
+    container side is probed on ALL tokens (containment bounds where
+    common tokens fall in a's order, not b's). The DuckDB oracle runs
+    the naive every-shared-token both-directions algebra — agreement
+    validates the one-sided prefix lemma. The headline pair each group
+    plants (quote fully inside a 2× container) has J = 0.5: invisible
+    to every Jaccard-threshold operator in the repo, which is the
+    point of this one."""
+    from ..operators.setjoin import containment_pairs
+
+    d = _containment_seed_spark(
+        _read(spark, sf_dir, "documents").select("doc_id")
+    )
+    num, den = _CONTAIN_T
+    return containment_pairs(d, "doc_id", "text", t_num=num, t_den=den)
+
+
+def q_containment_join_sql(sf: str) -> str:
+    from ..operators.setjoin import containment_pairs_sql
+
+    num, den = _CONTAIN_T
+    return containment_pairs_sql(
+        f"({_CONTAINMENT_SEED_SQL}) seeded",
+        "doc_id",
+        "text",
+        t_num=num,
+        t_den=den,
+    )
+
+
+CURRICULUM_BUCKET_DIV = 200
+CURRICULUM_BUCKET_CAP = 3
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training (operators/packing.py:
+    global_rank): every document gets its exact 0-based GLOBAL position
+    under (difficulty bucket ASC, md5 shuffle, id) — easy-to-hard
+    curriculum with a deterministic shuffle inside each bucket — via
+    the scale-correct spelling: range shuffle + partition-parallel
+    local ranks + one bounded driver pass over per-partition counts,
+    NEVER the empty-window row_number that funnels 100 TB through one
+    task. The order key is a fixed-width string (bucket, md5-hex8 of
+    the id, zero-padded id) so it is total, unique, and lexicographic-
+    identical in Spark, DuckDB and Python; the oracle IS the window
+    spelling — row_number() over the same key — an independent algebra
+    validating the prefix-sum construction."""
+    from ..operators.packing import global_rank
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sid = F.col("doc_id").cast("string")
+    bucket = F.least(
+        F.lit(CURRICULUM_BUCKET_CAP),
+        F.expr(f"cast(n_chars as bigint) div {CURRICULUM_BUCKET_DIV}"),
+    )
+    keyed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bucket.cast("long").alias("bucket"),
+        F.concat(
+            bucket.cast("string"),
+            F.lit("-"),
+            F.substring(F.md5(sid), 1, 8),
+            F.lit("-"),
+            F.lpad(sid, 12, "0"),
+        ).alias("ckey"),
+    )
+    out = global_rank(keyed, "ckey")
+    return out.select(
+        "doc_id", "bucket", F.col("global_pos").cast("long").alias("global_pos")
+    )
+
+
+def q_curriculum_order_sql(sf: str) -> str:
+    return f"""
+        with keyed as (
+          select cast(doc_id as bigint) as doc_id,
+                 cast(least({CURRICULUM_BUCKET_CAP},
+                            n_chars // {CURRICULUM_BUCKET_DIV}) as bigint)
+                   as bucket,
+                 cast(least({CURRICULUM_BUCKET_CAP},
+                            n_chars // {CURRICULUM_BUCKET_DIV}) as varchar)
+                   || '-' || substr(md5(cast(doc_id as varchar)), 1, 8)
+                   || '-' || lpad(cast(doc_id as varchar), 12, '0') as ckey
+          from documents
+        )
+        select doc_id, bucket,
+               cast(row_number() over (order by ckey) - 1 as bigint)
+                 as global_pos
+        from keyed
+    """
+
+
+FETCH_DELAY_MS = 500
+FETCH_PER_CYCLE = 8
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (operators/frontier.py):
+    per-host fetch slots over documents grouped by source host — one
+    hash shuffle on the host, a partition-parallel md5-interleaved
+    rank, pure integer slot/cycle/offset arithmetic (delay 500 ms,
+    8 fetches per cycle). The md5 interleave is the determinism
+    contract: reproducible across engines AND fair across ingest
+    batches, unlike arrival order. Oracle: the same window spelling
+    regenerated by fetch_schedule_sql from the same module."""
+    from ..operators.frontier import fetch_schedule
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+    )
+    return fetch_schedule(
+        d, "doc_id", "host", delay_ms=FETCH_DELAY_MS,
+        per_cycle=FETCH_PER_CYCLE,
+    )
+
+
+def q_fetch_schedule_sql(sf: str) -> str:
+    from ..operators.frontier import fetch_schedule_sql
+
+    return fetch_schedule_sql(
+        source="(select cast(doc_id as bigint) as doc_id,"
+               " source || '.example.com' as host from documents)",
+        id_col="doc_id",
+        host_col="host",
+        delay_ms=FETCH_DELAY_MS,
+        per_cycle=FETCH_PER_CYCLE,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6485,6 +6692,15 @@ QUERIES: dict[str, tuple] = {
     # r5 (twelfth arc): huge-blocklist filtering as a join (the
     # c4_badwords scale path)
     "blocklist_join": (q_blocklist_join, q_blocklist_join_sql),
+    # r5 (thirteenth arc): asymmetric containment join (one-sided
+    # prefix filtering) — naive both-directions oracle
+    "containment_join": (q_containment_join, q_containment_join_sql),
+    # r5 (thirteenth arc): curriculum ordering via the distributed
+    # prefix-sum global rank — window row_number oracle
+    "curriculum_order": (q_curriculum_order, q_curriculum_order_sql),
+    # r5 (thirteenth arc): crawl-frontier politeness scheduling —
+    # md5-interleaved per-host slots
+    "fetch_schedule": (q_fetch_schedule, q_fetch_schedule_sql),
 }
 
 

@@ -108,3 +108,76 @@ def test_registered_query_conserves_tokens(spark):
     ).first()[0]
     assert total == want
     assert all(r["n_docs"] >= 1 for r in out)
+
+
+# --- global_rank (curriculum ordering) -------------------------------------
+
+
+def test_global_rank_matches_window_reference(spark):
+    """global_rank must equal row_number()-1 over the same total order,
+    at any partition count (the whole point: same answer as the
+    single-task window, without the single task)."""
+    from pyspark.sql import Window, functions as F
+
+    from logparser_llm_spark.operators.packing import global_rank
+
+    rows = [(i, f"{(i * 37) % 101:03d}-{i:04d}") for i in range(200)]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "id long, k string").repartition(parts)
+        got = {
+            r["id"]: r["global_pos"]
+            for r in global_rank(df, "k", num_partitions=5).collect()
+        }
+        ref = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("k")) - 1
+            ).collect()
+        }
+        assert got == ref
+
+
+def test_global_rank_validation_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from logparser_llm_spark.operators.packing import global_rank
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError):
+        global_rank(df.withColumn("global_pos", F.lit(0)), "k")
+    with pytest.raises(ValueError):
+        global_rank(df.withColumn("__one", F.lit(0)), "k")
+    with pytest.raises(ValueError):
+        global_rank(df, "missing")
+    empty = spark.createDataFrame([], "id long, k string")
+    assert global_rank(empty, "k").count() == 0
+    one = global_rank(df, "k").collect()
+    assert [(r["id"], r["global_pos"]) for r in one] == [(1, 0)]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_curriculum_order_laws(spark, sf):
+    """Positions are a permutation of 0..N-1; buckets are contiguous
+    position ranges in bucket order (the curriculum property); more
+    than one bucket is populated; within a bucket, positions do NOT
+    follow doc_id order (the md5 shuffle is real)."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["curriculum_order"][0](spark, sf).collect()
+    n = len(rows)
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["global_pos"])
+    assert len(by_bucket) >= 2, sf
+    hi = -1
+    for b in sorted(by_bucket):
+        ps = sorted(by_bucket[b])
+        assert ps[0] == hi + 1 and ps[-1] == ps[0] + len(ps) - 1, (sf, b)
+        hi = ps[-1]
+    some = sorted(
+        (r["doc_id"], r["global_pos"]) for r in rows
+        if r["bucket"] == min(by_bucket)
+    )
+    pos_seq = [p for _, p in some]
+    assert pos_seq != sorted(pos_seq), "md5 shuffle missing"

@@ -345,3 +345,27 @@ def test_twelfth_arc_queries_stay_jvm_no_cartesian(spark):
         if name in ("cdc_upsert", "blocklist_join"):
             assert plan_facts(QUERIES[name][0](spark, SF))[
                 "partial_aggregate"], name
+
+
+def test_thirteenth_arc_plans(spark):
+    """containment_join reuses its persisted tok/cand subtrees (the
+    prefix_filter_pairs convention) and joins only equi; curriculum
+    ordering must NOT plan the single-partition global window (its
+    entire reason to exist) — range partitioning only; fetch_schedule
+    is one hash shuffle on the host. No Python anywhere."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["containment_join"][0](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["curriculum_order"][0](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["fetch_schedule"][0](spark, SF))
+    assert "hashpartitioning" in plan and "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -153,3 +153,117 @@ def test_registered_classes_present_both_sf(spark, sf):
         (0, 1): {1_000_000 * 19 // 20},
         (0, 2): {1_000_000 * 19 // 21},
     }
+
+
+# --- containment join (the asymmetric sibling) -----------------------------
+
+
+def test_containment_spark_matches_bruteforce(spark, corpus):
+    """The one-sided prefix rule must find EXACTLY the brute-force
+    ordered-pair set at several thresholds — completeness of the
+    contained-side-prefix × container-full-tokens candidate join."""
+    from logparser_llm_spark.operators.setjoin import (
+        containment_pairs,
+        containment_pairs_py,
+    )
+
+    df = spark.createDataFrame(corpus, "id long, text string")
+    for num, den in [(1, 2), (9, 10), (1, 1)]:
+        got = sorted(
+            tuple(r)
+            for r in containment_pairs(
+                df, "id", "text", t_num=num, t_den=den
+            ).collect()
+        )
+        assert got == containment_pairs_py(corpus, t_num=num, t_den=den), (
+            num, den)
+
+
+def test_containment_oracle_sql_matches_bruteforce(duck_corpus, corpus):
+    from logparser_llm_spark.operators.setjoin import (
+        containment_pairs_py,
+        containment_pairs_sql,
+    )
+
+    for num, den in [(1, 2), (9, 10), (1, 1)]:
+        sql = containment_pairs_sql("docs", "id", "text", t_num=num, t_den=den)
+        got = sorted(tuple(r) for r in duck_corpus.execute(sql).fetchall())
+        assert got == containment_pairs_py(corpus, t_num=num, t_den=den)
+
+
+def test_containment_asymmetry_and_jaccard_blindness(spark):
+    """The defining case: a 5-token quote inside a 10-token container —
+    C(quote→container) = 1 qualifies, the reverse direction is 0.5 and
+    fails, and J = 0.5 means every Jaccard-threshold operator at
+    t >= 0.9 is structurally blind to the pair."""
+    from logparser_llm_spark.operators.setjoin import (
+        containment_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_e6"]
+        for r in containment_pairs(df, "id", "text", t_num=9, t_den=10).collect()
+    }
+    assert got == {(1, 2): 1_000_000}
+    assert (
+        prefix_filter_pairs(df, "id", "text", t_num=9, t_den=10).count() == 0
+    )
+
+
+def test_containment_boundary_is_exact(spark):
+    """9 of 10 tokens shared = exactly 0.9: the cross-multiplication
+    must pass with zero slack; 8 of 10 must fail."""
+    from logparser_llm_spark.operators.setjoin import containment_pairs
+
+    rows = [
+        (0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 x1"),   # 9/10 vs 0
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 y1 y2"),   # 8/10 vs 0
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_e6"]
+        for r in containment_pairs(df, "id", "text", t_num=9, t_den=10).collect()
+    }
+    assert got == {(0, 1): 900_000, (1, 0): 900_000}
+
+
+def test_containment_threshold_guards(spark):
+    from logparser_llm_spark.operators.setjoin import containment_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    for num, den in [(0, 1), (11, 10), (-1, 2)]:
+        with pytest.raises(ValueError):
+            containment_pairs(df, "id", "text", t_num=num, t_den=den)
+    with pytest.raises(ValueError):
+        containment_pairs(df, "id", "text", t_num=0.9, t_den=1)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_containment_registered_classes_present(spark, sf):
+    """Per complete 4-id group: 1→0 at exactly 1.0 (the Jaccard-blind
+    quote-in-container pair, size_b = 2·size_a), 2→0 / 1→2 / 2→1 at
+    exactly the 0.9 boundary, and nothing else — in particular 0→1
+    must NOT appear (asymmetry) and class 3 never qualifies."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["containment_join"][0](spark, sf).collect()
+    assert rows, sf
+    scores = {r["containment_e6"] for r in rows}
+    assert scores == {1_000_000, 900_000}, sf
+    for r in rows:
+        ma, mb = r["id_a"] % 4, r["id_b"] % 4
+        assert (ma, mb) in {(1, 0), (2, 0), (1, 2), (2, 1)}, (sf, r)
+        assert r["id_a"] // 4 == r["id_b"] // 4, (sf, r)  # never crosses groups
+        if (ma, mb) == (1, 0):
+            assert r["containment_e6"] == 1_000_000
+            assert r["size_b"] == 2 * r["size_a"]  # J = 0.5: Jaccard-blind
+    full = [r for r in rows if (r["id_a"] % 4, r["id_b"] % 4) == (1, 0)]
+    boundary = [r for r in rows if r["containment_e6"] == 900_000]
+    assert full and boundary, sf
