@@ -189,6 +189,8 @@ HEADLINE = [
     "containment_join",
     "curriculum_order",
     "fetch_schedule",
+    # r5 fourteenth arc: character-entropy quality signal
+    "char_entropy",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -216,6 +218,8 @@ LARGE_RESULT = {
     # r5 thirteenth arc: per-doc result shapes (containment_join's pair
     # list is group-bounded and small)
     "curriculum_order", "fetch_schedule",
+    # r5 fourteenth arc
+    "char_entropy",
 }
 
 

@@ -244,6 +244,11 @@ def __getattr__(name):
             "logparser_llm_spark.operators.frontier",
             "fetch_schedule",
         ),
+        # round-5 fourteenth arc: character-entropy quality signal
+        "char_entropy": (
+            "logparser_llm_spark.operators.profile",
+            "char_entropy",
+        ),
     }
     if name in api:
         import importlib

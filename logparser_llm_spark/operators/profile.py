@@ -121,3 +121,120 @@ def table_profile_py(rows: list[dict], cols: Sequence[str]) -> list[tuple]:
             )
         )
     return out
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy in integer
+    micro-nats → ``(id, n_chars, distinct_chars, entropy_e6)`` — the
+    gibberish/encoded-blob detector of the published quality recipes
+    (base64 dumps and minified blobs read near-uniform ≈ ln(alphabet)
+    high; single-character runs read 0; natural language sits in a
+    stable mid band). A compression-ratio proxy with no codec
+    dependency and an exact cross-engine contract.
+
+    Exactness (the lm.py ln convention): H = (1/N)·Σ_ch c·ln(N/c) —
+    each per-character term quantizes ``round(1e6·ln(N/c))`` (ONE
+    double division + ONE ln, HALF_UP, arguments ≥ 1 so the value is
+    non-negative) BEFORE the per-doc sum, making the aggregate an
+    order-free exact integer sum; ``entropy_e6`` is then one floor
+    division by N (non-negative operands — floor == truncate on every
+    engine).
+
+    Scale shape: one character explode feeds a partially-aggregable
+    (doc, char) count — a 10⁶-repeat character pre-reduces map-side;
+    per-doc totals are one more partial agg; everything else is a
+    doc-keyed join. NULL text counts as empty and still emits a row
+    (n_chars 0, entropy 0 — the silent-drop lesson)."""
+    cnt = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+            ).alias("_ch"),
+        )
+        .where(F.length("_ch") > 0)
+        .groupBy(id_col, "_ch")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = cnt.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_d")
+    )
+    terms = (
+        cnt.join(tot, id_col)
+        .select(
+            F.col(id_col),
+            "_n",
+            "_d",
+            (
+                F.col("_c")
+                * F.round(
+                    F.log(F.col("_n").cast("double") / F.col("_c")) * 1_000_000
+                ).cast("bigint")
+            ).alias("_t"),
+        )
+        .groupBy(id_col, "_n", "_d")
+        .agg(F.sum("_t").alias("_s"))
+    )
+    return (
+        df.select(id_col)
+        .join(terms, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.col("_d"), F.lit(0)).cast("long")
+            .alias("distinct_chars"),
+            F.coalesce(F.expr("_s div _n"), F.lit(0)).cast("long")
+            .alias("entropy_e6"),
+        )
+    )
+
+
+def char_entropy_sql(*, rel: str, id_col: str, text_col: str) -> str:
+    """DuckDB recompute of :func:`char_entropy`, generated here so the
+    two spellings cannot drift (same quantize-before-sum order, same
+    floor division)."""
+    return f"""
+        with chars as (
+          select {id_col},
+                 unnest(regexp_split_to_array(coalesce({text_col}, ''), ''))
+                   as ch
+          from {rel}
+        ),
+        cnt as (
+          select {id_col}, ch, count(*) as c
+          from chars where ch <> '' group by {id_col}, ch
+        ),
+        tot as (
+          select {id_col}, sum(c) as n, count(*) as d
+          from cnt group by {id_col}
+        ),
+        agg as (
+          select cnt.{id_col},
+                 max(tot.n) as n, max(tot.d) as d,
+                 sum(cnt.c * cast(round(1e6 * ln(cast(tot.n as double)
+                                                 / cnt.c)) as bigint)) as s
+          from cnt join tot on tot.{id_col} = cnt.{id_col}
+          group by cnt.{id_col}
+        )
+        select r.{id_col},
+               cast(coalesce(a.n, 0) as bigint) as n_chars,
+               cast(coalesce(a.d, 0) as bigint) as distinct_chars,
+               cast(coalesce(a.s // a.n, 0) as bigint) as entropy_e6
+        from {rel} r left join agg a on a.{id_col} = r.{id_col}
+    """
+
+
+def char_entropy_py(text: str | None) -> tuple[int, int, int]:
+    """Reference: (n_chars, distinct_chars, entropy_e6) for one text."""
+    import math
+    from collections import Counter
+
+    c = Counter(text or "")
+    n = sum(c.values())
+    if n == 0:
+        return 0, 0, 0
+    s = 0
+    for v in c.values():
+        x = math.log(n / v) * 1_000_000
+        s += v * math.floor(x + 0.5)  # HALF_UP, x >= 0
+    return n, len(c), s // n

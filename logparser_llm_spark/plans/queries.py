@@ -6427,6 +6427,54 @@ def q_fetch_schedule_sql(sf: str) -> str:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy in integer micro-nats
+    (operators/profile.py:char_entropy) — the codec-free
+    compression-ratio proxy of the published quality recipes: encoded
+    blobs read near-uniform-high, single-character runs read 0,
+    natural text sits in a mid band. Quantize-before-sum (the lm.py ln
+    convention) makes the per-doc aggregate an order-free exact
+    integer sum, so the DuckDB oracle (char_entropy_sql, generated by
+    the same module) recomputes every term and the hash has zero
+    tolerance. The corpus stages three classes: doc_id%17=0 a
+    50-char single-character run (entropy EXACTLY 0), %17=1 a 64-char
+    md5-hex blob (near-uniform 16-char alphabet, the encoded-blob
+    class), all else the raw documents text. (On this corpus the
+    natural text's alphabet is LARGER than hex, so its entropy
+    overlaps the blob band — the pinned contrasts are run-vs-anything
+    and blob-vs-its-own ln 16 ceiling, at both SFs in pytest.)"""
+    from ..operators.profile import char_entropy
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 17
+    staged = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(m == 0, F.expr("repeat('a', 50)"))
+        .when(m == 1, F.concat(F.md5(sid), F.md5(F.concat(sid, F.lit("x")))))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return char_entropy(staged, "doc_id", "text")
+
+
+def q_char_entropy_sql(sf: str) -> str:
+    from ..operators.profile import char_entropy_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 17 = 0 then repeat('a', 50)
+                    when doc_id % 17 = 1 then
+                      md5(cast(doc_id as varchar))
+                      || md5(cast(doc_id as varchar) || 'x')
+                    else text end as text
+        from documents
+    """
+    return char_entropy_sql(
+        rel=f"({staged})", id_col="doc_id", text_col="text"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6701,6 +6749,9 @@ QUERIES: dict[str, tuple] = {
     # r5 (thirteenth arc): crawl-frontier politeness scheduling —
     # md5-interleaved per-host slots
     "fetch_schedule": (q_fetch_schedule, q_fetch_schedule_sql),
+    # r5 (fourteenth arc): character-entropy quality signal in integer
+    # micro-nats (quantize-before-sum; zero-tolerance oracle)
+    "char_entropy": (q_char_entropy, q_char_entropy_sql),
 }
 
 

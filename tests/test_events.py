@@ -482,3 +482,89 @@ def test_transitions_query_full_matrix_and_permille_law(spark, sf):
         by_from.setdefault(r["from_type"], []).append(r["p_permille"])
     for ps in by_from.values():
         assert 1000 - len(ps) < sum(ps) <= 1000  # floor-division law
+
+
+# --- char_entropy (operators/profile.py) -----------------------------------
+
+
+def test_char_entropy_matches_python_reference(spark):
+    from logparser_llm_spark.operators.profile import (
+        char_entropy,
+        char_entropy_py,
+    )
+
+    rows = [
+        (0, "aaaaaaaaaa"),            # degenerate: entropy 0
+        (1, "abab"),                  # two equiprobable chars: ln 2
+        (2, "the quick brown fox"),   # natural-ish
+        (3, ""),                      # empty
+        (4, None),                    # NULL must still emit a row
+        (5, "0123456789abcdef"),      # uniform 16-char: ln 16
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n_chars"], r["distinct_chars"], r["entropy_e6"])
+        for r in char_entropy(df, "id", "text").collect()
+    }
+    assert got == {i: char_entropy_py(t) for i, t in rows}
+    assert got[0] == (10, 1, 0)
+    assert got[1][2] == 693_147          # round(1e6·ln 2)
+    assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
+    assert got[5][2] == 2_772_589        # round(1e6·ln 16)
+
+
+def test_char_entropy_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.profile import (
+        char_entropy,
+        char_entropy_sql,
+    )
+
+    rows = [(0, "mississippi river"), (1, "zzzz"), (2, None), (3, "ab"),
+            (4, "unicode: déjà vu ✓")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(tuple(r) for r in char_entropy(df, "id", "text").collect())
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = char_entropy_sql(rel="t", id_col="id", text_col="text")
+    assert got == sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_char_entropy_partition_invariance(spark):
+    from logparser_llm_spark.operators.profile import char_entropy
+
+    rows = [(i, f"text number {i} with repeats {('ab' * (i % 5))}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = char_entropy(df.repartition(1), "id", "text").collect()
+    b = char_entropy(df.repartition(13), "id", "text").collect()
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_char_entropy_registered_classes(spark, sf):
+    """Three seeded classes: single-char runs at EXACTLY 0, md5-hex
+    blobs just under the 16-char-uniform ceiling ln 16 (the ceiling is
+    a hard inequality — H <= ln(alphabet)), natural text strictly
+    positive. (Note the bands: this corpus's natural text uses a
+    LARGER alphabet than hex, so its entropy overlaps/exceeds the
+    blobs' — the useful detector contrasts are run-vs-anything and
+    entropy-vs-own-alphabet ceiling, both pinned here.)"""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["char_entropy"][0](spark, sf).collect()
+    runs = [r for r in rows if r["doc_id"] % 17 == 0]
+    blobs = [r for r in rows if r["doc_id"] % 17 == 1]
+    text = [r for r in rows if r["doc_id"] % 17 > 1]
+    assert runs and blobs and text, sf
+    assert all(r["entropy_e6"] == 0 and r["distinct_chars"] == 1
+               for r in runs), sf
+    assert all(
+        2_400_000 < r["entropy_e6"] <= 2_772_589
+        and r["distinct_chars"] <= 16
+        for r in blobs
+    ), sf
+    assert all(0 < r["entropy_e6"] for r in text), sf
