@@ -191,6 +191,9 @@ HEADLINE = [
     "fetch_schedule",
     # r5 fourteenth arc: character-entropy quality signal
     "char_entropy",
+    # r5 fifteenth arc: integer readability + the composed crawl loop
+    "readability",
+    "crawl_frontier",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -220,6 +223,8 @@ LARGE_RESULT = {
     "curriculum_order", "fetch_schedule",
     # r5 fourteenth arc
     "char_entropy",
+    # r5 fifteenth arc: per-doc / per-url result shapes
+    "readability", "crawl_frontier",
 }
 
 

@@ -249,6 +249,11 @@ def __getattr__(name):
             "logparser_llm_spark.operators.profile",
             "char_entropy",
         ),
+        # round-5 fifteenth arc: integer Flesch-Kincaid readability
+        "readability_frame": (
+            "logparser_llm_spark.functions.quality",
+            "readability_frame",
+        ),
     }
     if name in api:
         import importlib

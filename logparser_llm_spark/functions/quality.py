@@ -688,3 +688,140 @@ def badwords_sql(
                ({n_words} = 0 and ({' + '.join(phr_terms)}) = 0) as ok_badwords
         from _bw
     """
+
+
+
+# --- readability (Flesch-Kincaid grade / Flesch reading ease) --------------
+# The classic prose-complexity signals, restated in exact integer
+# arithmetic (micro-units) so the Spark and DuckDB spellings agree bit
+# for bit. Syllables use the deterministic vowel-run heuristic: one
+# syllable per maximal [aeiouy]+ run in the lowercased text, plus one
+# for every vowel-less word (digits, acronyms) so no word counts zero —
+# an approximation (all published syllable counters are), but a FIXED
+# one, which is what a cross-engine contract needs. Sentences are
+# terminal-punctuation runs ([.!?]+), clamped to >= 1 for non-empty
+# text so unterminated prose still scores. All divisions are integer
+# floor-divisions with non-negative operands (floor == truncate on
+# every engine), taken AFTER scaling to e6 — the lm.py convention.
+
+READABILITY_OUT_COLS = (
+    "n_words", "n_sentences", "n_syllables", "fk_grade_e6", "ease_e6",
+)
+
+
+def readability_frame(df, id_col: str, text_col: str):
+    """``(id, n_words, n_sentences, n_syllables, fk_grade_e6, ease_e6)``
+    per document. ``fk_grade_e6`` = 10⁶·(0.39·w/s + 11.8·syll/w −
+    15.59) (Kincaid et al. 1975), ``ease_e6`` = 10⁶·(206.835 −
+    1.015·w/s − 84.6·syll/w) (Flesch 1948) — both spelled as integer
+    floor-divisions of e6-scaled numerators, both NULL on empty/NULL
+    text (the formulas are undefined at w = 0; zeros would fake
+    "kindergarten prose"). Pure JVM expression chain, zero exchanges —
+    the 100 TB scan-bound shape; signals are NAMED columns in a staged
+    select before the arithmetic (the gopher HOF lesson), and the only
+    interpreted HOF is the per-token vowel-less scan over the named
+    token array."""
+    from .text import ws_tokens
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sig = df.select(
+        F.col(id_col),
+        F.size(ws_tokens(t)).cast("bigint").alias("_w"),
+        (F.size(F.split(t, "[.!?]+", -1)) - 1).cast("bigint").alias("_m"),
+        (F.size(F.split(F.lower(t), "[aeiouy]+", -1)) - 1)
+        .cast("bigint")
+        .alias("_v"),
+        F.size(F.filter(ws_tokens(t), lambda w: ~w.rlike("[aeiouyAEIOUY]")))
+        .cast("bigint")
+        .alias("_nv"),
+    ).select(
+        id_col,
+        "_w",
+        F.when(F.col("_w") > 0, F.greatest("_m", F.lit(1)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_s"),
+        F.when(F.col("_w") > 0, F.col("_v") + F.col("_nv"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_y"),
+    )
+    return sig.select(
+        id_col,
+        F.col("_w").alias("n_words"),
+        F.col("_s").alias("n_sentences"),
+        F.col("_y").alias("n_syllables"),
+        F.when(
+            F.col("_w") > 0,
+            F.expr("390000 * _w div _s + 11800000 * _y div _w - 15590000"),
+        )
+        .cast("bigint")
+        .alias("fk_grade_e6"),
+        F.when(
+            F.col("_w") > 0,
+            F.expr("206835000 - 1015000 * _w div _s - 84600000 * _y div _w"),
+        )
+        .cast("bigint")
+        .alias("ease_e6"),
+    )
+
+
+def readability_sql(
+    input_sql: str, *, text_col: str = "t", id_col: str = "doc_id"
+) -> str:
+    """DuckDB recompute of :func:`readability_frame` over ``input_sql``
+    (same tokenizer rendering, same clamps, same e6 floor-divisions),
+    generated here so the two spellings cannot drift."""
+    from .text import TOKENS_SQL
+
+    t = f"coalesce({text_col}, '')"
+    toks = TOKENS_SQL.format(c=t)
+    return f"""
+        with _rd0 as ({input_sql}),
+        _rd1 as (
+          select {id_col},
+                 len({toks})::BIGINT as _w,
+                 (len(regexp_split_to_array({t}, '[.!?]+')) - 1)::BIGINT
+                   as _m,
+                 (len(regexp_split_to_array(lower({t}), '[aeiouy]+')) - 1)
+                   ::BIGINT as _v,
+                 len(list_filter({toks},
+                     w -> not regexp_matches(w, '[aeiouyAEIOUY]')))::BIGINT
+                   as _nv
+          from _rd0
+        ),
+        _rd2 as (
+          select {id_col}, _w,
+                 (case when _w > 0 then greatest(_m, 1) else 0 end)::BIGINT
+                   as _s,
+                 (case when _w > 0 then _v + _nv else 0 end)::BIGINT as _y
+          from _rd1
+        )
+        select {id_col},
+               _w as n_words, _s as n_sentences, _y as n_syllables,
+               (case when _w > 0 then
+                 390000 * _w // _s + 11800000 * _y // _w - 15590000
+                end)::BIGINT as fk_grade_e6,
+               (case when _w > 0 then
+                 206835000 - 1015000 * _w // _s - 84600000 * _y // _w
+                end)::BIGINT as ease_e6
+        from _rd2
+    """
+
+
+def readability_py(text: str | None) -> tuple:
+    """Reference: the five output values for one text."""
+    import re as _re
+
+    t = text or ""
+    words = [w for w in t.strip().split(" ") if w]
+    w = len(words)
+    if w == 0:
+        return 0, 0, 0, None, None
+    s = max(len(_re.findall(r"[.!?]+", t)), 1)
+    y = len(_re.findall(r"[aeiouy]+", t.lower())) + sum(
+        1 for x in words if not _re.search(r"[aeiouyAEIOUY]", x)
+    )
+    fk = 390_000 * w // s + 11_800_000 * y // w - 15_590_000
+    ease = 206_835_000 - 1_015_000 * w // s - 84_600_000 * y // w
+    return w, s, y, fk, ease

@@ -6475,6 +6475,151 @@ def q_char_entropy_sql(sf: str) -> str:
     )
 
 
+_RD_SIMPLE = "The cat sat. The dog ran. It is fun."
+_RD_COMPLEX = (
+    "Extraordinary incomprehensibility demonstrating institutional "
+    "modernization necessitates interdisciplinary collaboration "
+    "throughout heterogeneous organizational infrastructures."
+)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading ease in exact integer
+    micro-units (functions/quality.py:readability_frame) — the classic
+    prose-complexity axis of the published quality recipes, restated
+    with the fixed vowel-run syllable heuristic so the score is a
+    cross-engine contract rather than a library call. Pure JVM map
+    stage, zero exchanges. Three seeded classes: doc_id%13=0 short
+    simple sentences (low grade, high ease), %13=1 one polysyllabic
+    academic sentence (high grade, negative ease), all else the raw
+    documents text; the class contrast is pinned at both SFs in
+    pytest, and the DuckDB oracle (readability_sql, generated by the
+    same module) recomputes every count and division."""
+    from ..functions.quality import readability_frame
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 13
+    staged = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(m == 0, F.lit(_RD_SIMPLE))
+        .when(m == 1, F.lit(_RD_COMPLEX))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return readability_frame(staged, "doc_id", "text")
+
+
+def q_readability_sql(sf: str) -> str:
+    from ..functions.quality import readability_sql
+
+    staged = f"""
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 13 = 0 then '{_RD_SIMPLE}'
+                    when doc_id % 13 = 1 then '{_RD_COMPLEX}'
+                    else text end as text
+        from documents
+    """
+    return readability_sql(staged, text_col="text", id_col="doc_id")
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop a web-scale pipeline actually runs, composed from
+    the REAL machinery: candidate urls (the ``robots_filter`` seeding —
+    four path classes against seeded per-host robots.txt) → RFC 9309
+    permission via functions/robots.py (broadcast rule join + max_by
+    precedence) → seen-set dedup against yesterday's crawl (md5(url)
+    LEFT ANTI join — the exact form of the Bloom-frontier shape; the
+    snapshot here is the doc_id%3=0 slice) → politeness scheduling over
+    the survivors (operators/frontier.py: one host-keyed shuffle,
+    md5-interleaved slots). Host priority (pagerank) joins in the same
+    way and is registered separately. Every stage's effect is
+    closed-form in (doc_id, host index), so the DuckDB oracle derives
+    the survivor set independently and recomputes the schedule — a bug
+    in robots precedence, the anti-join, or the slot arithmetic each
+    breaks the hash differently. Per-host survivor counts exceed
+    per_cycle at both SFs, so multi-cycle rows exist."""
+    from ..functions.robots import robots_allowed, robots_rules
+    from ..operators.frontier import fetch_schedule
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    idx = F.regexp_replace("source", "src", "").cast("int")
+    robots = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/public*\n"
+            ),
+            F.when(idx % 2 == 0, F.lit("Disallow: /tmp/*.bak$\n")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots, agent="sparkbot/1.0")
+    sid = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 4
+    path = (
+        F.when(c == 0, F.concat(F.lit("/articles/"), sid))
+        .when(c == 1, F.concat(F.lit("/private/"), sid))
+        .when(c == 2, F.concat(F.lit("/private/public/"), sid))
+        .otherwise(F.concat(F.lit("/tmp/"), sid, F.lit(".bak")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    allowed = robots_allowed(urls, rules).where("allowed").drop("allowed")
+    seen = urls.where(F.col("doc_id") % 3 == 0).select(
+        F.md5("url").alias("seen_md5")
+    )
+    fresh = allowed.join(
+        seen, F.md5(allowed["url"]) == seen["seen_md5"], "left_anti"
+    )
+    return fetch_schedule(
+        fresh, "doc_id", "host", delay_ms=FETCH_DELAY_MS,
+        per_cycle=FETCH_PER_CYCLE,
+    ).select("doc_id", "host", "slot", "cycle", "sched_ms")
+
+
+def q_crawl_frontier_sql(sf: str) -> str:
+    from ..operators.frontier import fetch_schedule_sql
+
+    # survivor set derived INDEPENDENTLY: the robots verdict stated
+    # closed-form per (path class, host parity) + the %3 seen slice
+    survivors = """
+        select cast(doc_id as bigint) as doc_id,
+               source || '.example.com' as host,
+               'https://' || source || '.example.com' ||
+               case doc_id % 4
+                 when 0 then '/articles/' || cast(doc_id as varchar)
+                 when 1 then '/private/' || cast(doc_id as varchar)
+                 when 2 then '/private/public/' || cast(doc_id as varchar)
+                 else '/tmp/' || cast(doc_id as varchar) || '.bak'
+               end as url
+        from documents
+        where doc_id % 3 <> 0
+          and (case doc_id % 4
+                 when 0 then true
+                 when 1 then false
+                 when 2 then true
+                 else cast(replace(source, 'src', '') as int) % 2 <> 0
+               end)
+    """
+    return fetch_schedule_sql(
+        source=f"({survivors})",
+        id_col="doc_id",
+        host_col="host",
+        delay_ms=FETCH_DELAY_MS,
+        per_cycle=FETCH_PER_CYCLE,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6752,6 +6897,13 @@ QUERIES: dict[str, tuple] = {
     # r5 (fourteenth arc): character-entropy quality signal in integer
     # micro-nats (quantize-before-sum; zero-tolerance oracle)
     "char_entropy": (q_char_entropy, q_char_entropy_sql),
+    # r5 (fifteenth arc): Flesch-Kincaid / reading-ease in exact integer
+    # micro-units (fixed vowel-run syllable heuristic)
+    "readability": (q_readability, q_readability_sql),
+    # r5 (fifteenth arc): the composed crawl loop — robots permission →
+    # seen-set anti-join → politeness schedule, survivor set derived
+    # independently by the oracle
+    "crawl_frontier": (q_crawl_frontier, q_crawl_frontier_sql),
 }
 
 

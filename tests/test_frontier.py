@@ -103,3 +103,53 @@ def test_registered_query_classes_present(spark, sf):
     for r in rows:
         assert r["sched_ms"] == r["slot"] * FETCH_DELAY_MS
         assert r["cycle"] == r["slot"] // FETCH_PER_CYCLE
+
+
+# --- crawl_frontier composed query (r5 fifteenth arc) -----------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_crawl_frontier_survivor_law_and_cycles(spark, sf):
+    """The composition's survivor set must be exactly {robots-allowed}
+    minus {seen}: class %4=1 never scheduled (Disallow), %4=3 scheduled
+    only on odd hosts (the wildcard+anchor rule), %3=0 never scheduled
+    (yesterday's crawl); multi-cycle rows exist; the slot/sched
+    arithmetic law holds on every row."""
+    from logparser_llm_spark.plans.queries import (
+        FETCH_DELAY_MS,
+        FETCH_PER_CYCLE,
+        QUERIES,
+    )
+
+    rows = QUERIES["crawl_frontier"][0](spark, sf).collect()
+    assert rows, sf
+    for r in rows:
+        host_idx = int(r["host"].split(".")[0].replace("src", ""))
+        assert r["doc_id"] % 3 != 0, sf            # seen-set anti-join
+        assert r["doc_id"] % 4 != 1, sf            # /private/ disallowed
+        if r["doc_id"] % 4 == 3:
+            assert host_idx % 2 != 0, sf           # .bak rule on even hosts
+        assert r["sched_ms"] == r["slot"] * FETCH_DELAY_MS
+        assert r["cycle"] == r["slot"] // FETCH_PER_CYCLE
+    assert any(r["cycle"] > 0 for r in rows), sf
+    # per-host slots are dense 0..k-1 (the anti-join happened BEFORE
+    # scheduling — holes would mean filtered-after-ranking)
+    from collections import defaultdict
+
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r["slot"])
+    assert len(by_host) >= 2, sf
+    for slots in by_host.values():
+        assert sorted(slots) == list(range(len(slots)))
+
+
+def test_crawl_frontier_plan_has_anti_join(spark):
+    from logparser_llm_spark.plans.inspect import physical_plan
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(
+        QUERIES["crawl_frontier"][0](spark, "/root/testdata/sf0.01")
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

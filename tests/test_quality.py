@@ -399,3 +399,87 @@ def test_badwords_query_has_both_verdicts(spark, sf):
     agg = out.agg(F.max("n_bad_words").alias("w"),
                   F.max("n_bad_phrases").alias("p")).collect()[0]
     assert agg["w"] >= 2 and agg["p"] >= 1
+
+
+# --- readability (functions/quality.py, r5 fifteenth arc) ------------------
+
+
+def test_readability_matches_python_reference(spark):
+    from logparser_llm_spark.functions.quality import (
+        readability_frame,
+        readability_py,
+    )
+
+    rows = [
+        (0, "The cat sat. The dog ran. It is fun."),
+        (1, "Extraordinary incomprehensibility demonstrating terminology"),
+        (2, ""), (3, None),
+        (4, "123 456 789."),                 # vowel-less words count 1 each
+        (5, "no terminal punctuation here"),  # sentence clamp to 1
+        (6, "Mixed CASE Vowels! And... ellipses?? plus 42 numbers."),
+        (7, "..."),                           # punctuation-only "word"
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(tuple(r) for r in readability_frame(df, "id", "text").collect())
+    assert got == sorted((i,) + readability_py(t) for i, t in rows)
+    by_id = {g[0]: g for g in got}
+    assert by_id[2][1:] == (0, 0, 0, None, None)   # empty → NULL scores
+    assert by_id[3][1:] == (0, 0, 0, None, None)   # NULL → NULL scores
+    assert by_id[4][3] == 3                        # one syllable per number
+    assert by_id[5][2] == 1                        # clamped sentence count
+
+
+def test_readability_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.functions.quality import (
+        readability_frame,
+        readability_sql,
+    )
+
+    rows = [(0, "Simple words are easy to read. Yes."),
+            (1, "Overqualification notwithstanding, bureaucratization persists."),
+            (2, None), (3, "one"), (4, "Y y Y y."), (5, "rhythm myth gym.")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(tuple(r) for r in readability_frame(df, "id", "text").collect())
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = readability_sql("select id as doc_id, text from t",
+                          text_col="text", id_col="doc_id")
+    assert got == sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_readability_plan_is_scan_bound(spark):
+    from logparser_llm_spark.plans.inspect import plan_facts
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    df = QUERIES["readability"][0](spark, "/root/testdata/sf0.01")
+    facts = plan_facts(df)
+    assert facts["exchanges"] == 0
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_readability_query_class_contrast(spark, sf):
+    """Seeded classes: the polysyllabic sentence (%13=1) must out-grade
+    the simple sentences (%13=0) and read harder (lower ease); both
+    seeded classes are constant strings so they score constant; raw
+    text scores non-NULL wherever it has words."""
+    from logparser_llm_spark.functions.quality import readability_py
+    from logparser_llm_spark.plans.queries import (
+        _RD_COMPLEX,
+        _RD_SIMPLE,
+        QUERIES,
+    )
+
+    rows = QUERIES["readability"][0](spark, sf).collect()
+    simple = {tuple(r)[1:] for r in rows if r["doc_id"] % 13 == 0}
+    complex_ = {tuple(r)[1:] for r in rows if r["doc_id"] % 13 == 1}
+    assert simple == {readability_py(_RD_SIMPLE)}, sf
+    assert complex_ == {readability_py(_RD_COMPLEX)}, sf
+    (s,), (c,) = simple, complex_
+    assert c[3] > s[3] and c[4] < s[4], sf  # fk higher, ease lower
+    text = [r for r in rows if r["doc_id"] % 13 > 1]
+    assert text and all(r["fk_grade_e6"] is not None for r in text
+                        if r["n_words"] > 0), sf
