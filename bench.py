@@ -194,6 +194,10 @@ HEADLINE = [
     # r5 fifteenth arc: integer readability + the composed crawl loop
     "readability",
     "crawl_frontier",
+    # r5 sixteenth arc: duplicate-family-keyed train/val/test split +
+    # Stupid Backoff trigram LM
+    "leakage_split",
+    "sb_quality",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -225,6 +229,8 @@ LARGE_RESULT = {
     "char_entropy",
     # r5 fifteenth arc: per-doc / per-url result shapes
     "readability", "crawl_frontier",
+    # r5 sixteenth arc
+    "leakage_split", "sb_quality",
 }
 
 

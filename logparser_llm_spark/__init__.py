@@ -254,6 +254,24 @@ def __getattr__(name):
             "logparser_llm_spark.functions.quality",
             "readability_frame",
         ),
+        # round-5 sixteenth arc: duplicate-family-keyed dataset split
+        "leakage_safe_split": (
+            "logparser_llm_spark.operators.dedup",
+            "leakage_safe_split",
+        ),
+        "dup_family_edges": (
+            "logparser_llm_spark.operators.dedup",
+            "dup_family_edges",
+        ),
+        # round-5 sixteenth arc: Stupid Backoff trigram LM
+        "sb_train_trigram": (
+            "logparser_llm_spark.operators.lm",
+            "sb_train_trigram",
+        ),
+        "sb_score_trigram": (
+            "logparser_llm_spark.operators.lm",
+            "sb_score_trigram",
+        ),
     }
     if name in api:
         import importlib

@@ -572,6 +572,85 @@ def dedup_corpus_keep_ids(
     return exact_reps.join(drop_near, "doc_id", "left_anti")
 
 
+def dup_family_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """The duplicate-family edge set shared by
+    :func:`dedup_corpus_keep_best` and :func:`leakage_safe_split`:
+    exact-dup star edges (every member of a same-md5(text) group ↔ the
+    group min — O(group) edges, never the quadratic clique) unioned
+    with SimHash Hamming-band near-dup pairs. Output: (id_a, id_b)."""
+    grp = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_h")
+    )
+    gmin = grp.groupBy("_h").agg(
+        F.min("doc_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
+    )
+    exact_edges = (
+        grp.join(gmin, "_h")
+        .where((F.col("_n") > 1) & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("doc_id").alias("id_a"), F.col("_rep").alias("id_b"))
+    )
+    near = simhash_near_dup_pairs(
+        df, id_col, text_col, max_hamming, bands
+    ).select("id_a", "id_b")
+    return exact_edges.unionByName(near)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: "dict[str, float]",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across the eval boundary — the split a careful training team
+    actually ships. A plain per-document hash split (``sampling.
+    dataset_split``) puts two near-identical crawls of the same page
+    in train AND test with probability 2·p·(1−p); memorization then
+    reads as generalization. Here the split key is the document's
+    duplicate-FAMILY representative (family = connected component of
+    exact-md5 star edges ∪ SimHash near-dup pairs, rep = min doc id —
+    the :func:`dedup_corpus_keep_best` family definition), so every
+    member of a family lands in the SAME split by construction;
+    documents in no family split by their own id, making the operator
+    degrade exactly to ``dataset_split`` on a dup-free corpus.
+
+    Scale: the family edges are the bounded star/band joins (never a
+    clique), components are O(log² n) rounds, and the split itself is
+    a pure map over the rep key — determinism and incremental
+    stability inherit from the md5-bucket contract (adding documents
+    never moves an existing family across the boundary unless it
+    BRIDGES two families, which is the correct behavior: merged
+    families must re-land together).
+
+    Output: ``(doc_id, family_rep, split)``."""
+    from .components import connected_components
+    from .sampling import dataset_split
+
+    comp = connected_components(
+        dup_family_edges(df, id_col, text_col, max_hamming, bands)
+    )
+    keyed = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id")
+            .cast("bigint")
+            .alias("family_rep"),
+        )
+    )
+    return dataset_split(keyed, "family_rep", fractions)
+
+
 def dedup_corpus_keep_best(
     df: DataFrame,
     id_col: str,
@@ -605,19 +684,9 @@ def dedup_corpus_keep_best(
         F.col(text_col).alias("_text"),
         F.col(score_col).cast("double").alias("_score"),
     )
-    grp = base.select("doc_id", F.md5(F.col("_text")).alias("_h"))
-    gmin = grp.groupBy("_h").agg(
-        F.min("doc_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
+    comp = connected_components(
+        dup_family_edges(df, id_col, text_col, max_hamming, bands)
     )
-    exact_edges = (
-        grp.join(gmin, "_h")
-        .where((F.col("_n") > 1) & (F.col("doc_id") != F.col("_rep")))
-        .select(F.col("doc_id").alias("id_a"), F.col("_rep").alias("id_b"))
-    )
-    near = simhash_near_dup_pairs(df, id_col, text_col, max_hamming, bands).select(
-        "id_a", "id_b"
-    )
-    comp = connected_components(exact_edges.unionByName(near))
     member = comp.join(
         base.select(F.col("doc_id").alias("node"), "_score"), "node"
     )

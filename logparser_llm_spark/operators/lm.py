@@ -294,3 +294,262 @@ def lm_score_py(
         nll -= q
     # nll >= 0 always, so truncating and flooring division agree
     return n, nll, nll // max(n, 1)
+
+
+# --- Stupid Backoff trigram scoring (Brants et al. 2007) -------------------
+# "Large Language Models in Machine Translation" — THE web-scale LM
+# recipe: no discounting, no normalization, just raw relative
+# frequencies with a fixed backoff penalty α = 0.4, chosen by Brants
+# precisely because it needs nothing but count lookups (their model
+# trained on 2T tokens). α = 0.4 = 2/5 EXACTLY, so every backoff branch
+# stays a ratio of exact integers and the per-term score is the same
+# one-division-one-ln quantization as the add-k bigram model above:
+#   S(w3 | w1 w2) = c3/c2(w1,w2)            if c3 > 0
+#                 = 0.4 · c2(w2,w3)/c1(w2)  elif c2(w2,w3) > 0
+#                 = 0.16 · max(c1(w3),1)/N  otherwise (count clamp —
+#                   the fixed total-scoring convention for unknowns)
+# term_e6 = round(1e6·ln(1/S)) — numerator ≥ denominator in every
+# branch, so the argument is ≥ 1 and HALF_UP has no sign branch. Only
+# trigram positions score (docs with < 3 tokens emit a zero row).
+
+SB_GRAMS_EXPR = (
+    "case when size(__toks) >= 1 then "
+    "transform(sequence(0, size(__toks) - 1), "
+    "i -> struct(__toks[i] as w1, "
+    "case when i + 1 < size(__toks) then __toks[i + 1] end as w2, "
+    "case when i + 2 < size(__toks) then __toks[i + 2] end as w3)) "
+    "else array() end"
+)
+_SB_SCORE_EXPR = (
+    "case when size(__toks) >= 3 then "
+    "transform(sequence(0, size(__toks) - 3), "
+    "i -> struct(__toks[i] as w1, __toks[i + 1] as w2, __toks[i + 2] as w3)) "
+    "else array() end"
+)
+
+
+def sb_train_trigram(df: DataFrame, text_col: str) -> tuple[DataFrame, int]:
+    """Train the count tables: ONE explode over the corpus — every
+    position emits (w1, w2-or-NULL, w3-or-NULL), so the single
+    partially-aggregable ``groupBy(w1, w2, w3)`` frame feeds trigram,
+    bigram AND unigram counts plus N (four consumers → persisted
+    MEMORY_AND_DISK; model size O(distinct trigrams), never O(corpus)).
+    Returns ``(grams, n_tokens)`` where ``grams`` is the persisted
+    (w1, w2, w3, c) frame."""
+    grams = (
+        df.select(_tokens_col(text_col).alias("__toks"))
+        .select(F.explode(F.expr(SB_GRAMS_EXPR)).alias("g"))
+        .groupBy(
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = grams.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    if not n:
+        raise ValueError("training corpus contains no tokens")
+    return grams, int(n)
+
+
+def sb_score_trigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    grams: DataFrame,
+    n_tokens: int,
+) -> DataFrame:
+    """Per-document Stupid Backoff score in integer micro-nats.
+
+    Output: ``(<id_col>, n_terms, sb_nll_e6, per_term_e6, n_tri, n_bi,
+    n_uni)`` for EVERY input document — the three branch counts make
+    each backoff level a load-bearing output column (an oracle hash
+    breaks if ANY branch routes differently). Scoring pre-aggregates
+    the doc trigram stream to (doc, w1, w2, w3, cnt) map-side, then
+    meets the derived count tables in four ordinary equi-joins (AQE
+    broadcasts them at test scale; they degrade to shuffled joins at
+    100 TB, still keyed on the distinct-gram frame, never the raw
+    stream)."""
+    tri = grams.where(F.col("w3").isNotNull()).select("w1", "w2", "w3", F.col("c").alias("c3"))
+    big = (
+        grams.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c2"))
+    )
+    uni = grams.groupBy("w1").agg(F.sum("c").alias("c1"))
+    pre = (
+        df.select(F.col(id_col), _tokens_col(text_col).alias("__toks"))
+        .select(id_col, F.explode_outer(F.expr(_SB_SCORE_EXPR)).alias("g"))
+        .groupBy(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"), F.col("g.w3").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = (
+        pre.join(tri, ["w1", "w2", "w3"], "left")
+        .join(big.select(F.col("w1").alias("w1"), F.col("w2").alias("w2"), F.col("c2").alias("c2p")), ["w1", "w2"], "left")
+        .join(big.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2b")), ["w2", "w3"], "left")
+        .join(uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c1m")), ["w2"], "left")
+        .join(uni.select(F.col("w1").alias("w3"), F.col("c1").alias("c1l")), ["w3"], "left")
+    )
+    c3 = F.coalesce(F.col("c3"), F.lit(0))
+    c2b = F.coalesce(F.col("c2b"), F.lit(0))
+    branch = F.when(c3 > 0, F.lit(0)).when(c2b > 0, F.lit(1)).otherwise(F.lit(2))
+    num = (
+        F.when(c3 > 0, F.col("c2p"))
+        .when(c2b > 0, F.lit(5) * F.col("c1m"))
+        .otherwise(F.lit(25) * F.lit(n_tokens))
+    )
+    den = (
+        F.when(c3 > 0, c3)
+        .when(c2b > 0, F.lit(2) * c2b)
+        .otherwise(F.lit(4) * F.greatest(F.coalesce(F.col("c1l"), F.lit(0)), F.lit(1)))
+    )
+    term = F.round(F.log(num.cast("double") / den.cast("double")) * _E6).cast("bigint")
+    scored = j.select(
+        id_col,
+        "cnt",
+        F.when(F.col("w1").isNotNull(), term).alias("q_e6"),
+        F.when(F.col("w1").isNotNull(), branch).alias("b"),
+    )
+    out = scored.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(F.col("q_e6").isNotNull(), F.col("cnt"))), F.lit(0)).alias("n_terms"),
+        F.coalesce(F.sum(F.col("q_e6") * F.col("cnt")), F.lit(0)).alias("sb_nll_e6"),
+        F.coalesce(F.sum(F.when(F.col("b") == 0, F.col("cnt"))), F.lit(0)).alias("n_tri"),
+        F.coalesce(F.sum(F.when(F.col("b") == 1, F.col("cnt"))), F.lit(0)).alias("n_bi"),
+        F.coalesce(F.sum(F.when(F.col("b") == 2, F.col("cnt"))), F.lit(0)).alias("n_uni"),
+    )
+    return out.select(
+        id_col,
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.col("sb_nll_e6").cast("bigint").alias("sb_nll_e6"),
+        F.expr("sb_nll_e6 div greatest(n_terms, 1)").cast("bigint").alias("per_term_e6"),
+        F.col("n_tri").cast("bigint").alias("n_tri"),
+        F.col("n_bi").cast("bigint").alias("n_bi"),
+        F.col("n_uni").cast("bigint").alias("n_uni"),
+    )
+
+
+def sb_score_sql(
+    *,
+    train_where: str,
+    score_from: str,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """DuckDB recompute of Stupid Backoff train + score, generated here
+    so the two formulations cannot drift. Same branch routing, same
+    exact-rational numerators/denominators, same one-division-one-ln
+    micro-nat quantization."""
+    toks = LOWER_TOKENS_SQL.format(c=text_col)
+    return f"""
+        with sb_tr as (
+          select {toks} as s from {score_from} where {train_where}
+        ),
+        sb_grams as (
+          select s[i] as w1, s[i + 1] as w2, s[i + 2] as w3, count(*) as c
+          from sb_tr, unnest(range(1, len(s) + 1)) as g(i)
+          group by 1, 2, 3
+        ),
+        sb_tri as (
+          select w1, w2, w3, c as c3 from sb_grams where w3 is not null
+        ),
+        sb_big as (
+          select w1, w2, sum(c) as c2 from sb_grams
+          where w2 is not null group by 1, 2
+        ),
+        sb_uni as (select w1, sum(c) as c1 from sb_grams group by 1),
+        sb_n as (select sum(c) as n from sb_grams),
+        sb_sc as (
+          select {id_col}, {toks} as s from {score_from}
+        ),
+        sb_pre as (
+          select {id_col}, s[i] as w1, s[i + 1] as w2, s[i + 2] as w3,
+                 count(*) as cnt
+          from sb_sc, unnest(range(1, len(s) - 1)) as g(i)
+          group by 1, 2, 3, 4
+        ),
+        sb_terms as (
+          select p.{id_col}, p.cnt,
+                 case when coalesce(t.c3, 0) > 0 then 0
+                      when coalesce(b2.c2, 0) > 0 then 1
+                      else 2 end as b,
+                 cast(round(ln(
+                   (case when coalesce(t.c3, 0) > 0 then bp.c2
+                         when coalesce(b2.c2, 0) > 0 then 5 * u1.c1
+                         else 25 * sb_n.n end)::DOUBLE
+                   / (case when coalesce(t.c3, 0) > 0 then t.c3
+                           when coalesce(b2.c2, 0) > 0 then 2 * b2.c2
+                           else 4 * greatest(coalesce(u2.c1, 0), 1)
+                      end)::DOUBLE
+                 ) * {_E6}) as bigint) as q_e6
+          from sb_pre p
+          left join sb_tri t on t.w1 = p.w1 and t.w2 = p.w2 and t.w3 = p.w3
+          left join sb_big bp on bp.w1 = p.w1 and bp.w2 = p.w2
+          left join sb_big b2 on b2.w1 = p.w2 and b2.w2 = p.w3
+          left join sb_uni u1 on u1.w1 = p.w2
+          left join sb_uni u2 on u2.w1 = p.w3
+          cross join sb_n
+        ),
+        sb_doc as (
+          select {id_col},
+                 coalesce(sum(cnt), 0)::BIGINT as n_terms,
+                 coalesce(sum(q_e6 * cnt), 0)::BIGINT as sb_nll_e6,
+                 coalesce(sum(case when b = 0 then cnt end), 0)::BIGINT as n_tri,
+                 coalesce(sum(case when b = 1 then cnt end), 0)::BIGINT as n_bi,
+                 coalesce(sum(case when b = 2 then cnt end), 0)::BIGINT as n_uni
+          from sb_terms group by 1
+        ),
+        sb_all as (select {id_col} from {score_from})
+        select a.{id_col},
+               coalesce(d.n_terms, 0)::BIGINT as n_terms,
+               coalesce(d.sb_nll_e6, 0)::BIGINT as sb_nll_e6,
+               (coalesce(d.sb_nll_e6, 0)
+                  // greatest(coalesce(d.n_terms, 0), 1))::BIGINT
+                 as per_term_e6,
+               coalesce(d.n_tri, 0)::BIGINT as n_tri,
+               coalesce(d.n_bi, 0)::BIGINT as n_bi,
+               coalesce(d.n_uni, 0)::BIGINT as n_uni
+        from sb_all a left join sb_doc d using ({id_col})
+    """
+
+
+def sb_train_py(texts: Iterable[str]) -> tuple[Counter, Counter, Counter, int]:
+    """Reference trainer → (trigrams, bigrams, unigrams, n_tokens)."""
+    tri: Counter = Counter()
+    big: Counter = Counter()
+    uni: Counter = Counter()
+    n = 0
+    for t in texts:
+        toks = _tokens_py(t)
+        n += len(toks)
+        for w in toks:
+            uni[w] += 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] += 1
+    if not n:
+        raise ValueError("training corpus contains no tokens")
+    return tri, big, uni, n
+
+
+def sb_score_py(
+    text: str, tri: Counter, big: Counter, uni: Counter, n_tokens: int
+) -> tuple[int, int, int, int, int, int]:
+    """(n_terms, sb_nll_e6, per_term_e6, n_tri, n_bi, n_uni)."""
+    toks = _tokens_py(text)
+    n = nll = b0 = b1 = b2 = 0
+    for a, b, c in zip(toks, toks[1:], toks[2:]):
+        if tri.get((a, b, c), 0) > 0:
+            num, den = big[(a, b)], tri[(a, b, c)]
+            b0 += 1
+        elif big.get((b, c), 0) > 0:
+            num, den = 5 * uni[b], 2 * big[(b, c)]
+            b1 += 1
+        else:
+            num, den = 25 * n_tokens, 4 * max(uni.get(c, 0), 1)
+            b2 += 1
+        x = math.log(num / den) * _E6
+        nll += math.floor(x + 0.5)  # HALF_UP, x >= 0 (num >= den)
+        n += 1
+    return n, nll, nll // max(n, 1), b0, b1, b2

@@ -6475,6 +6475,153 @@ def q_char_entropy_sql(sf: str) -> str:
     )
 
 
+def q_sb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (operators/lm.py, Brants et
+    al. 2007 — THE web-scale LM recipe: raw relative frequencies, no
+    discounting, fixed α = 0.4 backoff penalty; α = 2/5 exactly, so
+    every branch stays a ratio of exact integers under the module's
+    one-division-one-ln micro-nat quantization). Train on the trusted
+    slice (doc_id %% 10 < 8), score EVERY doc; the output carries the
+    three branch counts, so the oracle hash breaks if ANY backoff
+    level routes differently. The corpus stages all three branches by
+    construction: in-train docs get ' alpha beta gamma' appended
+    (their trigrams are all in-model → pure branch 0); %%10=8 docs are
+    'zq<hapax> beta gamma' (unseen trigram, TRAINED bigram → branch
+    1); %%10=9 docs are 'alpha beta zz<hapax>' (unseen trigram, unseen
+    bigram, unseen unigram → branch 2, count-clamp convention). Each
+    pinned at both SFs in pytest."""
+    from ..operators.lm import sb_score_trigram, sb_train_trigram
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    m = F.col("doc_id") % 10
+    hap = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    staged = d.select(
+        "doc_id",
+        F.when(m == 8, F.concat(F.lit("zq"), hap, F.lit(" beta gamma")))
+        .when(m == 9, F.concat(F.lit("alpha beta zz"), hap))
+        .otherwise(F.concat(F.col("text"), F.lit(" alpha beta gamma")))
+        .alias("text"),
+    )
+    grams, n = sb_train_trigram(staged.where(F.expr(LM_TRAIN_WHERE)), "text")
+    return sb_score_trigram(staged, "doc_id", "text", grams, n)
+
+
+def q_sb_quality_sql(sf: str) -> str:
+    from ..operators.lm import sb_score_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 10 = 8 then
+                      'zq' || substr(md5(cast(doc_id as varchar)), 1, 8)
+                      || ' beta gamma'
+                    when doc_id % 10 = 9 then
+                      'alpha beta zz'
+                      || substr(md5(cast(doc_id as varchar)), 1, 8)
+                    else text || ' alpha beta gamma' end as text
+        from documents
+    """
+    return sb_score_sql(
+        train_where=LM_TRAIN_WHERE,
+        score_from=f"({staged})",
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+_LS_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/dedup.py:
+    leakage_safe_split): the split key is the duplicate-FAMILY
+    representative, so near-identical documents can never straddle the
+    eval boundary — the memorization-reads-as-generalization bug a
+    plain per-doc hash split ships. Corpus: documents ∪ EXACT copies
+    of every 13th doc (id + 10⁷ — same md5, guaranteed family) ∪
+    one-token-appended NEAR copies of every 19th doc (id + 2·10⁷ —
+    family iff simhash lands within Hamming ≤ 3; the oracle recomputes
+    the same arithmetic whichever way the data falls). The DuckDB
+    oracle rebuilds the whole composition independently: simhash
+    all-pairs + exact star edges + recursive-CTE components + the
+    md5-bucket split CASE on the rep — a bug in family formation OR
+    bucket arithmetic moves some doc's split and breaks the hash.
+    Output: (doc_id, family_rep, split)."""
+    from ..operators.dedup import leakage_safe_split
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    copies = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    nears = d.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = d.unionByName(copies).unionByName(nears)
+    return leakage_safe_split(corpus, "doc_id", "text", _LS_FRACTIONS)
+
+
+def q_leakage_split_sql(sf: str) -> str:
+    from ..operators.sampling import dataset_split_sql
+
+    toks = TOKENS_SQL.format(c="text")
+    bit_terms = _simhash_bit_terms()
+    split_case = dataset_split_sql("family_rep", _LS_FRACTIONS)
+    return f"""
+        with recursive
+        corpus as (
+          select cast(doc_id as bigint) as doc_id, text from documents
+          union all
+          select doc_id + 10000000, text from documents where doc_id % 13 = 0
+          union all
+          select doc_id + 20000000, text || ' extra' from documents
+          where doc_id % 19 = 0
+        ),
+        sig as (
+          select doc_id, h,
+                 case when len(hs) > 0 then {bit_terms} else 0 end as simhash
+          from (
+            select doc_id, md5(text) as h,
+                   list_transform({toks},
+                     t -> ('0x' || substr(md5(t), 1, 8))::bigint) as hs
+            from corpus
+          )
+        ),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b
+          from sig a join sig b on a.doc_id < b.doc_id
+          where bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        gmin as (select h, min(doc_id) as rep, count(*) as n
+                 from sig group by h),
+        exact_edges as (
+          select s.doc_id as id_a, g.rep as id_b
+          from sig s join gmin g using (h)
+          where g.n > 1 and s.doc_id <> g.rep
+        ),
+        allpairs as (select id_a, id_b from pairs
+                     union select id_a, id_b from exact_edges),
+        edges as (select id_a as a, id_b as b from allpairs
+                  union select id_b, id_a from allpairs),
+        reach(node, r) as (
+          select a, a from (select distinct a from edges)
+          union
+          select e.b, reach.r from reach join edges e on e.a = reach.node
+        ),
+        comp as (select node, min(r) as cid from reach group by node),
+        keyed as (
+          select c.doc_id,
+                 cast(coalesce(k.cid, c.doc_id) as bigint) as family_rep
+          from corpus c left join comp k on k.node = c.doc_id
+        )
+        select doc_id, family_rep, {split_case} as split
+        from keyed
+    """
+
+
 _RD_SIMPLE = "The cat sat. The dog ran. It is fun."
 _RD_COMPLEX = (
     "Extraordinary incomprehensibility demonstrating institutional "
@@ -6904,6 +7051,12 @@ QUERIES: dict[str, tuple] = {
     # seen-set anti-join → politeness schedule, survivor set derived
     # independently by the oracle
     "crawl_frontier": (q_crawl_frontier, q_crawl_frontier_sql),
+    # r5 (sixteenth arc): duplicate-family-keyed train/val/test split —
+    # near-dups can never straddle the eval boundary
+    "leakage_split": (q_leakage_split, q_leakage_split_sql),
+    # r5 (sixteenth arc): Stupid Backoff trigram LM (Brants 2007) —
+    # exact-rational branches, per-branch counts in the hash
+    "sb_quality": (q_sb_quality, q_sb_quality_sql),
 }
 
 

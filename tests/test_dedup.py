@@ -675,3 +675,81 @@ def test_ccnet_query_removes_and_keeps_at_scale(spark, sf):
     assert total_removed == (
         (n_banner - 1) + (n_footer - 1) + (n_texts - n_distinct_texts)
     )
+
+
+# --- leakage_safe_split (r5 sixteenth arc) ----------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_leakage_split_no_family_straddles(spark, sf):
+    """The whole point: every duplicate family lands in ONE split; the
+    seeded exact copies (id, id+10^7) must share their original's split;
+    all three splits are populated."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["leakage_split"][0](spark, sf).collect()
+    by_fam = {}
+    split_of = {}
+    for r in rows:
+        by_fam.setdefault(r["family_rep"], set()).add(r["split"])
+        split_of[r["doc_id"]] = r["split"]
+    assert all(len(s) == 1 for s in by_fam.values()), sf
+    copies = [i for i in split_of if i >= 10_000_000 and i < 20_000_000]
+    assert copies, sf
+    for i in copies:
+        assert split_of[i] == split_of[i - 10_000_000], sf
+    assert {s for s in split_of.values()} == {"train", "val", "test"}, sf
+    # multi-member families exist (the seeding guarantees them)
+    assert any(
+        sum(1 for r in rows if r["family_rep"] == f) > 1 for f in by_fam
+    ), sf
+
+
+def test_leakage_split_degrades_to_dataset_split_when_dup_free(spark):
+    from logparser_llm_spark.operators.dedup import leakage_safe_split
+    from logparser_llm_spark.operators.sampling import dataset_split
+
+    import hashlib
+
+    def _junk(i: int) -> str:
+        # genuinely dissimilar texts: 12 unique hash words per doc, no
+        # shared vocabulary — simhash must NOT link any pair
+        return " ".join(
+            hashlib.md5(f"{i}:{k}".encode()).hexdigest() for k in range(12)
+        )
+
+    rows = [(i, _junk(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(df, "doc_id", "text", fr).collect()
+    }
+    want = {
+        (r["doc_id"], r["split"])
+        for r in dataset_split(df, "doc_id", fr).collect()
+    }
+    assert got == want
+
+
+def test_leakage_split_family_key_moves_members_together(spark):
+    """Three exact copies of one text land in one family whose rep is
+    the min id, and all carry the rep's split — even when the copies'
+    own ids would hash into different splits."""
+    from logparser_llm_spark.operators.dedup import leakage_safe_split
+    from logparser_llm_spark.operators.sampling import dataset_split
+
+    fam = "the shared duplicated text body that forms one family"
+    rows = [(1, fam), (500, fam), (9000, fam)] + [
+        (i, f"unique filler document {i} {i*13%7} {i*29%11}") for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = {r["doc_id"]: (r["family_rep"], r["split"])
+           for r in leakage_safe_split(df, "doc_id", "text", fr).collect()}
+    assert out[1][0] == out[500][0] == out[9000][0] == 1
+    assert out[1][1] == out[500][1] == out[9000][1]
+    ref = {r["doc_id"]: r["split"]
+           for r in dataset_split(
+               df.select("doc_id"), "doc_id", fr).collect()}
+    assert out[1][1] == ref[1]  # family split == rep's own-key split

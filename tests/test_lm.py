@@ -137,3 +137,87 @@ def test_registered_query_keeps_both_classes(spark, sf):
     out = QUERIES["lm_quality"][0](spark, sf)
     classes = {r["keep"] for r in out.select("keep").distinct().collect()}
     assert classes == {True, False}
+
+
+# --- Stupid Backoff (r5 sixteenth arc) ---------------------------------------
+
+
+def test_sb_matches_python_reference_all_branches(spark):
+    from logparser_llm_spark.operators.lm import (
+        sb_score_py,
+        sb_score_trigram,
+        sb_train_py,
+        sb_train_trigram,
+    )
+
+    train = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat sleeps",
+        "alpha beta gamma delta",
+    ]
+    score = [
+        (0, "the quick brown fox"),          # all trigrams seen → branch 0
+        (1, "zzz quick brown fox"),          # unseen tri, seen bigram → 1
+        (2, "quick brown qqqunknown"),       # unseen tri+bi, unseen uni → 2
+        (3, "alpha beta gamma"),             # branch 0 from second doc
+        (4, "xy"),                           # <3 tokens → zero row
+        (5, None),                           # NULL → zero row
+        (6, "the quick brown fox zzz quick brown qqqunknown"),  # mixed
+    ]
+    tdf = spark.createDataFrame([(t,) for t in train], "text string")
+    grams, n = sb_train_trigram(tdf, "text")
+    sdf = spark.createDataFrame(score, "id long, text string")
+    got = {r["id"]: tuple(r)[1:]
+           for r in sb_score_trigram(sdf, "id", "text", grams, n).collect()}
+    tri, big, uni, n_py = sb_train_py(train)
+    assert n == n_py
+    want = {i: sb_score_py(t or "", tri, big, uni, n_py) for i, t in score}
+    assert got == want
+    assert got[0][3:] == (2, 0, 0)   # (n_tri, n_bi, n_uni)
+    assert got[1][3:] == (1, 1, 0)
+    assert got[2][4:] == (0, 1)      # last position is the unknown-uni branch
+    assert got[4] == (0, 0, 0, 0, 0, 0)
+    assert got[5] == (0, 0, 0, 0, 0, 0)
+
+
+def test_sb_train_empty_corpus_raises(spark):
+    from logparser_llm_spark.operators.lm import sb_train_trigram
+
+    df = spark.createDataFrame([("",), (None,)], "text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        sb_train_trigram(df, "text")
+
+
+def test_sb_score_plan_reuses_persisted_grams(spark):
+    from logparser_llm_spark.plans.inspect import physical_plan
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(
+        QUERIES["sb_quality"][0](spark, "/root/testdata/sf0.01")
+    )
+    assert plan.count("InMemoryTableScan") >= 3  # tri / big / uni consumers
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_sb_quality_branch_classes(spark, sf):
+    """The seeded corpus pins every backoff branch: in-train docs are
+    pure branch 0 (their trigrams ARE the model); %10=8 docs hit the
+    trained bigram backoff; %10=9 docs hit the unknown-unigram clamp."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["sb_quality"][0](spark, sf).collect()
+    intrain = [r for r in rows if r["doc_id"] % 10 < 8]
+    b8 = [r for r in rows if r["doc_id"] % 10 == 8]
+    b9 = [r for r in rows if r["doc_id"] % 10 == 9]
+    assert intrain and b8 and b9, sf
+    for r in intrain:
+        assert r["n_bi"] == 0 and r["n_uni"] == 0, (sf, r)
+        assert r["n_terms"] == r["n_tri"], (sf, r)
+    for r in b8:
+        assert (r["n_tri"], r["n_bi"], r["n_uni"]) == (0, 1, 0), (sf, r)
+    for r in b9:
+        assert (r["n_tri"], r["n_bi"], r["n_uni"]) == (0, 0, 1), (sf, r)
+        # the clamp branch scores the hapax at exactly ln(25N/4) e6 —
+        # reproduce it from the model size
+        assert r["sb_nll_e6"] > 0, (sf, r)
