@@ -198,6 +198,10 @@ HEADLINE = [
     # Stupid Backoff trigram LM
     "leakage_split",
     "sb_quality",
+    # r5 seventeenth arc: host-scoped boilerplate removal + per-source
+    # JSD mixture-drift audit
+    "host_boilerplate",
+    "mixture_jsd",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -231,6 +235,8 @@ LARGE_RESULT = {
     "readability", "crawl_frontier",
     # r5 sixteenth arc
     "leakage_split", "sb_quality",
+    # r5 seventeenth arc: per-doc result shape
+    "host_boilerplate",
 }
 
 

@@ -1172,3 +1172,155 @@ def dedup_paragraphs_corpus_sql(
                         filter (where k), {sep_sql}), '') as text_dedup
         from _pd_kept group by {id_col}
     """
+
+
+def remove_host_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    sep: str = "\n",
+    *,
+    min_docs: int = 2,
+    ratio_permille: int = 300,
+) -> DataFrame:
+    """HOST-scoped line-frequency boilerplate removal — the RefinedWeb
+    "line-wise correction" step (Penedo et al. 2023 §G.2): a line that
+    appears on ≥ ``min_docs`` documents of the SAME host AND on at
+    least ``ratio_permille``/1000 of that host's documents is template
+    chrome (nav bars, cookie banners, share widgets) and is removed
+    from EVERY page of that host — including the first occurrence,
+    which is what distinguishes this from :func:`dedup_paragraphs_corpus`
+    (keep="first" corpus dedup keeps one copy; boilerplate is worthless
+    even once, but only WITHIN the host that templates it — the same
+    sentence on an unrelated host is content and survives).
+
+    The threshold is pure integer arithmetic (``df_docs*1000 >=
+    ratio_permille*host_docs`` — no float ratios), so the decision is
+    bit-identical cross-engine, including exact-boundary hosts.
+
+    Output: ``(id, n_lines, n_kept, text_clean)`` for EVERY input
+    document — NULL text reads as '' and still emits a row (the
+    silent-drop lesson, ADVICE r4).
+
+    Scale shape: split → posexplode → per-(host, line-md5) DISTINCT-doc
+    count (the hash shuffles, never the line text twice; the distinct
+    pre-reduces map-side so a nav bar on 10⁶ pages of one host costs
+    one row per task) → host doc totals (one tiny partial-agg frame) →
+    the boilerplate SET is the filtered join of the two (small: only
+    lines that clear the per-host frequency bar) → hash-keyed left
+    join tags survivors → ONE doc-keyed reassembly (order restored by
+    pos). All JVM built-ins, no UDF; ``sep`` is a literal separator
+    (``\\Q…\\E``-quoted, same contract as dedup_paragraphs)."""
+    if not sep:
+        raise ValueError("separator must be non-empty")
+    if "\\E" in sep:
+        raise ValueError(r"separator must not contain the \E quoting terminator")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if not (0 < ratio_permille <= 1000):
+        raise ValueError(
+            f"ratio_permille must be in (0, 1000], got {ratio_permille}"
+        )
+    parts = df.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5("_line"))
+    line_docs = (
+        parts.select(host_col, "_h", id_col)
+        .distinct()
+        .groupBy(host_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_dfc"))
+    )
+    host_docs = df.groupBy(host_col).agg(F.count(F.lit(1)).alias("_hd"))
+    bp = (
+        line_docs.join(host_docs, host_col)
+        .where(
+            (F.col("_dfc") >= F.lit(int(min_docs)))
+            & (F.col("_dfc") * 1000 >= F.lit(int(ratio_permille)) * F.col("_hd"))
+        )
+        .select(host_col, "_h", F.lit(True).alias("_bp"))
+    )
+    tagged = parts.join(bp, [host_col, "_h"], "left").select(
+        id_col, "_pos", "_line", F.col("_bp").isNull().alias("_k")
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_k").cast("bigint")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_k", "_line"))),
+                    lambda s: s["_k"],
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+
+
+def remove_host_boilerplate_sql(
+    *,
+    src: str,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+    ratio_permille: int = 300,
+) -> str:
+    """DuckDB recompute of :func:`remove_host_boilerplate`, generated
+    here so the two spellings cannot drift (same integer threshold; the
+    oracle spells the distinct-doc count as a grouped subquery instead
+    of the distinct-then-count frame)."""
+    if not sep:
+        raise ValueError("separator must be non-empty")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if not (0 < ratio_permille <= 1000):
+        raise ValueError(
+            f"ratio_permille must be in (0, 1000], got {ratio_permille}"
+        )
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+        with _hb_src as (
+          select {id_col}, {host_col}, coalesce({text_col}, '') as t
+          from {src}
+        ),
+        _hb_parts as (
+          select {id_col}, {host_col}, g.i - 1 as pos, sp[g.i] as line
+          from (select {id_col}, {host_col}, string_split(t, {sep_sql}) as sp
+                from _hb_src),
+               unnest(range(1, len(sp) + 1)) as g(i)
+        ),
+        _hb_linedocs as (
+          select {host_col}, md5(line) as h, count(distinct {id_col}) as dfc
+          from _hb_parts group by 1, 2
+        ),
+        _hb_hostdocs as (
+          select {host_col}, count(*) as hd from _hb_src group by 1
+        ),
+        _hb_bp as (
+          select ld.{host_col}, ld.h
+          from _hb_linedocs ld join _hb_hostdocs hd using ({host_col})
+          where ld.dfc >= {int(min_docs)}
+            and ld.dfc * 1000 >= {int(ratio_permille)} * hd.hd
+        ),
+        _hb_tagged as (
+          select p.{id_col}, p.pos, p.line,
+                 (b.h is null) as k
+          from _hb_parts p
+          left join _hb_bp b
+            on b.{host_col} = p.{host_col} and b.h = md5(p.line)
+        )
+        select {id_col},
+               count(*)::BIGINT as n_lines,
+               coalesce(sum(k::INT), 0)::BIGINT as n_kept,
+               coalesce(array_to_string(list(line order by pos)
+                        filter (where k), {sep_sql}), '') as text_clean
+        from _hb_tagged group by {id_col}
+    """

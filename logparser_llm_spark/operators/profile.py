@@ -238,3 +238,168 @@ def char_entropy_py(text: str | None) -> tuple[int, int, int]:
         x = math.log(n / v) * 1_000_000
         s += v * math.floor(x + 0.5)  # HALF_UP, x >= 0
     return n, len(c), s // n
+
+
+# round(1e6 * ln 2) — the micro-nat absent-token term of the JSD split.
+LN2_E6 = 693147
+
+# bigint headroom for the quantized JSD term sums: with total corpus
+# tokens B <= 1e11, each |term| <= b * (1e6 * ln(a*B + b*A)) < b * 5.2e7
+# and the per-source sum stays under B * 5.2e7 = 5.2e18 < 2^63. Beyond
+# that, shard per source or rescale counts before calling.
+_JSD_B_MAX = 100_000_000_000
+
+
+def mixture_jsd(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between each source's token
+    unigram distribution and the WHOLE-corpus mixture, in integer
+    micro-nats — the data-mixture drift audit a training pipeline runs
+    on every new crawl drop (a source whose JSD jumps between snapshots
+    changed character: spam flood, template rollout, language shift;
+    0 = indistinguishable from the corpus, ln 2 ≈ 0.693 = disjoint
+    support). Same family of corpus-vs-corpus divergence audits as the
+    DSIR importance weights (operators/dsir.py score per DOCUMENT for
+    selection; this scores per SOURCE for monitoring).
+
+    Exactness (the lm.py ln convention): with a = per-(source, token)
+    count, A = source total, b = corpus token count, B = corpus total,
+    the two KL halves are rewritten so every ln argument is >= 1:
+
+        p-side term  a * (LN2_E6 - round(1e6 * ln((aB + bA) / aB)))
+        q-side term  b * (LN2_E6 - round(1e6 * ln((aB + bA) / bA)))
+
+    For a token ABSENT from the source (a = 0) the p-side term
+    vanishes and the q-side ln is ln 1 = 0, so the term degrades to
+    exactly b * LN2_E6 — which means the whole absent-token mass has
+    the closed form LN2_E6 * (B - Σ_present b) and the computation
+    never materializes a sources × vocabulary grid: only tokens the
+    source actually CONTAINS are joined. Each present-token term
+    quantizes BEFORE the per-source sum, so ``jsd_p_num``/``jsd_q_num``
+    are order-free exact bigints and the oracle hash has zero
+    tolerance; ``jsd_e6`` = floor(num_p / 2A + num_q / 2B) is derived
+    from them with one identically-spelled double expression per
+    engine. The products feeding ln are computed in double (a and b
+    stay < 2^53 long before B hits the bigint guard).
+
+    Scale shape: one tokenize/explode feeds a partially-aggregable
+    (source, token) count; corpus token counts are one more partial agg
+    of THAT frame (the raw stream is never re-scanned); one token-keyed
+    equi-join attaches corpus counts to the per-source counts (rows =
+    Σ per-source vocabularies, the same cardinality the count frame
+    already has — no grid blowup); the tiny per-source and corpus
+    totals broadcast; one final partial-aggregable rollup per source
+    plus the closed-form absent-mass correction. No UDF, no driver
+    loop; bigint headroom is a loud woven assert_true (B <= 1e11), not
+    a silent overflow wrap.
+
+    Output: ``(source, n_tokens, vocab, jsd_p_num, jsd_q_num, jsd_e6)``
+    — one row per source; a source whose every doc is NULL/empty text
+    emits no row (it has no token distribution to diverge)."""
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("_tok"),
+    )
+    cnt = toks.groupBy("_g", "_tok").agg(F.count(F.lit(1)).alias("_a"))
+    src_tot = cnt.groupBy("_g").agg(
+        F.sum("_a").alias("_st"), F.count(F.lit(1)).alias("_vocab")
+    )
+    corpus = cnt.groupBy("_tok").agg(F.sum("_a").alias("_b"))
+    tot = corpus.agg(F.sum("_b").alias("_ct"))
+    present = (
+        cnt.join(corpus, "_tok")
+        .join(F.broadcast(src_tot), "_g")
+        .crossJoin(F.broadcast(tot))
+    )
+    ad = F.col("_a").cast("double")
+    bd = F.col("_b").cast("double")
+    mix = ad * F.col("_ct") + bd * F.col("_st")
+    q_q = F.round(F.log(mix / (bd * F.col("_st"))) * 1_000_000).cast("bigint")
+    q_p = F.round(F.log(mix / (ad * F.col("_ct"))) * 1_000_000).cast("bigint")
+    terms = present.select(
+        "_g", "_st", "_vocab", "_ct", "_b",
+        F.when(
+            F.expr(
+                f"assert_true(_ct <= {_JSD_B_MAX},"
+                " 'mixture_jsd: corpus over bigint term headroom')"
+            ).isNull(),
+            F.col("_b") * (F.lit(LN2_E6) - q_q),
+        ).alias("_tq"),
+        (F.col("_a") * (F.lit(LN2_E6) - q_p)).alias("_tp"),
+    )
+    agg = terms.groupBy("_g", "_st", "_vocab", "_ct").agg(
+        F.sum("_tp").alias("_np"),
+        # present-token q-side sum + the closed-form absent mass
+        (F.sum("_tq") + F.lit(LN2_E6) * (F.first("_ct") - F.sum("_b")))
+        .alias("_nq"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_st").cast("long").alias("n_tokens"),
+        F.col("_vocab").cast("long").alias("vocab"),
+        F.col("_np").cast("long").alias("jsd_p_num"),
+        F.col("_nq").cast("long").alias("jsd_q_num"),
+        F.floor(
+            F.col("_np") / (F.lit(2.0) * F.col("_st"))
+            + F.col("_nq") / (F.lit(2.0) * F.col("_ct"))
+        ).cast("long").alias("jsd_e6"),
+    )
+
+
+def mixture_jsd_sql(*, rel: str, group_col: str, text_col: str) -> str:
+    """DuckDB recompute of :func:`mixture_jsd`, generated here so the
+    two spellings cannot drift (same tokenization, same >= 1 ln
+    rewrite, same quantize-before-sum order, same floor expression)."""
+    return f"""
+        with _jsd_toks as (
+          select {group_col} as g,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(coalesce({text_col}, '')),
+                                         '[^a-z0-9]+'),
+                   x -> x <> '')) as tok
+          from {rel}
+        ),
+        _jsd_cnt as (
+          select g, tok, count(*) as a from _jsd_toks group by 1, 2
+        ),
+        _jsd_src as (
+          select g, sum(a) as st, count(*) as vocab from _jsd_cnt group by 1
+        ),
+        _jsd_corpus as (
+          select tok, sum(a) as b from _jsd_cnt group by 1
+        ),
+        _jsd_tot as (select sum(b) as ct from _jsd_corpus),
+        _jsd_present as (
+          select s.g, s.st, s.vocab, t.ct, n.tok, n.a, c.b
+          from _jsd_cnt n
+          join _jsd_corpus c on c.tok = n.tok
+          join _jsd_src s on s.g = n.g
+          cross join _jsd_tot t
+        ),
+        _jsd_terms as (
+          select g, st, vocab, ct, b,
+                 b * ({LN2_E6} - cast(round(ln(
+                       (cast(a as double) * ct + cast(b as double) * st)
+                       / (cast(b as double) * st)) * 1000000) as bigint))
+                   as tq,
+                 a * ({LN2_E6} - cast(round(ln(
+                       (cast(a as double) * ct + cast(b as double) * st)
+                       / (cast(a as double) * ct)) * 1000000) as bigint))
+                   as tp
+          from _jsd_present
+        )
+        select g as {group_col},
+               cast(st as bigint) as n_tokens,
+               cast(vocab as bigint) as vocab,
+               cast(sum(tp) as bigint) as jsd_p_num,
+               cast(sum(tq) + {LN2_E6} * (ct - sum(b)) as bigint) as jsd_q_num,
+               cast(floor(sum(tp) / (2.0 * st)
+                          + (sum(tq) + {LN2_E6} * (ct - sum(b))) / (2.0 * ct))
+                    as bigint) as jsd_e6
+        from _jsd_terms group by g, st, vocab, ct
+    """

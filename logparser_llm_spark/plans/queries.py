@@ -6767,6 +6767,149 @@ def q_crawl_frontier_sql(sf: str) -> str:
     )
 
 
+def _host_boilerplate_seed_col() -> Column:
+    """Multi-line pages over the documents corpus, host = source.
+
+    Four contrast classes against the (min_docs=2, ratio=300‰) bar:
+    a nav line on EVERY page of its host (always removed), a copyright
+    line on ~1/3 of pages (rides the 300‰ bar — exact integers decide
+    per host), a 'trending' widget on 100% of src0 but ~8% elsewhere
+    (HOST-scoping: removed there, kept here), and a %97 promo line on
+    0–1 pages per host (under min_docs — kept even when unique-ish).
+    doc_id % 20 == source index, so only moduli coprime to 20 vary
+    within a host (3, 13, 97 are)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("nav home about contact "), F.col("source"),
+        F.lit("\n"), F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit("\ncopyright "), F.col("source")))
+        .otherwise(F.lit("")),
+        F.when(
+            (F.col("source") == F.lit("src0")) | (d % 13 == 0),
+            F.lit("\ntrending widget sidebar"),
+        ).otherwise(F.lit("")),
+        F.when(d % 97 == 0, F.lit("\nlimited promo today"))
+        .otherwise(F.lit("")),
+    )
+
+
+_HOST_BOILERPLATE_SEED_SQL = """
+    select doc_id, source,
+           'nav home about contact ' || source || chr(10) || text
+           || case when doc_id % 3 = 0
+                   then chr(10) || 'copyright ' || source else '' end
+           || case when source = 'src0' or doc_id % 13 = 0
+                   then chr(10) || 'trending widget sidebar' else '' end
+           || case when doc_id % 97 = 0
+                   then chr(10) || 'limited promo today' else '' end
+             as page
+    from documents
+"""
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style host-scoped line boilerplate removal (Penedo et
+    al. 2023 §G.2; operators/dedup.py:remove_host_boilerplate): a line
+    on ≥ 2 docs AND ≥ 30% of a host's docs is template chrome and is
+    removed from EVERY page of that host — including the first copy
+    (vs ccnet_para_dedup's keep-first global scope), but ONLY within
+    the host that templates it. The threshold is integer permille
+    arithmetic, so boundary hosts decide identically cross-engine.
+
+    Scale shape: posexplode → per-(host, line-md5) distinct-doc count
+    (map-side pre-reduced) → tiny host-totals frame → small filtered
+    boilerplate set joined back on the hash → one doc-keyed ordered
+    reassembly. No UDF; clean_md5 pins kept lines AND their order."""
+    from ..operators.dedup import remove_host_boilerplate
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source"),
+        _host_boilerplate_seed_col().alias("page"),
+    )
+    out = remove_host_boilerplate(
+        d, "doc_id", "source", "page", min_docs=2, ratio_permille=300
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text_clean").alias("clean_md5")
+    )
+
+
+def q_host_boilerplate_sql(sf: str) -> str:
+    from ..operators.dedup import remove_host_boilerplate_sql
+
+    inner = remove_host_boilerplate_sql(
+        src=f"({_HOST_BOILERPLATE_SEED_SQL})",
+        id_col="doc_id",
+        host_col="source",
+        text_col="page",
+        min_docs=2,
+        ratio_permille=300,
+    )
+    return f"""
+        with _hb as ({inner})
+        select doc_id::BIGINT as doc_id, n_lines, n_kept,
+               md5(text_clean) as clean_md5
+        from _hb
+    """
+
+
+def q_mixture_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus mixture in
+    integer micro-nats (operators/profile.py:mixture_jsd) — the
+    data-mixture drift audit run on every crawl drop. The corpus
+    stages two drifted sources against the natural background:
+    source index 5 docs become two md5 hex blobs (disjoint token
+    support → JSD near its ln 2 ceiling) and index 3 docs get an
+    8-token spam flood appended (shared-vocab drift → a mid band);
+    everything else keeps the raw text (near-0 band). Every quantized
+    term is an exact bigint (quantize-before-sum, all ln arguments
+    ≥ 1), so the hash has zero tolerance; jsd_e6 is derived from the
+    exact numerators by one identically-spelled floor expression."""
+    from ..operators.profile import mixture_jsd
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 20
+    staged = d.select(
+        F.col("source"),
+        F.when(
+            m == 5,
+            F.concat(F.md5(sid), F.lit(" "), F.md5(F.concat(sid, F.lit("x")))),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" casino casino casino casino"
+                      " casino casino casino casino"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mixture_jsd(staged, "source", "text")
+
+
+def q_mixture_jsd_sql(sf: str) -> str:
+    from ..operators.profile import mixture_jsd_sql
+
+    staged = """
+        select source,
+               case when doc_id % 20 = 5 then
+                      md5(cast(doc_id as varchar)) || ' '
+                      || md5(cast(doc_id as varchar) || 'x')
+                    when doc_id % 20 = 3 then
+                      text || ' casino casino casino casino'
+                           || ' casino casino casino casino'
+                    else text end as text
+        from documents
+    """
+    return mixture_jsd_sql(
+        rel=f"({staged})", group_col="source", text_col="text"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7057,6 +7200,13 @@ QUERIES: dict[str, tuple] = {
     # r5 (sixteenth arc): Stupid Backoff trigram LM (Brants 2007) —
     # exact-rational branches, per-branch counts in the hash
     "sb_quality": (q_sb_quality, q_sb_quality_sql),
+    # r5 (seventeenth arc): RefinedWeb host-scoped line boilerplate
+    # removal — remove-everywhere within the templating host only;
+    # integer permille bar, order pinned by clean_md5
+    "host_boilerplate": (q_host_boilerplate, q_host_boilerplate_sql),
+    # r5 (seventeenth arc): per-source JSD drift audit vs the corpus
+    # mixture — exact micro-nat numerators, ln-argument-≥1 rewrite
+    "mixture_jsd": (q_mixture_jsd, q_mixture_jsd_sql),
 }
 
 

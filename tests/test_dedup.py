@@ -753,3 +753,180 @@ def test_leakage_split_family_key_moves_members_together(spark):
            for r in dataset_split(
                df.select("doc_id"), "doc_id", fr).collect()}
     assert out[1][1] == ref[1]  # family split == rep's own-key split
+
+
+# --- remove_host_boilerplate (RefinedWeb line-wise correction, r5) ----------
+
+
+def _hb(spark, rows, **kw):
+    from logparser_llm_spark.operators.dedup import remove_host_boilerplate
+
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    out = remove_host_boilerplate(df, "doc_id", "host", "text", **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_host_boilerplate_removes_everywhere_within_host_only(spark):
+    """The nav line drops from EVERY page of the templating host —
+    including the first copy (contrast with keep-first corpus dedup) —
+    but the byte-identical line on an unrelated host is content."""
+    rows = [
+        (1, "a", "NAV\ncontent one"),
+        (2, "a", "NAV\ncontent two"),
+        (3, "a", "NAV\ncontent three"),
+        (4, "b", "NAV\nsolo page"),  # df=1 on host b: under min_docs
+    ]
+    out = _hb(spark, rows)
+    for i, body in [(1, "content one"), (2, "content two"), (3, "content three")]:
+        assert out[i]["text_clean"] == body
+        assert (out[i]["n_lines"], out[i]["n_kept"]) == (2, 1)
+    assert out[4]["text_clean"] == "NAV\nsolo page"
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (2, 2)
+
+
+def test_host_boilerplate_integer_permille_bar_is_inclusive(spark):
+    """3 of 10 docs at ratio_permille=300 sits EXACTLY on the bar
+    (3*1000 == 300*10) and is removed; 2 of 10 survives; nudging the
+    bar to 301 flips the 3-of-10 line to kept — integers decide, no
+    float epsilon."""
+    rows = [
+        (i, "h", ("BAR\n" if i < 3 else "") + ("UNDER\n" if i < 2 else "") + f"body {i}")
+        for i in range(10)
+    ]
+    at_bar = _hb(spark, rows, min_docs=2, ratio_permille=300)
+    assert all("BAR" not in at_bar[i]["text_clean"] for i in range(3))
+    assert all("UNDER" in at_bar[i]["text_clean"] for i in range(2))
+    over_bar = _hb(spark, rows, min_docs=2, ratio_permille=301)
+    assert all("BAR" in over_bar[i]["text_clean"] for i in range(3))
+
+
+def test_host_boilerplate_null_and_repeated_lines(spark):
+    """NULL text still emits a row (the r4 silent-drop lesson); a line
+    repeated WITHIN one doc counts that doc once toward the distinct-doc
+    frequency but every copy is removed; kept-line order is preserved."""
+    rows = [
+        (1, "h", "a\nBP\nb\nBP\nc"),
+        (2, "h", "BP\nother"),
+        (3, "h", None),
+        (4, "h", "x\ny\nz"),
+    ]
+    out = _hb(spark, rows)
+    assert out[1]["text_clean"] == "a\nb\nc"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
+    assert out[2]["text_clean"] == "other"
+    assert (out[3]["n_lines"], out[3]["n_kept"], out[3]["text_clean"]) == (1, 1, "")
+    assert out[4]["text_clean"] == "x\ny\nz"
+
+
+def test_host_boilerplate_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.dedup import (
+        remove_host_boilerplate,
+        remove_host_boilerplate_sql,
+    )
+
+    rows = [
+        (1, "a", "NAV\nalpha\nNAV"),
+        (2, "a", "NAV\nbeta"),
+        (3, "a", "gamma\nshared"),
+        (4, "a", "shared\ndelta"),
+        (5, "b", "NAV\nepsilon"),
+        (6, "b", None),
+        (7, "b", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    srows = sorted(map(tuple, remove_host_boilerplate(
+        df, "doc_id", "host", "text", min_docs=2, ratio_permille=500).collect()))
+    con = duckdb.connect()
+    con.execute("create table src (doc_id bigint, host varchar, text varchar)")
+    con.executemany("insert into src values (?, ?, ?)", rows)
+    orows = sorted(map(tuple, con.execute(remove_host_boilerplate_sql(
+        src="src", id_col="doc_id", host_col="host", text_col="text",
+        min_docs=2, ratio_permille=500)).fetchall()))
+    assert srows == orows
+
+
+def test_host_boilerplate_partition_invariance_and_validation(spark):
+    from logparser_llm_spark.operators.dedup import (
+        remove_host_boilerplate,
+        remove_host_boilerplate_sql,
+    )
+
+    rows = [(i, f"h{i % 3}", f"NAV\nline {i}\n" + ("even" if i % 2 == 0 else "odd"))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    one = sorted(map(tuple, remove_host_boilerplate(
+        df.repartition(1), "doc_id", "host", "text").collect()))
+    thirteen = sorted(map(tuple, remove_host_boilerplate(
+        df.repartition(13), "doc_id", "host", "text").collect()))
+    assert one == thirteen
+    with pytest.raises(ValueError, match="non-empty"):
+        remove_host_boilerplate(df, "doc_id", "host", "text", sep="")
+    with pytest.raises(ValueError, match="quoting terminator"):
+        remove_host_boilerplate(df, "doc_id", "host", "text", sep="\\E")
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_host_boilerplate(df, "doc_id", "host", "text", min_docs=0)
+    with pytest.raises(ValueError, match="ratio_permille"):
+        remove_host_boilerplate(df, "doc_id", "host", "text", ratio_permille=0)
+    with pytest.raises(ValueError, match="ratio_permille"):
+        remove_host_boilerplate_sql(
+            src="s", id_col="i", host_col="h", text_col="t",
+            ratio_permille=1001)
+
+
+def test_host_boilerplate_plan_has_no_python_no_cartesian(spark):
+    from logparser_llm_spark.plans.inspect import physical_plan, plan_facts
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    df = QUERIES["host_boilerplate"][0](spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_host_boilerplate_registered_classes(spark, sf):
+    """Recompute each seeded class's removal verdict per host from the
+    EXACT integer law (dfc >= 2 and dfc*1000 >= 300*host_docs) and
+    assert every page obeys it: nav (100% of host) always removed,
+    trending removed on src0 but kept on hosts where it rides below
+    the bar, promo (%97) under min_docs/ratio and always kept,
+    copyright decided host-by-host by the integers."""
+    from collections import defaultdict
+
+    from logparser_llm_spark.operators.dedup import remove_host_boilerplate
+    from logparser_llm_spark.plans.queries import _host_boilerplate_seed_col
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source"),
+        _host_boilerplate_seed_col().alias("page"),
+    )
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    host_ids = defaultdict(list)
+    for i in ids:
+        host_ids[i % 20].append(i)
+
+    def removed(host, dfc):
+        return dfc >= 2 and dfc * 1000 >= 300 * len(host_ids[host])
+
+    exp_copy = {h: removed(h, sum(1 for i in v if i % 3 == 0))
+                for h, v in host_ids.items()}
+    exp_trend = {h: removed(h, len(v) if h == 0 else sum(1 for i in v if i % 13 == 0))
+                 for h, v in host_ids.items()}
+    assert exp_trend[0] and not all(exp_trend.values()), sf  # host-scoping non-vacuous
+
+    out = remove_host_boilerplate(
+        d, "doc_id", "source", "page", min_docs=2, ratio_permille=300)
+    rows = out.collect()
+    assert len(rows) == len(ids), sf
+    for r in rows:
+        i, h, t = r["doc_id"], r["doc_id"] % 20, r["text_clean"]
+        assert "nav home about contact" not in t, i
+        if i % 97 == 0:
+            assert "limited promo today" in t, i
+        if h == 0 or i % 13 == 0:
+            assert ("trending widget sidebar" in t) != exp_trend[h], i
+        if i % 3 == 0:
+            assert ("copyright" in t) != exp_copy[h], i

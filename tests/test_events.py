@@ -568,3 +568,151 @@ def test_char_entropy_registered_classes(spark, sf):
         for r in blobs
     ), sf
     assert all(0 < r["entropy_e6"] for r in text), sf
+
+
+# --- mixture_jsd (operators/profile.py) -------------------------------------
+
+
+def _jsd_py(docs):
+    """Independent pure-Python restatement of the exact integer JSD
+    pipeline (same tokenization, same >= 1 ln rewrite, HALF_UP
+    quantize-before-sum, same floor) for differential testing."""
+    import math
+    import re
+    from collections import Counter
+
+    LN2 = 693147
+    a = Counter()
+    for g, t in docs:
+        for tok in re.split(r"[^a-z0-9]+", (t or "").lower()):
+            if tok:
+                a[(g, tok)] += 1
+    st, b, vocab = Counter(), Counter(), Counter()
+    for (g, tok), c in a.items():
+        st[g] += c
+        b[tok] += c
+        vocab[g] += 1
+    ct = sum(b.values())
+
+    def q(x):  # x >= 1 always, so HALF_UP == floor(x + 0.5)
+        return math.floor(math.log(x) * 1_000_000 + 0.5)
+
+    np_, nqp, sb = Counter(), Counter(), Counter()
+    for (g, tok), av in a.items():
+        bv = b[tok]
+        mix = float(av) * ct + float(bv) * st[g]
+        np_[g] += av * (LN2 - q(mix / (float(av) * ct)))
+        nqp[g] += bv * (LN2 - q(mix / (float(bv) * st[g])))
+        sb[g] += bv
+    out = {}
+    for g in st:
+        nq = nqp[g] + LN2 * (ct - sb[g])
+        out[g] = (st[g], vocab[g], np_[g], nq,
+                  math.floor(np_[g] / (2.0 * st[g]) + nq / (2.0 * ct)))
+    return out
+
+
+def test_mixture_jsd_identical_sources_diverge_zero(spark):
+    """Two sources with the SAME token multiset: every present-token ln
+    argument is exactly 2 so both quantized numerators vanish and the
+    absent mass is empty — JSD == 0 with zero tolerance."""
+    from logparser_llm_spark.operators.profile import mixture_jsd
+
+    rows = [(g, t) for g in ("a", "b")
+            for t in ("the cat sat", "on the mat", "the end")]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {r["src"]: r for r in mixture_jsd(df, "src", "text").collect()}
+    for g in ("a", "b"):
+        assert (out[g]["jsd_p_num"], out[g]["jsd_q_num"], out[g]["jsd_e6"]) \
+            == (0, 0, 0)
+        assert out[g]["n_tokens"] == 8 and out[g]["vocab"] == 6
+
+
+def test_mixture_jsd_matches_python_reference(spark):
+    from logparser_llm_spark.operators.profile import mixture_jsd
+
+    docs = [
+        ("news", "stocks rally as markets rise today"),
+        ("news", "markets fall after rally fades"),
+        ("spam", "casino casino win win win free"),
+        ("spam", "free casino bonus now now"),
+        ("blog", "today i wrote about markets and casino movies"),
+        ("blog", None),
+        ("blog", ""),
+        ("empty", None),          # whole source empty: NO output row
+        ("empty", "  \t "),
+    ]
+    df = spark.createDataFrame(docs, "src string, text string")
+    got = {r["src"]: (r["n_tokens"], r["vocab"], r["jsd_p_num"],
+                      r["jsd_q_num"], r["jsd_e6"])
+           for r in mixture_jsd(df, "src", "text").collect()}
+    assert got == _jsd_py(docs)
+    assert "empty" not in got
+
+
+def test_mixture_jsd_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.profile import (
+        mixture_jsd,
+        mixture_jsd_sql,
+    )
+
+    rows = [
+        ("a", "alpha beta gamma alpha"),
+        ("a", "beta delta"),
+        ("b", "zz yy xx zz zz"),
+        ("b", "alpha zz"),
+        ("c", "Unicode Déjà vu 123 beta"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = sorted(tuple(r) for r in mixture_jsd(df, "src", "text").collect())
+    con = duckdb.connect()
+    con.execute("create table t (src varchar, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = mixture_jsd_sql(rel="t", group_col="src", text_col="text")
+    assert got == sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_mixture_jsd_partition_invariance_and_bounds(spark):
+    """Exact bigint numerators are partition-order-free, and every
+    quantized divergence respects the mathematical ceiling ln 2 (a
+    source disjoint from the rest approaches it from below)."""
+    from logparser_llm_spark.operators.profile import mixture_jsd
+
+    rows = [(f"s{i % 4}", f"tok{i % 7} tok{i % 11} word{i % 3} {i}")
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "src string, text string")
+    a = sorted(map(tuple, mixture_jsd(df.repartition(1), "src", "text").collect()))
+    b = sorted(map(tuple, mixture_jsd(df.repartition(17), "src", "text").collect()))
+    assert a == b
+    for row in a:
+        assert 0 <= row[5] <= 693_147 + 5, row
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_mixture_jsd_registered_class_ordering(spark, sf):
+    """The staged corpus's drift bands order strictly: the disjoint
+    md5-blob source (index 5) nearest the ln 2 ceiling, the shared-vocab
+    spam-flood source (index 3) in a mid band, every untouched source
+    below both."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = {r["source"]: r["jsd_e6"]
+            for r in QUERIES["mixture_jsd"][0](spark, sf).collect()}
+    assert len(rows) == 20, sf
+    rest = max(v for k, v in rows.items() if k not in ("src5", "src3"))
+    assert rows["src5"] > rows["src3"] > rest, (sf, rows)
+    assert rows["src5"] > 400_000, sf
+    assert all(0 <= v <= 693_147 + 5 for v in rows.values()), sf
+
+
+def test_mixture_jsd_plan_is_jvm_partial_agg(spark):
+    from logparser_llm_spark.plans.inspect import physical_plan, plan_facts
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    df = QUERIES["mixture_jsd"][0](spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    assert facts["partial_aggregate"]
+    assert "CartesianProduct" not in physical_plan(df)
