@@ -202,6 +202,9 @@ HEADLINE = [
     # JSD mixture-drift audit
     "host_boilerplate",
     "mixture_jsd",
+    # r5 eighteenth arc: CCNet perplexity terciles + Wilson host quality
+    "ccnet_buckets",
+    "host_wilson",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -237,6 +240,8 @@ LARGE_RESULT = {
     "leakage_split", "sb_quality",
     # r5 seventeenth arc: per-doc result shape
     "host_boilerplate",
+    # r5 eighteenth arc: per-doc result shape
+    "ccnet_buckets",
 }
 
 

@@ -825,3 +825,86 @@ def readability_py(text: str | None) -> tuple:
     fk = 390_000 * w // s + 11_800_000 * y // w - 15_590_000
     ease = 206_835_000 - 1_015_000 * w // s - 84_600_000 * y // w
     return w, s, y, fk, ease
+
+
+# --- Wilson score lower bound (host/domain quality ranking) --------------
+
+def _check_wilson_z(z_num: int, z_den: int) -> None:
+    if z_num < 0 or z_den <= 0:
+        raise ValueError(
+            f"wilson z must be a non-negative rational, got {z_num}/{z_den}"
+        )
+
+
+def wilson_lower_e6(
+    k: Column, n: Column, *, z_num: int = 49, z_den: int = 25
+) -> Column:
+    """Wilson score interval lower bound of the proportion ``k/n``,
+    quantized once to integer e6 — the small-sample-honest way to rank
+    hosts by a quality keep rate (E. Miller, "How Not to Sort by
+    Average Rating"): a host with 2/2 kept docs must NOT outrank one
+    with 180/200, and the Wilson lower bound is what a crawl
+    prioritizer actually orders by.
+
+    Cross-engine exactness: ``z = z_num/z_den`` is rational (default
+    49/25 = 1.96, the 95% bound), so after multiplying through the
+    closed form by ``2·n·z_den²`` the bound is
+
+        (2·k·zd² + zn² − zn·sqrt(S / n)) / (2·(n·zd² + zn²)),
+        S = 4·zd²·k·(n−k) + zn²·n
+
+    with exactly ONE sqrt and TWO double divisions — every op
+    (cast ≤ 2^53, mul, add, div, sqrt) is correctly rounded under
+    IEEE 754, so identically spelled Spark and DuckDB expressions
+    produce bit-identical doubles, and the single trailing HALF_UP e6
+    quantization is a zero-tolerance cross-engine contract (sqrt is
+    CORRECTLY rounded — a strictly safer determinism footing than the
+    module's ln-based scores, which carry the documented ≤1-ulp libm
+    caveat). Overflow discipline: the two quadratic-headroom products
+    ``k·(n−k)`` (≤ n²/4) and the 4·zd² factor are kept apart —
+    ``k·(n−k)`` is computed as an exact bigint (safe to n ≈ 6.1e9
+    docs PER GROUP; beyond that Spark/DuckDB raise loudly rather than
+    wrap) and the constant factor multiplies in double, so the whole
+    expression is overflow-safe for any real host. k = 0 yields
+    exactly 0 and k = n stays below 1e6, so the bound is always in
+    [0, 1e6)."""
+    _check_wilson_z(z_num, z_den)
+    zd2, zn2 = z_den * z_den, z_num * z_num
+    kd, nd = k.cast("bigint"), n.cast("bigint")
+    s = (kd * (nd - kd)).cast("double") * F.lit(float(4 * zd2)) \
+        + (F.lit(zn2) * nd).cast("double")
+    num = (F.lit(2 * zd2) * kd + F.lit(zn2)).cast("double") \
+        - F.lit(float(z_num)) * F.sqrt(s / nd.cast("double"))
+    den = (F.lit(2) * (nd * F.lit(zd2) + F.lit(zn2))).cast("double")
+    return F.round(F.lit(1_000_000.0) * num / den).cast("bigint")
+
+
+def wilson_lower_e6_sql(
+    k_expr: str, n_expr: str, *, z_num: int = 49, z_den: int = 25
+) -> str:
+    """DuckDB spelling of :func:`wilson_lower_e6`, generated here so
+    the two expression trees cannot drift (same op order, one sqrt,
+    two divisions, one HALF_UP round)."""
+    _check_wilson_z(z_num, z_den)
+    zd2, zn2 = z_den * z_den, z_num * z_num
+    k, n = f"cast({k_expr} as bigint)", f"cast({n_expr} as bigint)"
+    s = (f"cast({k} * ({n} - {k}) as double) * {float(4 * zd2)}"
+         f" + cast({zn2} * {n} as double)")
+    num = (f"cast({2 * zd2} * {k} + {zn2} as double)"
+           f" - {float(z_num)} * sqrt(({s}) / cast({n} as double))")
+    den = f"cast(2 * ({n} * {zd2} + {zn2}) as double)"
+    return f"cast(round(1000000.0 * ({num}) / {den}) as bigint)"
+
+
+def wilson_lower_e6_py(
+    k: int, n: int, *, z_num: int = 49, z_den: int = 25
+) -> int:
+    """Driver-side reference (differential tests) — same op order."""
+    import math as _math
+
+    _check_wilson_z(z_num, z_den)
+    zd2, zn2 = z_den * z_den, z_num * z_num
+    s = float(k * (n - k)) * float(4 * zd2) + float(zn2 * n)
+    num = float(2 * zd2 * k + zn2) - float(z_num) * _math.sqrt(s / float(n))
+    den = float(2 * (n * zd2 + zn2))
+    return _math.floor(1_000_000.0 * num / den + 0.5)

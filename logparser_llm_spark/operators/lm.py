@@ -553,3 +553,93 @@ def sb_score_py(
         nll += math.floor(x + 0.5)  # HALF_UP, x >= 0 (num >= den)
         n += 1
     return n, nll, nll // max(n, 1), b0, b1, b2
+
+
+# --- CCNet head/middle/tail perplexity buckets --------------------------
+
+def ppl_buckets(
+    scored: DataFrame, group_col: str, score_col: str
+) -> DataFrame:
+    """CCNet's per-language perplexity terciles (Wenzek et al. 2020
+    §4.3): within each ``group_col`` (language), split documents into
+    ``head`` (lowest-perplexity third — the cleanest text), ``middle``,
+    and ``tail`` by their integer ``score_col``. CCNet publishes the
+    corpus in exactly these three shards so downstream consumers can
+    trade quality against volume (head-only, head+middle, all).
+
+    Exact-integer law, no corpus sort: build the per-group SCORE
+    HISTOGRAM (one partially-aggregable count — a million identical
+    boilerplate scores pre-reduce map-side), run the cumulative sum
+    over each group's distinct scores only, and bucket a score group
+    wholesale by its cumulative count: ``head`` while ``cum*3 <= n``,
+    ``middle`` while ``cum*3 <= 2n``, else ``tail``. Ties move as one
+    block (never split a score across buckets — CCNet's cut is a
+    perplexity VALUE, not a row index), so ``|head| <= n/3`` and
+    ``|head|+|middle| <= 2n/3`` exactly, with the straddling tie group
+    pushed to the next bucket. The window sorts only the per-group
+    distinct-score frame, O(groups × distinct integer scores) — at
+    100 TB that is bounded by score cardinality (micro-nat per-gram
+    surprisal), never by corpus rows; the assignment join back to the
+    corpus is a (group, score)-keyed equi-join against that small
+    frame (AQE broadcasts it at test scale).
+
+    Input rows must have a meaningful score (callers route
+    ``n_bigrams == 0`` docs to a ``none`` bucket themselves — scoring
+    emits 0 for them, which would poison the head). Output: the input
+    columns plus ``bucket``."""
+    from pyspark.sql.window import Window
+
+    hist = scored.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_hc")
+    )
+    cum = Window.partitionBy(group_col).orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(group_col)
+    buckets = hist.select(
+        group_col,
+        score_col,
+        F.sum("_hc").over(cum).alias("_cum"),
+        F.sum("_hc").over(tot).alias("_n"),
+    ).select(
+        group_col,
+        score_col,
+        F.when(F.col("_cum") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_cum") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return scored.join(buckets, [group_col, score_col])
+
+
+def ppl_buckets_sql(
+    *, rel: str, group_col: str, score_col: str, cols: str
+) -> str:
+    """DuckDB recompute of :func:`ppl_buckets` (same histogram-CDF
+    law; ``cols`` is the projected column list). Generated here so the
+    two spellings cannot drift."""
+    return f"""
+        with _ppb_hist as (
+          select {group_col} as g, {score_col} as s, count(*) as hc
+          from {rel} group by 1, 2
+        ),
+        _ppb_cdf as (
+          select g, s,
+                 sum(hc) over (partition by g order by s
+                               rows between unbounded preceding
+                               and current row) as cum,
+                 sum(hc) over (partition by g) as n
+          from _ppb_hist
+        ),
+        _ppb_buckets as (
+          select g, s,
+                 case when cum * 3 <= n then 'head'
+                      when cum * 3 <= n * 2 then 'middle'
+                      else 'tail' end as bucket
+          from _ppb_cdf
+        )
+        select {cols}, b.bucket
+        from {rel} r
+        join _ppb_buckets b
+          on b.g = r.{group_col} and b.s = r.{score_col}
+    """

@@ -6910,6 +6910,151 @@ def q_mixture_jsd_sql(sf: str) -> str:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail shards (Wenzek et al. 2020 §4.3;
+    operators/lm.py:ppl_buckets): train the bigram LM on the trusted
+    80%, score EVERY document in integer micro-nats, then cut each
+    LANGUAGE's score distribution into perplexity terciles by the
+    exact histogram-CDF law (cum*3 <= n — ties move wholesale, the cut
+    is a perplexity VALUE, never a row index). Docs that cannot be
+    scored (%41 staged to a single token → n_bigrams = 0) go to an
+    explicit ``none`` bucket rather than poisoning the head with their
+    zero score. Scale shape: the LM pipeline's partial-agg joins +
+    ONE per-language histogram window over distinct integer scores
+    (never a corpus sort) + one small (lang, score) assignment join."""
+    from ..operators.lm import lm_score_bigram, lm_train_bigram, ppl_buckets
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 41 == 0, F.lit("solo"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bigrams, contexts, v = lm_train_bigram(d.where(F.expr(LM_TRAIN_WHERE)), "text")
+    scored = lm_score_bigram(d, "doc_id", "text", bigrams, contexts, v)
+    with_lang = scored.join(d.select("doc_id", "lang"), "doc_id")
+    cols = ["doc_id", "lang", "n_bigrams", "nll_per_gram_e6"]
+    bucketed = ppl_buckets(
+        with_lang.where(F.col("n_bigrams") > 0), "lang", "nll_per_gram_e6"
+    ).select(*cols, "bucket")
+    none = with_lang.where(F.col("n_bigrams") == 0).select(
+        *cols, F.lit("none").alias("bucket")
+    )
+    return bucketed.unionByName(none)
+
+
+def q_ccnet_buckets_sql(sf: str) -> str:
+    from ..operators.lm import lm_score_sql, ppl_buckets_sql
+
+    scored = lm_score_sql(
+        train_where=LM_TRAIN_WHERE, score_from="_ccb_staged",
+        id_col="doc_id", text_col="text",
+    )
+    bucketed = ppl_buckets_sql(
+        rel="_ccb_elig", group_col="lang", score_col="nll_per_gram_e6",
+        cols="r.doc_id, r.lang, r.n_bigrams, r.nll_per_gram_e6",
+    )
+    return f"""
+        with _ccb_staged as (
+          select doc_id, lang,
+                 case when doc_id % 41 = 0 then 'solo' else text end as text
+          from documents
+        ),
+        _ccb_scored as ({scored}),
+        _ccb_wl as (
+          select s.doc_id, g.lang, s.n_bigrams, s.nll_per_gram_e6
+          from _ccb_scored s join _ccb_staged g using (doc_id)
+        ),
+        _ccb_elig as (select * from _ccb_wl where n_bigrams > 0)
+        select doc_id, lang, n_bigrams, nll_per_gram_e6, bucket
+        from ({bucketed})
+        union all
+        select doc_id, lang, n_bigrams, nll_per_gram_e6, 'none' as bucket
+        from _ccb_wl where n_bigrams = 0
+    """
+
+
+def q_host_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host quality ranking by the Wilson score LOWER bound of the
+    exact-dedup survival rate (functions/quality.py:wilson_lower_e6)
+    — the small-sample-honest ordering a crawl prioritizer uses: a
+    host keeping 2/2 docs must not outrank one keeping 180/200. The
+    keep signal is corpus-level keep-first exact dedup (doc is the
+    min-id holder of its md5(text) family); the staging plants a
+    per-host blob on ids ≡ 0 (mod host_idx+2), so dup mass DESCENDS
+    across hosts — src0 is 100% one family (k = 1), high hosts carry
+    only the corpus's natural dup families — and the ranking must
+    invert it. One md5-keyed window (a single corpus shuffle, the
+    dedup_exact shape) + one per-host partial agg + the closed-form
+    Wilson bound (one sqrt, two divisions, exact-bigint products,
+    e6-quantized once — sqrt is correctly rounded, bit-identical
+    cross-engine) + a row_number over the 20-row host frame."""
+    from pyspark.sql.window import Window
+
+    from ..functions.quality import wilson_lower_e6
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source"),
+        F.when(
+            F.col("doc_id") % (F.col("doc_id") % 20 + 2) == 0,
+            F.concat(F.lit("dupblob "), F.col("source")),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    fam = Window.partitionBy(F.md5("t"))
+    kept = d.select(
+        "source",
+        (F.min("doc_id").over(fam) == F.col("doc_id")).alias("is_first"),
+    )
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+    )
+    scored = agg.select(
+        "source", "n_docs", "n_kept",
+        wilson_lower_e6(F.col("n_kept"), F.col("n_docs")).alias("wilson_e6"),
+    )
+    rk = Window.orderBy(F.desc("wilson_e6"), F.col("source"))
+    return scored.select(
+        "source", "n_docs", "n_kept", "wilson_e6",
+        F.row_number().over(rk).cast("int").alias("rank"),
+    )
+
+
+def q_host_wilson_sql(sf: str) -> str:
+    from ..functions.quality import wilson_lower_e6_sql
+
+    wilson = wilson_lower_e6_sql("n_kept", "n_docs")
+    return f"""
+        with _hw_staged as (
+          select doc_id, source,
+                 case when doc_id % ((doc_id % 20) + 2) = 0
+                      then 'dupblob ' || source else text end as t
+          from documents
+        ),
+        _hw_kept as (
+          select source,
+                 (min(doc_id) over (partition by md5(t)) = doc_id)
+                   as is_first
+          from _hw_staged
+        ),
+        _hw_agg as (
+          select source, count(*)::BIGINT as n_docs,
+                 sum(case when is_first then 1 else 0 end)::BIGINT as n_kept
+          from _hw_kept group by 1
+        ),
+        _hw_scored as (
+          select source, n_docs, n_kept, {wilson} as wilson_e6
+          from _hw_agg
+        )
+        select source, n_docs, n_kept, wilson_e6,
+               cast(row_number() over (order by wilson_e6 desc, source)
+                    as int) as rank
+        from _hw_scored
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7207,6 +7352,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (seventeenth arc): per-source JSD drift audit vs the corpus
     # mixture — exact micro-nat numerators, ln-argument-≥1 rewrite
     "mixture_jsd": (q_mixture_jsd, q_mixture_jsd_sql),
+    # r5 (eighteenth arc): CCNet perplexity terciles — histogram-CDF
+    # exact cut per language, ties move wholesale, no corpus sort
+    "ccnet_buckets": (q_ccnet_buckets, q_ccnet_buckets_sql),
+    # r5 (eighteenth arc): Wilson lower-bound host quality ranking —
+    # one sqrt + two divisions on exact bigints, e6-quantized once
+    "host_wilson": (q_host_wilson, q_host_wilson_sql),
 }
 
 

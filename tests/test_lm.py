@@ -221,3 +221,108 @@ def test_sb_quality_branch_classes(spark, sf):
         # the clamp branch scores the hapax at exactly ln(25N/4) e6 —
         # reproduce it from the model size
         assert r["sb_nll_e6"] > 0, (sf, r)
+
+
+# --- ppl_buckets (CCNet head/middle/tail terciles) ---------------------------
+
+
+def test_ppl_buckets_exact_tercile_law_and_ties(spark):
+    """Scores 1..9 with one doc each split cleanly 3/3/3; a tie group
+    straddling the head boundary moves WHOLESALE to middle (the cut is
+    a score VALUE, never a row index), leaving head legitimately
+    empty."""
+    from logparser_llm_spark.operators.lm import ppl_buckets
+
+    clean = spark.createDataFrame(
+        [(i, "g", i) for i in range(1, 10)], "id long, g string, s long"
+    )
+    got = {r["id"]: r["bucket"] for r in ppl_buckets(clean, "g", "s").collect()}
+    assert got == {1: "head", 2: "head", 3: "head",
+                   4: "middle", 5: "middle", 6: "middle",
+                   7: "tail", 8: "tail", 9: "tail"}
+
+    tied = spark.createDataFrame(
+        [(0, "g", 1), (1, "g", 1), (2, "g", 1), (3, "g", 1),
+         (4, "g", 2), (5, "g", 3)],
+        "id long, g string, s long",
+    )  # cum(1)=4, 4*3 > 6 → the whole tie block lands in middle
+    gt = {r["id"]: r["bucket"] for r in ppl_buckets(tied, "g", "s").collect()}
+    assert gt == {0: "middle", 1: "middle", 2: "middle", 3: "middle",
+                  4: "tail", 5: "tail"}
+
+
+def test_ppl_buckets_groups_are_independent(spark):
+    """Each language is cut against ITS OWN distribution — the same
+    score can be head in a slow language and tail in a fast one."""
+    from logparser_llm_spark.operators.lm import ppl_buckets
+
+    rows = [(i, "hi", 100 + i) for i in range(9)] + \
+           [(100 + i, "lo", 92 + i) for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    got = {r["id"]: r["bucket"] for r in ppl_buckets(df, "g", "s").collect()}
+    assert got[100] == "head" and got[108] == "tail"
+    assert got[0] == "head" and got[8] == "tail"
+    # score 100: head within 'hi' (its lowest), tail within 'lo'
+    assert got[0] == "head" and got[100 + 8] == "tail"
+
+
+def test_ppl_buckets_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.lm import ppl_buckets, ppl_buckets_sql
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    got = sorted(map(tuple, ppl_buckets(df, "g", "s")
+                     .select("id", "g", "s", "bucket").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, g varchar, s bigint)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    sql = ppl_buckets_sql(rel="t", group_col="g", score_col="s",
+                          cols="r.id, r.g, r.s")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_ppl_buckets_partition_invariance(spark):
+    from logparser_llm_spark.operators.lm import ppl_buckets
+
+    rows = [(i, f"g{i % 4}", (i * 13) % 23) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    a = sorted(map(tuple, ppl_buckets(df.repartition(1), "g", "s").collect()))
+    b = sorted(map(tuple, ppl_buckets(df.repartition(11), "g", "s").collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ccnet_buckets_registered_laws(spark, sf):
+    """Per language: buckets are score-monotone (head < middle < tail
+    by VALUE — ties never split), sizes obey the inclusive integer law
+    AND its maximality (adding the next score group would break the
+    bound), and the %41 solo docs land in 'none' with zero bigrams."""
+    from collections import defaultdict
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ccnet_buckets"][0](spark, sf).collect()
+    assert {r["bucket"] for r in rows} == {"head", "middle", "tail", "none"}, sf
+    for r in rows:
+        assert (r["bucket"] == "none") == (r["n_bigrams"] == 0), r
+        if r["doc_id"] % 41 == 0:
+            assert r["bucket"] == "none", r
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        if r["bucket"] != "none":
+            by_lang[r["lang"]][r["bucket"]].append(r["nll_per_gram_e6"])
+    assert len(by_lang) == 5, sf
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (sf, lang)
+        assert max(b["head"]) < min(b["middle"]), (sf, lang)
+        assert max(b["middle"]) < min(b["tail"]), (sf, lang)
+        n = sum(len(v) for v in b.values())
+        h, m = len(b["head"]), len(b["middle"])
+        assert 3 * h <= n and 3 * (h + m) <= 2 * n, (sf, lang)
+        # maximality: the next score group would overflow the bucket
+        next_mid = sum(1 for s in b["middle"] if s == min(b["middle"]))
+        next_tail = sum(1 for s in b["tail"] if s == min(b["tail"]))
+        assert 3 * (h + next_mid) > n, (sf, lang)
+        assert 3 * (h + m + next_tail) > 2 * n, (sf, lang)

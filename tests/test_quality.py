@@ -483,3 +483,95 @@ def test_readability_query_class_contrast(spark, sf):
     text = [r for r in rows if r["doc_id"] % 13 > 1]
     assert text and all(r["fk_grade_e6"] is not None for r in text
                         if r["n_words"] > 0), sf
+
+
+# --- wilson_lower_e6 (host quality ranking) ---------------------------------
+
+
+def test_wilson_known_values_and_small_sample_honesty(spark):
+    """The canonical sort-by-best property: 180/200 outranks 2/2; the
+    bound is 0 exactly at k=0 and strictly below the raw proportion."""
+    from logparser_llm_spark.functions.quality import wilson_lower_e6_py
+
+    import math
+
+    def textbook(k, n, z=1.96):  # the classic p-hat spelling
+        p = k / n
+        return (p + z * z / (2 * n)
+                - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
+            / (1 + z * z / n)
+
+    big = wilson_lower_e6_py(180, 200)
+    tiny = wilson_lower_e6_py(2, 2)
+    assert big > tiny, (big, tiny)
+    assert abs(big - round(1e6 * textbook(180, 200))) <= 2
+    assert abs(tiny - round(1e6 * textbook(2, 2))) <= 2
+    assert wilson_lower_e6_py(0, 7) == 0
+    assert 0 < wilson_lower_e6_py(7, 7) < 1_000_000
+    assert wilson_lower_e6_py(90, 100) < 900_000
+
+
+def test_wilson_spark_duckdb_python_trilateral(spark):
+    """All three spellings of the one-sqrt-two-division expression are
+    bit-identical across a (k, n) grid — sqrt/div are correctly
+    rounded, so zero tolerance."""
+    import duckdb
+
+    from logparser_llm_spark.functions.quality import (
+        wilson_lower_e6,
+        wilson_lower_e6_py,
+        wilson_lower_e6_sql,
+    )
+
+    grid = [(k, n) for n in (1, 2, 3, 7, 20, 60, 199, 10_000, 10**9, 4 * 10**9)
+            for k in {0, 1, n // 3, n // 2, n - 1, n} if 0 <= k <= n]
+    df = spark.createDataFrame(grid, "k long, n long")
+    got = {(r["k"], r["n"]): r["w"] for r in df.select(
+        "k", "n", wilson_lower_e6(F.col("k"), F.col("n")).alias("w")
+    ).collect()}
+    con = duckdb.connect()
+    con.execute("create table t (k bigint, n bigint)")
+    con.executemany("insert into t values (?, ?)", grid)
+    duck = {(k, n): w for k, n, w in con.execute(
+        f"select k, n, {wilson_lower_e6_sql('k', 'n')} from t").fetchall()}
+    for k, n in grid:
+        assert got[(k, n)] == duck[(k, n)] == wilson_lower_e6_py(k, n), (k, n)
+    # monotone in k at fixed n
+    ws = [wilson_lower_e6_py(k, 60) for k in range(61)]
+    assert ws == sorted(ws) and ws[0] == 0
+
+
+def test_wilson_validation(spark):
+    import pytest as _pytest
+
+    from logparser_llm_spark.functions.quality import (
+        wilson_lower_e6,
+        wilson_lower_e6_sql,
+    )
+
+    with _pytest.raises(ValueError, match="rational"):
+        wilson_lower_e6(F.lit(1), F.lit(2), z_num=-1, z_den=25)
+    with _pytest.raises(ValueError, match="rational"):
+        wilson_lower_e6_sql("k", "n", z_num=49, z_den=0)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_host_wilson_registered_classes(spark, sf):
+    """src0 is 100% one blob family (n_kept = 1) and must rank LAST;
+    every wilson value equals the python reference recomputed from the
+    row's own (n_kept, n_docs); rank is the exact (wilson desc, source)
+    permutation of 1..20."""
+    from logparser_llm_spark.functions.quality import wilson_lower_e6_py
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["host_wilson"][0](spark, sf).collect()
+    assert len(rows) == 20, sf
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["src0"]["n_kept"] == 1, sf
+    assert by_src["src0"]["rank"] == 20, sf
+    for r in rows:
+        assert r["wilson_e6"] == wilson_lower_e6_py(r["n_kept"], r["n_docs"]), r
+    order = sorted(rows, key=lambda r: (-r["wilson_e6"], r["source"]))
+    assert [r["rank"] for r in order] == list(range(1, 21)), sf
+    # dup mass descends with host index: a high host keeps more than src1
+    assert by_src["src19"]["wilson_e6"] > by_src["src1"]["wilson_e6"], sf
