@@ -205,6 +205,9 @@ HEADLINE = [
     # r5 eighteenth arc: CCNet perplexity terciles + Wilson host quality
     "ccnet_buckets",
     "host_wilson",
+    # r5 nineteenth arc: median/MAD anomaly flags + shuffle-key skew audit
+    "mad_outliers",
+    "skew_audit",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -242,6 +245,8 @@ LARGE_RESULT = {
     "host_boilerplate",
     # r5 eighteenth arc: per-doc result shape
     "ccnet_buckets",
+    # r5 nineteenth arc: per-event result shape
+    "mad_outliers",
 }
 
 

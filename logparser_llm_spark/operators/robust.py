@@ -1,0 +1,231 @@
+"""Robust statistics for pipeline operations: median/MAD outlier
+flagging and shuffle-key skew auditing.
+
+Why these two together: both answer the operational questions a
+100 TB pipeline owner asks BEFORE trusting a run — "which latencies
+are anomalous?" (alerting must not let one straggler host drag a mean,
+so median/MAD, the breakdown-point-0.5 estimators, not mean/stddev)
+and "which key can I safely shuffle on?" (a skewed key turns one
+reducer into the job's critical path; measure concentration BEFORE
+picking the partitioning, not after the 4-hour stage straggles).
+
+Exactness contract (repo-wide convention): inputs are integer-staged
+(``value_e2`` cents, epoch micros, …). Medians are LOWER medians —
+``min(v : 2·cdf(v) ≥ n)`` — a pure integer law with no even-count
+averaging, so Spark and DuckDB agree bit-for-bit; the outlier flag
+``|x − med| > k·MAD`` is an all-integer comparison. The Gini
+coefficient's numerator ``2·Σ(rank·cnt) − (m+1)·T`` is exact bigint;
+the ONE double division is correctly rounded and e6-quantized once
+(HALF_UP), so the audit row is a zero-tolerance cross-engine contract.
+
+Scale shape (the reason these are not one-liner aggs): the median is
+computed by histogram-CDF — per-(group, value) counts (partially
+aggregable map-side: a million identical boilerplate latencies
+pre-reduce before the shuffle) then a window over each group's
+DISTINCT values only, bounded by value cardinality, never corpus rows
+(the ppl_buckets law from operators/lm.py, reused for rank-(n+1)//2
+instead of terciles). The skew audit windows over the per-key COUNT
+frame — m rows for m distinct keys — which is exactly the frame whose
+skew is being measured, so by construction it fits wherever the
+planned shuffle would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def group_lower_median(
+    df: DataFrame, group_col: str, val_col: str, *, alias: str = "med"
+) -> DataFrame:
+    """Per-group LOWER median of an integer column by histogram-CDF:
+    ``min(v : 2·cdf(v) ≥ n)`` — rank ``(n+1)//2`` without a corpus
+    sort (window over distinct values per group only). Returns the
+    small ``(group_col, alias)`` frame; callers join it back (AQE
+    broadcasts it — one row per group)."""
+    hist = df.groupBy(group_col, val_col).agg(F.count(F.lit(1)).alias("_hc"))
+    cum = Window.partitionBy(group_col).orderBy(val_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(group_col)
+    return (
+        hist.select(
+            group_col,
+            val_col,
+            F.sum("_hc").over(cum).alias("_cum"),
+            F.sum("_hc").over(tot).alias("_n"),
+        )
+        .where(F.col("_cum") * 2 >= F.col("_n"))
+        .groupBy(group_col)
+        .agg(F.min(val_col).alias(alias))
+    )
+
+
+def _lower_median_sql(rel: str, g: str, v: str, alias: str) -> str:
+    return f"""
+        select {g}, min({v}) as {alias} from (
+          select {g}, {v},
+                 sum(hc) over (partition by {g} order by {v}
+                               rows between unbounded preceding
+                               and current row) as cum,
+                 sum(hc) over (partition by {g}) as n
+          from (select {g}, {v}, count(*) as hc from {rel} group by 1, 2)
+        ) where cum * 2 >= n group by 1
+    """
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, val_col: str, *, k: int = 3
+) -> DataFrame:
+    """Median/MAD outlier flags per group: a row is an outlier iff
+    ``|x − med| > k · MAD`` where ``med`` is the group's lower median
+    and ``MAD`` the lower median of ``|x − med|`` — the classic
+    robust-z rule with breakdown point 0.5 (one straggler host cannot
+    move the threshold the way it moves a mean/stddev fence). All
+    integer: the flag needs no division at all, so it is bit-decidable
+    cross-engine. When MAD = 0 (more than half the group identical —
+    a heartbeat emitting a constant latency) ANY deviation is flagged;
+    that is the correct alerting semantics for a constant signal and
+    is documented behavior, not an edge case.
+
+    Two histogram-CDF median passes + two small broadcast joins back;
+    the corpus is never sorted. The deviation frame feeds BOTH the MAD
+    histogram and the final output, so it is persisted MEMORY_AND_DISK
+    (the repo's shared-subtree rule — without it Catalyst re-scans the
+    corpus and rebuilds the median join per consumer); the result is
+    lazy, so there is no safe unpersist point here. Output: the input
+    columns plus ``med``, ``mad``, ``is_outlier``."""
+    from pyspark import StorageLevel
+
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    med = group_lower_median(df, group_col, val_col, alias="med")
+    with_med = df.join(med, group_col)
+    dev = with_med.withColumn(
+        "_absdev", F.abs(F.col(val_col) - F.col("med"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mad = group_lower_median(dev, group_col, "_absdev", alias="mad")
+    return (
+        dev.join(mad, group_col)
+        .withColumn(
+            "is_outlier", F.col("_absdev") > F.lit(k) * F.col("mad")
+        )
+        .drop("_absdev")
+    )
+
+
+def mad_outliers_sql(
+    *, rel: str, group_col: str, val_col: str, cols: str, k: int = 3
+) -> str:
+    """DuckDB recompute of :func:`mad_outliers` (same lower-median
+    histogram-CDF law, same integer flag), generated here so the two
+    spellings cannot drift. ``cols`` is the projected input column
+    list (qualified with ``r.``)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    med = _lower_median_sql(rel, group_col, val_col, "med")
+    dev = (
+        f"select r.*, m.med, abs(r.{val_col} - m.med) as _absdev"
+        f" from {rel} r join ({med}) m using ({group_col})"
+    )
+    mad = _lower_median_sql("_mo_dev", group_col, "_absdev", "mad")
+    return f"""
+        with _mo_dev as ({dev}),
+        _mo_mad as ({mad})
+        select {cols}, r.med, d.mad, (r._absdev > {k} * d.mad) as is_outlier
+        from _mo_dev r join _mo_mad d using ({group_col})
+    """
+
+
+def key_skew_audit(
+    df: DataFrame, candidates: dict[str, Column]
+) -> DataFrame:
+    """Shuffle-key skew audit: for each named candidate partitioning
+    key, the concentration statistics that predict reducer imbalance —
+    ``n_keys`` (parallelism ceiling), ``top1_cnt``/``top1_share_e6``
+    (the single hottest reducer's share: the straggler bound, since
+    one key can never split across reducers without salting), and the
+    exact-integer Gini coefficient ``gini_e6`` of the key-count
+    distribution (0 = perfectly even, → 1 = all rows on one key).
+
+    Gini over counts x₁ ≤ … ≤ x_m:  G = (2·Σ i·xᵢ − (m+1)·T) / (m·T).
+    The rank-weighted sum is order-deterministic despite count ties —
+    a tie block contributes x·(sum of its fixed rank range) whatever
+    the within-block order — so the bigint numerator is exact and the
+    one division is e6-quantized once (HALF_UP, cross-engine
+    bit-identical).
+
+    One partial-agg count per candidate plus a window over the per-key
+    count frame (m rows); candidates evaluated independently and
+    unioned — each is a tiny independent job, no cross-candidate
+    shuffle. Read the output BEFORE picking a join/groupBy key: a
+    candidate with top1_share ≥ 1/parallelism is a straggler in
+    waiting (salt it or pick another key). An EMPTY input still emits
+    one row per candidate, with n_keys = 0 and the remaining stats
+    NULL (a global agg over zero rows) — callers auditing a frame that
+    might be empty should gate on n_keys."""
+    if not candidates:
+        raise ValueError("key_skew_audit needs at least one candidate")
+    outs = []
+    for name, expr in candidates.items():
+        cnt = df.select(expr.alias("_k")).groupBy("_k").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.orderBy("_c", "_k")
+        ranked = cnt.select(
+            F.col("_c"), F.row_number().over(w).cast("bigint").alias("_i")
+        )
+        outs.append(
+            ranked.agg(
+                F.lit(name).alias("candidate"),
+                F.sum("_c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("_c").alias("top1_cnt"),
+                F.round(
+                    F.lit(1_000_000.0) * F.max("_c").cast("double")
+                    / F.sum("_c").cast("double")
+                ).cast("bigint").alias("top1_share_e6"),
+                F.round(
+                    F.lit(1_000_000.0)
+                    * (
+                        F.lit(2) * F.sum(F.col("_i") * F.col("_c"))
+                        - (F.count(F.lit(1)) + F.lit(1)) * F.sum("_c")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * F.sum("_c")).cast("double")
+                ).cast("bigint").alias("gini_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def key_skew_audit_sql(*, rel: str, candidates: dict[str, str]) -> str:
+    """DuckDB recompute of :func:`key_skew_audit` — same per-candidate
+    count → rank → closed-form Gini, generated here so the two
+    spellings cannot drift. ``candidates`` maps name → SQL key expr."""
+    if not candidates:
+        raise ValueError("key_skew_audit needs at least one candidate")
+    parts = []
+    for name, expr in candidates.items():
+        parts.append(f"""
+        select '{name}' as candidate,
+               sum(_c)::BIGINT as n_rows,
+               count(*)::BIGINT as n_keys,
+               max(_c)::BIGINT as top1_cnt,
+               cast(round(1000000.0 * cast(max(_c) as double)
+                    / cast(sum(_c) as double)) as bigint) as top1_share_e6,
+               cast(round(1000000.0
+                    * cast(2 * sum(_i * _c) - (count(*) + 1) * sum(_c)
+                           as double)
+                    / cast(count(*) * sum(_c) as double)) as bigint)
+                 as gini_e6
+        from (
+          select _c, row_number() over (order by _c, _k)::BIGINT as _i
+          from (select {expr} as _k, count(*)::BIGINT as _c
+                from {rel} group by 1)
+        )""")
+    return " union all ".join(parts)

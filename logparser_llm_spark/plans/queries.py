@@ -7055,6 +7055,91 @@ def q_host_wilson_sql(sf: str) -> str:
     """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD anomaly flags on event values per event_type
+    (operators/robust.py:mad_outliers): a row is anomalous iff
+    |x − med| > 3·MAD — the breakdown-point-0.5 alerting rule a
+    latency monitor uses so one straggler host cannot move its own
+    fence (a mean/stddev fence chases the outliers it should flag).
+    Values integer-staged to cents; ids ≡ 0 (mod 397) carry a planted
+    +1000.00 spike (far above the natural max ~490) that MUST flag,
+    giving the oracle a decidable planted class on top of the natural
+    long tail. Lower medians via histogram-CDF (window over distinct
+    cent values per type, never a corpus sort); the flag is an
+    all-integer comparison — no division, bit-decidable cross-engine."""
+    from ..operators.robust import mad_outliers
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("event_type"),
+        (
+            F.round(F.col("value") * 100).cast("bigint")
+            + F.when(F.col("event_id") % 397 == 0, F.lit(100_000))
+            .otherwise(F.lit(0))
+        ).alias("value_e2"),
+    )
+    return mad_outliers(ev, "event_type", "value_e2", k=3).select(
+        "event_id", "event_type", "value_e2",
+        F.col("med").alias("med_e2"), F.col("mad").alias("mad_e2"),
+        "is_outlier",
+    )
+
+
+def q_mad_outliers_sql(sf: str) -> str:
+    from ..operators.robust import mad_outliers_sql
+
+    body = mad_outliers_sql(
+        rel="_mo_staged", group_col="event_type", val_col="value_e2",
+        cols="r.event_id, r.event_type, r.value_e2", k=3,
+    )
+    return f"""
+        with _mo_staged as (
+          select cast(event_id as bigint) as event_id, event_type,
+                 cast(round(value * 100) as bigint)
+                 + case when event_id % 397 = 0 then 100000 else 0 end
+                   as value_e2
+          from events
+        )
+        select event_id, event_type, value_e2,
+               med as med_e2, mad as mad_e2, is_outlier
+        from ({body})
+    """
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over events
+    (operators/robust.py:key_skew_audit) — the pre-flight check run
+    BEFORE picking a join/groupBy key at 100 TB: per candidate key,
+    the parallelism ceiling (n_keys), the hottest-reducer share
+    (top1_share_e6 — one key never splits without salting, so this IS
+    the straggler bound) and the exact-integer Gini of the key-count
+    distribution. The four candidates span the decision space:
+    user_id (many keys, low skew — safe), event_type (5 keys — ceiling
+    too low), hour-of-day (24 keys), and the degenerate lit(1)
+    single-reducer key whose Gini is 0 yet top1_share is 100% —
+    exactly why the audit reports BOTH statistics."""
+    from ..operators.robust import key_skew_audit
+
+    ev = _read(spark, sf_dir, "events")
+    return key_skew_audit(ev, {
+        "user_id": F.col("user_id").cast("bigint"),
+        "event_type": F.col("event_type"),
+        "hour_of_day": F.hour("ts").cast("bigint"),
+        "single": F.lit(1).cast("bigint"),
+    })
+
+
+def q_skew_audit_sql(sf: str) -> str:
+    from ..operators.robust import key_skew_audit_sql
+
+    return key_skew_audit_sql(rel="events", candidates={
+        "user_id": "cast(user_id as bigint)",
+        "event_type": "event_type",
+        "hour_of_day": "cast(extract(hour from ts) as bigint)",
+        "single": "cast(1 as bigint)",
+    })
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7358,6 +7443,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (eighteenth arc): Wilson lower-bound host quality ranking —
     # one sqrt + two divisions on exact bigints, e6-quantized once
     "host_wilson": (q_host_wilson, q_host_wilson_sql),
+    # r5 (nineteenth arc): median/MAD anomaly flags — all-integer
+    # |x-med| > k·MAD, lower medians by histogram-CDF, no corpus sort
+    "mad_outliers": (q_mad_outliers, q_mad_outliers_sql),
+    # r5 (nineteenth arc): shuffle-key skew audit — exact-integer Gini
+    # + top-key share per candidate partitioning key
+    "skew_audit": (q_skew_audit, q_skew_audit_sql),
 }
 
 

@@ -369,3 +369,26 @@ def test_thirteenth_arc_plans(spark):
     plan = physical_plan(QUERIES["fetch_schedule"][0](spark, SF))
     assert "hashpartitioning" in plan and "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nineteenth_arc_plans(spark):
+    """mad_outliers: the persisted deviation frame must feed both the
+    MAD histogram and the final output (InMemoryTableScan reuse — two
+    corpus scans total, not four), medians window over the small
+    distinct-value histogram, joins broadcast, no Python anywhere.
+    skew_audit: every candidate is a partial-aggregable count with the
+    rank window over the per-key frame; no cartesian, no Python."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["mad_outliers"][0](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2, "deviation frame not reused"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["skew_audit"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,185 @@
+"""operators/robust.py — median/MAD outliers and shuffle-key skew audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- group_lower_median ------------------------------------------------------
+
+
+def test_lower_median_odd_even_and_ties(spark):
+    """Odd n picks the exact middle; even n picks the LOWER of the two
+    middles (no averaging — integer law); ties collapse into one
+    histogram bucket without shifting the rank."""
+    from logparser_llm_spark.operators.robust import group_lower_median
+
+    rows = (
+        [("odd", v) for v in (10, 30, 20)]            # med 20
+        + [("even", v) for v in (1, 2, 3, 4)]          # lower med 2
+        + [("tied", v) for v in (5, 5, 5, 9, 9)]       # med 5
+        + [("one", 7)]                                 # med 7
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r["med"] for r in group_lower_median(df, "g", "v").collect()}
+    assert got == {"odd": 20, "even": 2, "tied": 5, "one": 7}
+
+
+# --- mad_outliers ------------------------------------------------------------
+
+
+def test_mad_outliers_flag_law_and_mad_zero(spark):
+    """|x − med| > 3·MAD exactly (boundary value NOT flagged); a group
+    that is >half constant has MAD 0, so ANY deviation flags."""
+    from logparser_llm_spark.operators.robust import mad_outliers
+
+    # g1: values 10,12,14,16,100 → med 14, absdevs 4,2,0,2,86 → MAD 2;
+    # fence 6: only 100 flags (16 has absdev 2 ≤ 6; planted boundary
+    # value 20 has absdev 6 == 3·2 → NOT flagged, strict >)
+    g1 = [(i, "g1", v) for i, v in enumerate((10, 12, 14, 16, 100, 20))]
+    # recompute: with 20 added n=6 → sorted 10,12,14,16,20,100, lower
+    # med 14; absdevs 4,2,0,2,6,86 sorted 0,2,2,4,6,86 → lower MAD 2
+    g2 = [(10 + i, "g2", v) for i, v in enumerate((7, 7, 7, 9))]  # MAD 0
+    df = spark.createDataFrame(g1 + g2, "id long, g string, v long")
+    got = {r["id"]: r for r in mad_outliers(df, "g", "v").collect()}
+    assert got[0]["med"] == 14 and got[0]["mad"] == 2
+    flags = {i: got[i]["is_outlier"] for i in range(6)}
+    assert flags == {0: False, 1: False, 2: False, 3: False,
+                     4: True, 5: False}, flags  # 20: absdev 6 == 3·MAD
+    assert got[10]["mad"] == 0
+    assert {i: got[i]["is_outlier"] for i in (10, 11, 12, 13)} == {
+        10: False, 11: False, 12: False, 13: True}
+
+
+def test_mad_outliers_validation(spark):
+    from logparser_llm_spark.operators.robust import (
+        mad_outliers,
+        mad_outliers_sql,
+    )
+
+    df = spark.createDataFrame([(1, "g", 1)], "id long, g string, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        mad_outliers(df, "g", "v", k=-1)
+    with pytest.raises(ValueError, match="k must be"):
+        mad_outliers_sql(rel="t", group_col="g", val_col="v",
+                         cols="r.id", k=-2)
+
+
+def test_mad_outliers_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.robust import (
+        mad_outliers,
+        mad_outliers_sql,
+    )
+
+    rows = [(i, f"g{i % 3}", ((i * 37) % 50) + (1000 if i % 17 == 0 else 0))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = sorted(map(tuple, mad_outliers(df, "g", "v")
+                     .select("id", "g", "v", "med", "mad", "is_outlier")
+                     .collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, g varchar, v bigint)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    sql = mad_outliers_sql(rel="t", group_col="g", val_col="v",
+                           cols="r.id, r.g, r.v")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_mad_outliers_partition_invariance(spark):
+    from logparser_llm_spark.operators.robust import mad_outliers
+
+    rows = [(i, f"g{i % 4}", (i * 13) % 97) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    a = sorted(map(tuple, mad_outliers(df.repartition(1), "g", "v").collect()))
+    b = sorted(map(tuple, mad_outliers(df.repartition(13), "g", "v").collect()))
+    assert a == b
+
+
+# --- key_skew_audit ----------------------------------------------------------
+
+
+def test_skew_audit_closed_form_hand_check(spark):
+    """Counts (1, 3) → Gini = (2·(1·1+2·3) − 3·4)/(2·4) = 2/8 → 250000;
+    uniform counts → Gini 0; single key → Gini 0 but top1 = 100%."""
+    from logparser_llm_spark.operators.robust import key_skew_audit
+
+    rows = [(i, "a" if i == 0 else "b", i % 2) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, k string, u long")
+    got = {r["candidate"]: r for r in key_skew_audit(df, {
+        "skewed": F.col("k"),
+        "uniform": F.col("u"),
+        "single": F.lit(1),
+    }).collect()}
+    s = got["skewed"]
+    assert (s["n_keys"], s["top1_cnt"], s["top1_share_e6"], s["gini_e6"]) \
+        == (2, 3, 750_000, 250_000)
+    assert got["uniform"]["gini_e6"] == 0
+    assert got["single"]["gini_e6"] == 0
+    assert got["single"]["top1_share_e6"] == 1_000_000
+
+
+def test_skew_audit_tie_rank_invariance_and_validation(spark):
+    """Rank-weighted sum over a tie block is order-invariant: many keys
+    with equal counts give Gini 0 regardless of partitioning."""
+    from logparser_llm_spark.operators.robust import (
+        key_skew_audit,
+        key_skew_audit_sql,
+    )
+
+    rows = [(i, i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    for parts in (1, 7):
+        r = key_skew_audit(df.repartition(parts), {"k": F.col("k")}).collect()
+        assert r[0]["gini_e6"] == 0 and r[0]["n_keys"] == 10
+    with pytest.raises(ValueError, match="at least one"):
+        key_skew_audit(df, {})
+    with pytest.raises(ValueError, match="at least one"):
+        key_skew_audit_sql(rel="t", candidates={})
+
+
+# --- registered queries ------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_mad_outliers_registered_classes(spark, sf):
+    """Planted %397 spikes (+1000.00, above the natural max) MUST
+    flag; every flag is recomputable from the row's own (value, med,
+    mad); both classes are populated per type."""
+    from collections import defaultdict
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["mad_outliers"][0](spark, sf).collect()
+    by_type = defaultdict(set)
+    for r in rows:
+        assert r["is_outlier"] == (
+            abs(r["value_e2"] - r["med_e2"]) > 3 * r["mad_e2"]
+        ), r
+        if r["event_id"] % 397 == 0:
+            assert r["is_outlier"], r
+        by_type[r["event_type"]].add(r["is_outlier"])
+    assert len(by_type) == 5, sf
+    for t, classes in by_type.items():
+        assert classes == {True, False}, (sf, t)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_skew_audit_registered_classes(spark, sf):
+    """The four candidates rank as designed: the degenerate single key
+    is 100% top-share with Gini 0, event_type's parallelism ceiling is
+    5, user_id is the only safe key (top1 share < 2%)."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = {r["candidate"]: r for r in
+            QUERIES["skew_audit"][0](spark, sf).collect()}
+    assert set(rows) == {"user_id", "event_type", "hour_of_day", "single"}, sf
+    n = rows["user_id"]["n_rows"]
+    assert all(r["n_rows"] == n for r in rows.values()), sf
+    assert rows["single"]["top1_share_e6"] == 1_000_000
+    assert rows["single"]["gini_e6"] == 0
+    assert rows["event_type"]["n_keys"] == 5
+    assert rows["hour_of_day"]["n_keys"] == 24
+    assert rows["user_id"]["n_keys"] > 100, sf
+    assert rows["user_id"]["top1_share_e6"] < 20_000, sf
+    assert rows["event_type"]["top1_cnt"] > rows["hour_of_day"]["top1_cnt"]
