@@ -208,6 +208,9 @@ HEADLINE = [
     # r5 nineteenth arc: median/MAD anomaly flags + shuffle-key skew audit
     "mad_outliers",
     "skew_audit",
+    # r5 twentieth arc: per-template G-test drift + source overlap matrix
+    "template_drift",
+    "source_overlap",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -403,3 +403,281 @@ def mixture_jsd_sql(*, rel: str, group_col: str, text_col: str) -> str:
                     as bigint) as jsd_e6
         from _jsd_terms group by g, st, vocab, ct
     """
+
+
+# --- per-group 2x2 G-test drift (period A vs period B) -------------------
+
+# chi-square critical value, 1 df, alpha = 0.05, e6-quantized — the
+# conventional "did this template's rate really move" bar.
+GTEST_CRIT_E6 = 3_841_459
+
+
+def _sgnln_e6(num: Column, den: Column) -> Column:
+    """round(1e6 · ln(num/den)) as a signed bigint with the ln argument
+    rewritten >= 1 (the repo's mixture_jsd convention): HALF_UP round
+    on a NON-NEGATIVE double is bit-identical across Spark/DuckDB/libm
+    floor(x+0.5), which a signed round is not (away-from-zero vs
+    toward-+inf disagree on negative halves)."""
+    hi, lo = F.greatest(num, den), F.least(num, den)
+    mag = F.round(F.log(hi / lo) * 1_000_000).cast("bigint")
+    return F.when(num >= den, mag).otherwise(-mag)
+
+
+def g_test_drift(
+    df: DataFrame, group_col: str, period_col: str, *,
+    crit_e6: int = GTEST_CRIT_E6,
+) -> DataFrame:
+    """Per-group log-likelihood-ratio drift test between two periods —
+    "did template t's rate move between window A and window B, beyond
+    sampling noise?" Each group gets the 2x2 G-statistic of its own
+    counts against the rest of the corpus:
+
+        G = 2 · Σ_cells O · ln(O·N / (R·C))
+
+    over the four cells (period x {group, rest}); G is asymptotically
+    chi-square(1), so ``drifted`` flags G above the conventional 95%
+    bar (crit_e6 = 3.841459, overridable). The G-test is the
+    additive-in-counts form of chi-square (Dunning 1993 — the standard
+    choice for text count data, exact-zero-safe: an O = 0 cell
+    contributes 0 by the x·ln x → 0 limit, no division by E).
+
+    Exactness: each cell quantizes ``ln(O·N/(R·C))`` to signed integer
+    micro-nats via the >= 1 ln-argument rewrite (_sgnln_e6), then
+    multiplies by the exact bigint O and sums — quantize-before-sum,
+    so ``g_e6`` is an order-free exact bigint and the oracle hash has
+    zero tolerance. The products feeding ln are doubles: exact below
+    2^53 (N <= ~9.4e13 rows per audit window); beyond that both
+    engines still agree bit-for-bit (same IEEE ops), the ratio is
+    merely correctly-rounded rather than exact.
+
+    Scale shape: ONE partially-aggregable (group, period) count, then
+    a per-group rollup of that tiny frame with the grand totals
+    broadcast-joined; the corpus is scanned once, no window, no UDF.
+    ``period_col`` must be 0/1 (bigint). Output: one row per group —
+    (group, o1, o2, r1, r2, g_e6, drifted)."""
+    cnt = df.groupBy(group_col, period_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_group = cnt.groupBy(group_col).agg(
+        F.sum(F.when(F.col(period_col) == 0, F.col("_c")).otherwise(0))
+        .alias("o1"),
+        F.sum(F.when(F.col(period_col) == 1, F.col("_c")).otherwise(0))
+        .alias("o2"),
+    )
+    tot = per_group.agg(
+        F.sum("o1").alias("r1"), F.sum("o2").alias("r2")
+    )
+    j = per_group.crossJoin(F.broadcast(tot))
+    n = (F.col("r1") + F.col("r2")).cast("double")
+    c = (F.col("o1") + F.col("o2")).cast("double")
+
+    def term(o: Column, r: Column, colc: Column) -> Column:
+        od, rd = o.cast("double"), r.cast("double")
+        return F.when(
+            (o > 0) & (rd * colc > 0),
+            o.cast("bigint") * _sgnln_e6(od * n, rd * colc),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    g = (
+        term(F.col("o1"), F.col("r1"), c)
+        + term(F.col("o2"), F.col("r2"), c)
+        + term(F.col("r1") - F.col("o1"), F.col("r1"), n - c)
+        + term(F.col("r2") - F.col("o2"), F.col("r2"), n - c)
+    )
+    return j.select(
+        group_col, "o1", "o2", "r1", "r2",
+        (F.lit(2) * g).alias("g_e6"),
+        (F.lit(2) * g > F.lit(crit_e6)).alias("drifted"),
+    )
+
+
+def g_test_drift_sql(
+    *, rel: str, group_col: str, period_col: str,
+    crit_e6: int = GTEST_CRIT_E6,
+) -> str:
+    """DuckDB recompute of :func:`g_test_drift` — same cells, same
+    signed >= 1-argument ln quantization, generated here so the two
+    spellings cannot drift."""
+
+    def sgnln(num: str, den: str) -> str:
+        return (
+            f"(case when {num} >= {den}"
+            f" then cast(round(ln(greatest({num}, {den})"
+            f" / least({num}, {den})) * 1000000) as bigint)"
+            f" else -cast(round(ln(greatest({num}, {den})"
+            f" / least({num}, {den})) * 1000000) as bigint) end)"
+        )
+
+    def term(o: str, r: str, colc: str) -> str:
+        return (
+            f"(case when {o} > 0 and cast({r} as double) * {colc} > 0"
+            f" then cast({o} as bigint)"
+            f" * {sgnln(f'cast({o} as double) * nn', f'cast({r} as double) * {colc}')}"
+            f" else 0 end)"
+        )
+
+    cells = " + ".join([
+        term("o1", "r1", "cc"),
+        term("o2", "r2", "cc"),
+        term("(r1 - o1)", "r1", "(nn - cc)"),
+        term("(r2 - o2)", "r2", "(nn - cc)"),
+    ])
+    return f"""
+        with _gt_cnt as (
+          select {group_col} as g, {period_col} as p, count(*) as c
+          from {rel} group by 1, 2
+        ),
+        _gt_pg as (
+          select g,
+                 sum(case when p = 0 then c else 0 end)::BIGINT as o1,
+                 sum(case when p = 1 then c else 0 end)::BIGINT as o2
+          from _gt_cnt group by 1
+        ),
+        _gt_tot as (
+          select sum(o1)::BIGINT as r1, sum(o2)::BIGINT as r2 from _gt_pg
+        ),
+        _gt_j as (
+          select g, o1, o2, r1, r2,
+                 cast(r1 + r2 as double) as nn,
+                 cast(o1 + o2 as double) as cc
+          from _gt_pg cross join _gt_tot
+        )
+        select g as {group_col}, o1, o2, r1, r2,
+               2 * ({cells}) as g_e6,
+               (2 * ({cells}) > {crit_e6}) as drifted
+        from _gt_j
+    """
+
+
+def g_test_drift_py(o1: int, o2: int, r1: int, r2: int) -> int:
+    """Driver-side reference of one group's g_e6 (differential tests)
+    — same cells, same signed quantization, same op order."""
+    import math as _math
+
+    n, c = float(r1 + r2), float(o1 + o2)
+
+    def sgnln(num: float, den: float) -> int:
+        hi, lo = max(num, den), min(num, den)
+        mag = _math.floor(_math.log(hi / lo) * 1_000_000 + 0.5)
+        return mag if num >= den else -mag
+
+    def term(o: int, r: int, colc: float) -> int:
+        if o <= 0 or float(r) * colc <= 0:
+            return 0
+        return o * sgnln(float(o) * n, float(r) * colc)
+
+    return 2 * (
+        term(o1, r1, c) + term(o2, r2, c)
+        + term(r1 - o1, r1, n - c) + term(r2 - o2, r2, n - c)
+    )
+
+
+# --- pairwise source token-set Jaccard (corpus overlap matrix) -----------
+
+def source_token_jaccard(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """EXACT pairwise Jaccard similarity between the token SETS of
+    each pair of sources — the corpus-overlap matrix a mixture planner
+    reads before weighting sources (two near-identical crawls should
+    not both get full weight; a source disjoint from everything is
+    either gold or garbage — look at it). Token sets, not counts:
+    overlap of VOCABULARY is the mixture-planning signal (the
+    count-weighted sibling is mixture_jsd above).
+
+    Exact, not MinHash: the distinct (source, token) frame is persisted
+    MEMORY_AND_DISK and feeds the per-source set sizes, both sides of
+    the intersection self-join, and the pair grid. Intersections come
+    from ONE token-keyed self-equi-join (a token on k sources yields
+    k(k-1)/2 pair rows — Σk² is bounded by sources² x shared vocab,
+    fine for the bounded source counts this audits, S <= ~2x10³; at
+    larger S swap in the MinHash estimate from operators/dedup.py);
+    the S x S pair grid itself is a broadcast nested-loop of two
+    S-row frames — deliberately tiny, and the reason DISJOINT pairs
+    still get their 0-row (a pure intersection join would silently
+    drop them). jaccard_e6 = round(1e6 · |A∩B| / (|A|+|B|−|A∩B|)) —
+    exact bigints into one correctly-rounded division, quantized once.
+
+    Sources whose every doc is NULL/empty text have no token set and
+    are absent from the matrix. Output: one row per unordered pair
+    (g1 < g2) — (g1, g2, size1, size2, inter, jaccard_e6)."""
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("_tok"),
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = toks.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        toks.select(F.col("_g").alias("g1"), "_tok")
+        .join(toks.select(F.col("_g").alias("g2"), "_tok"), "_tok")
+        .where(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    grid = (
+        sizes.select(F.col("_g").alias("g1"), F.col("_sz").alias("size1"))
+        .join(
+            F.broadcast(
+                sizes.select(F.col("_g").alias("g2"),
+                             F.col("_sz").alias("size2"))
+            ),
+            F.col("g1") < F.col("g2"),
+        )
+    )
+    return (
+        grid.join(inter, ["g1", "g2"], "left")
+        .select(
+            "g1", "g2", "size1", "size2",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("size1") + F.col("size2")
+                   - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+            ).cast("bigint").alias("jaccard_e6"),
+        )
+    )
+
+
+def source_token_jaccard_sql(
+    *, rel: str, group_col: str, text_col: str
+) -> str:
+    """DuckDB recompute of :func:`source_token_jaccard` (same token
+    law, same grid-left-join so disjoint pairs keep their 0-row)."""
+    return f"""
+        with _stj_toks as (
+          select distinct {group_col} as g, tok
+          from (
+            select {group_col},
+                   unnest(list_filter(
+                     string_split_regex(lower(coalesce({text_col}, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x != '')) as tok
+            from {rel}
+          )
+        ),
+        _stj_sizes as (
+          select g, count(*)::BIGINT as sz from _stj_toks group by 1
+        ),
+        _stj_inter as (
+          select a.g as g1, b.g as g2, count(*)::BIGINT as inter
+          from _stj_toks a join _stj_toks b using (tok)
+          where a.g < b.g group by 1, 2
+        )
+        select a.g as g1, b.g as g2,
+               a.sz as size1, b.sz as size2,
+               coalesce(i.inter, 0)::BIGINT as inter,
+               cast(round(1000000.0 * cast(coalesce(i.inter, 0) as double)
+                    / cast(a.sz + b.sz - coalesce(i.inter, 0) as double))
+                    as bigint) as jaccard_e6
+        from _stj_sizes a
+        join _stj_sizes b on a.g < b.g
+        left join _stj_inter i on i.g1 = a.g and i.g2 = b.g
+    """

@@ -7140,6 +7140,99 @@ def q_skew_audit_sql(sf: str) -> str:
     })
 
 
+def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template drift audit between alternating-day windows
+    (operators/profile.py:g_test_drift): each event_type's 2x2
+    G-statistic (Dunning 1993 log-likelihood ratio — the text-count
+    drift test) against the rest of the corpus, flagged at the
+    chi-square(1) 95% bar. The staging deletes half of one template's
+    period-1 mass (click events on odd days with odd ids), so 'click'
+    MUST flag with the suite's largest G while the quantized signed
+    micro-nat cells keep the whole statistic an exact bigint (zero-
+    tolerance hash). One (type, period) partial-agg count, a tiny
+    per-type rollup with broadcast totals — the corpus is scanned
+    once, no window."""
+    from ..operators.profile import g_test_drift
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("event_type"),
+        (F.dayofyear("ts") % 2).cast("bigint").alias("period"),
+    )
+    staged = ev.where(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("period") == 1)
+            & (F.col("event_id") % 2 == 1)
+        )
+    )
+    return g_test_drift(staged, "event_type", "period")
+
+
+def q_template_drift_sql(sf: str) -> str:
+    from ..operators.profile import g_test_drift_sql
+
+    staged = """
+        select cast(event_id as bigint) as event_id, event_type,
+               cast(dayofyear(ts) % 2 as bigint) as period
+        from events
+    """
+    return g_test_drift_sql(
+        rel=(
+            f"(select * from ({staged}) where not (event_type = 'click'"
+            " and period = 1 and event_id % 2 = 1))"
+        ),
+        group_col="event_type", period_col="period",
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary-overlap matrix
+    (operators/profile.py:source_token_jaccard) — the exact Jaccard
+    between every pair of source token sets, read before weighting a
+    training mixture. The corpus stages the three decidable bands:
+    source index 7 docs become per-doc md5 hex blobs (disjoint from
+    everything → every src7 pair is EXACTLY 0, and only survives
+    because the pair grid left-joins the intersection), indices 2 and
+    4 collapse to one shared sentinel phrase (identical sets → the
+    (src2, src4) pair is EXACTLY 1e6), everything else keeps natural
+    text (strictly interior band). One persisted distinct
+    (source, token) frame feeds sizes + both self-join sides; the
+    190-row pair grid is a deliberate tiny nested-loop."""
+    from ..operators.profile import source_token_jaccard
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 20
+    staged = d.select(
+        F.col("source"),
+        F.when(m == 7, F.md5(sid))
+        .when(
+            (m == 2) | (m == 4),
+            F.lit("shared sentinel overlap phrase zq"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return source_token_jaccard(staged, "source", "text")
+
+
+def q_source_overlap_sql(sf: str) -> str:
+    from ..operators.profile import source_token_jaccard_sql
+
+    staged = """
+        select source,
+               case when doc_id % 20 = 7 then md5(cast(doc_id as varchar))
+                    when doc_id % 20 in (2, 4)
+                      then 'shared sentinel overlap phrase zq'
+                    else text end as text
+        from documents
+    """
+    return source_token_jaccard_sql(
+        rel=f"({staged})", group_col="source", text_col="text"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7449,6 +7542,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (nineteenth arc): shuffle-key skew audit — exact-integer Gini
     # + top-key share per candidate partitioning key
     "skew_audit": (q_skew_audit, q_skew_audit_sql),
+    # r5 (twentieth arc): per-template G-test drift between alternating
+    # -day windows — signed micro-nat cells, exact bigint statistic
+    "template_drift": (q_template_drift, q_template_drift_sql),
+    # r5 (twentieth arc): exact pairwise source vocabulary Jaccard —
+    # persisted distinct token frame, grid keeps disjoint pairs' 0-rows
+    "source_overlap": (q_source_overlap, q_source_overlap_sql),
 }
 
 

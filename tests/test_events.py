@@ -716,3 +716,168 @@ def test_mixture_jsd_plan_is_jvm_partial_agg(spark):
     assert not facts["python_udf"] and not facts["map_in_pandas"]
     assert facts["partial_aggregate"]
     assert "CartesianProduct" not in physical_plan(df)
+
+
+# --- g_test_drift (operators/profile.py) ------------------------------------
+
+
+def test_g_test_drift_exact_known_contingency(spark):
+    """Perfectly separated 2x2 (A only in period 0, B only in period 1)
+    has the closed-form G = 2·2·100·round(1e6·ln 2) — quantize-per-cell
+    makes the expected value an exact integer; a perfectly balanced
+    group has G = 0 and must not flag."""
+    from logparser_llm_spark.operators.profile import g_test_drift
+
+    rows = [("A", 0)] * 100 + [("B", 1)] * 100
+    df = spark.createDataFrame(rows, "g string, p long")
+    got = {r["g"]: r for r in g_test_drift(df, "g", "p").collect()}
+    assert got["A"]["g_e6"] == 2 * 2 * 100 * 693147
+    assert got["A"]["drifted"] and got["B"]["drifted"]
+
+    bal = spark.createDataFrame(
+        [("A", 0)] * 10 + [("A", 1)] * 10 + [("B", 0)] * 7 + [("B", 1)] * 7,
+        "g string, p long",
+    )
+    for r in g_test_drift(bal, "g", "p").collect():
+        assert r["g_e6"] == 0 and not r["drifted"], r
+
+
+def test_g_test_drift_single_group_and_zero_cells(spark):
+    """With one group the complement cells are empty (den = 0 → term
+    0 by the guard, not NaN) and the group trivially has G = 0; a
+    group absent from one period contributes only its nonzero cells."""
+    from logparser_llm_spark.operators.profile import (
+        g_test_drift,
+        g_test_drift_py,
+    )
+
+    one = spark.createDataFrame([("A", 0)] * 3 + [("A", 1)] * 5,
+                                "g string, p long")
+    r = g_test_drift(one, "g", "p").collect()[0]
+    assert r["g_e6"] == 0 and not r["drifted"]
+
+    skew = spark.createDataFrame(
+        [("A", 0)] * 6 + [("B", 0)] * 4 + [("B", 1)] * 10,
+        "g string, p long",
+    )
+    got = {x["g"]: x for x in g_test_drift(skew, "g", "p").collect()}
+    for g, x in got.items():
+        assert x["g_e6"] == g_test_drift_py(
+            x["o1"], x["o2"], x["r1"], x["r2"]), (g, x)
+    assert got["A"]["o2"] == 0 and got["A"]["g_e6"] > 0
+
+
+def test_g_test_drift_trilateral_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.profile import (
+        g_test_drift,
+        g_test_drift_py,
+        g_test_drift_sql,
+    )
+
+    rows = [(f"g{i % 5}", (i * 7 + i // 13) % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, p long")
+    got = sorted(map(tuple, g_test_drift(df, "g", "p").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (g varchar, p bigint)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = g_test_drift_sql(rel="t", group_col="g", period_col="p")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+    for g, o1, o2, r1, r2, g_e6, drifted in got:
+        assert g_e6 == g_test_drift_py(o1, o2, r1, r2), g
+        assert drifted == (g_e6 > 3_841_459)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_template_drift_registered_classes(spark, sf):
+    """The staged click deletion must make 'click' the suite's largest
+    G by a wide margin and flag it; every row's statistic is
+    recomputable from its own counts. (No not-drifted assertion: G
+    scales with n, so at larger SFs even the knock-on share shift in
+    the untouched types crosses the fixed chi-square bar — correct
+    test behavior, the planted effect just has to DOMINATE.)"""
+    from logparser_llm_spark.operators.profile import g_test_drift_py
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["template_drift"][0](spark, sf).collect()
+    assert len(rows) == 5, sf
+    by_type = {r["event_type"]: r for r in rows}
+    for r in rows:
+        assert r["g_e6"] == g_test_drift_py(
+            r["o1"], r["o2"], r["r1"], r["r2"]), r
+        assert r["drifted"] == (r["g_e6"] > 3_841_459), r
+    click = by_type["click"]
+    assert click["drifted"], sf
+    assert click["g_e6"] == max(r["g_e6"] for r in rows), sf
+    # the deletion is visible in the raw counts: click lost period-1 mass
+    assert click["o2"] < click["o1"] * 2 // 3, sf
+    runner_up = max(r["g_e6"] for r in rows if r["event_type"] != "click")
+    assert click["g_e6"] > 3 * runner_up, (sf, click["g_e6"], runner_up)
+
+
+# --- source_token_jaccard (operators/profile.py) -----------------------------
+
+
+def test_source_token_jaccard_exact_sets(spark):
+    """Hand sets: |{a,b,c} ∩ {b,c,d}| = 2, union 4 → exactly 500000;
+    identical sets → exactly 1e6; a disjoint source keeps 0-rows
+    against EVERY other source (the grid left-join, not an inner
+    join); output is every unordered pair once."""
+    from logparser_llm_spark.operators.profile import source_token_jaccard
+
+    rows = [("A", "a b c"), ("B", "b c d"), ("C", "x"),
+            ("D", "a b c"), ("E", None)]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = {(r["g1"], r["g2"]): r for r in
+           source_token_jaccard(df, "g", "text").collect()}
+    # E has no tokens → absent; C(3 others) + pairs among A,B,D = 3+3
+    assert set(got) == {("A", "B"), ("A", "C"), ("A", "D"),
+                        ("B", "C"), ("B", "D"), ("C", "D")}
+    assert got[("A", "B")]["jaccard_e6"] == 500_000
+    assert got[("A", "D")]["jaccard_e6"] == 1_000_000
+    for pair in (("A", "C"), ("B", "C"), ("C", "D")):
+        assert got[pair]["inter"] == 0 and got[pair]["jaccard_e6"] == 0
+
+
+def test_source_token_jaccard_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.profile import (
+        source_token_jaccard,
+        source_token_jaccard_sql,
+    )
+
+    rows = [(f"g{i % 4}", f"tok{i % 7} tok{(i * 3) % 11} shared")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = sorted(map(tuple, source_token_jaccard(df, "g", "text").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (g varchar, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = source_token_jaccard_sql(rel="t", group_col="g", text_col="text")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_source_overlap_registered_classes(spark, sf):
+    """All 190 unordered pairs present; every src7 pair is exactly 0
+    (disjoint md5 blobs), (src2, src4) is exactly 1e6 (shared
+    sentinel), natural-text pairs are nonzero (the synthetic corpus
+    vocabulary is shared — some natural pairs legitimately reach 1e6),
+    and every jaccard_e6 is recomputable from its own row."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["source_overlap"][0](spark, sf).collect()
+    assert len(rows) == 190, sf
+    staged = {"src2", "src4", "src7"}
+    for r in rows:
+        expect = round(1e6 * r["inter"]
+                       / (r["size1"] + r["size2"] - r["inter"]))
+        assert r["jaccard_e6"] == expect, r
+        if "src7" in (r["g1"], r["g2"]):
+            assert r["inter"] == 0 and r["jaccard_e6"] == 0, r
+        elif (r["g1"], r["g2"]) == ("src2", "src4"):
+            assert r["jaccard_e6"] == 1_000_000, r
+        elif not staged & {r["g1"], r["g2"]}:
+            assert 0 < r["jaccard_e6"] <= 1_000_000, r

@@ -392,3 +392,24 @@ def test_nineteenth_arc_plans(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twentieth_arc_plans(spark):
+    """template_drift is one partial-agg (type, period) count rolled
+    up per type with broadcast totals — no window, no Python, and the
+    only nested-loop is the broadcast grand-total attach. source_overlap
+    must reuse its persisted distinct-token frame for sizes AND both
+    self-join sides (InMemoryTableScans), join intersections equi on
+    the token, and keep its nested-loop confined to the tiny pair
+    grid; no Python anywhere."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["template_drift"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["source_overlap"][0](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3, "token frame not reused"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
