@@ -211,6 +211,9 @@ HEADLINE = [
     # r5 twentieth arc: per-template G-test drift + source overlap matrix
     "template_drift",
     "source_overlap",
+    # r5 twenty-first arc: drop provenance ledger + attrition funnel
+    "drop_ledger",
+    "drop_funnel",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -250,6 +253,8 @@ LARGE_RESULT = {
     "ccnet_buckets",
     # r5 nineteenth arc: per-event result shape
     "mad_outliers",
+    # r5 twenty-first arc: per-doc result shape
+    "drop_ledger",
 }
 
 

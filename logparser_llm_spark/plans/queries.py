@@ -7233,6 +7233,89 @@ def q_source_overlap_sql(sf: str) -> str:
     )
 
 
+# 63 words: clears the ledger's min_words=50 bar (7 × 9-word sentence)
+_LEDGER_FILLER = " " + " ".join(
+    ["the quick brown fox jumps over the lazy dog"] * 7
+)
+# the shared dup blob also clears the bar, so each family's FIRST
+# holder must flow through to 'kept' — a ledger that drops the whole
+# family (instead of keep-first) breaks the hash
+_LEDGER_BLOB = "shared ledger blob" + _LEDGER_FILLER
+_LEDGER_STAGE_SQL = f"""
+        select doc_id,
+               case when doc_id % 41 = 0 then ''
+                    when doc_id % 23 = 0 then '{_LEDGER_BLOB}'
+                    when doc_id % 19 = 0
+                      then text || '{_LEDGER_FILLER} so badwordx happened'
+                    when doc_id % 17 = 0 then text || '{_LEDGER_FILLER}'
+                    else text end as t
+        from documents
+"""
+
+
+def _ledger_stage_col() -> Column:
+    """Spark twin of _LEDGER_STAGE_SQL."""
+    d = F.col("doc_id")
+    return (
+        F.when(d % 41 == 0, F.lit(""))
+        .when(d % 23 == 0, F.lit(_LEDGER_BLOB))
+        .when(d % 19 == 0,
+              F.concat(F.col("text"),
+                       F.lit(_LEDGER_FILLER + " so badwordx happened")))
+        .when(d % 17 == 0, F.concat(F.col("text"), F.lit(_LEDGER_FILLER)))
+        .otherwise(F.col("text"))
+    )
+
+
+def q_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop provenance (operators/ledger.py:drop_ledger):
+    every page gets exactly ONE stage by first-drop-wins precedence
+    (invalid → exact_dup → too_short → badwords → kept), so the funnel
+    partitions the corpus — the attrition table a CCNet/C4/RefinedWeb
+    -style pipeline publishes per drop. The staging plants every
+    stage: %41 empty (invalid), %23 a shared 66-word blob (dup family
+    whose FIRST holder must flow through to kept), %19 filler + a
+    blocklisted token (badwords — the filler proves the page died at
+    the blocklist, not at length), %17 clean filler (kept), natural
+    short docs (too_short). One md5 family window is the single
+    corpus shuffle; all other signals ride one scan-bound JVM
+    projection."""
+    from ..operators.ledger import drop_ledger
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _ledger_stage_col().alias("t"),
+    )
+    return drop_ledger(d, "doc_id", "t", min_words=50,
+                       badwords=["badwordx"])
+
+
+def q_drop_ledger_sql(sf: str) -> str:
+    from ..operators.ledger import drop_ledger_sql
+
+    return drop_ledger_sql(
+        rel=f"({_LEDGER_STAGE_SQL})", id_col="doc_id", text_col="t",
+        min_words=50, badwords=["badwordx"],
+    )
+
+
+def q_drop_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition rollup of the drop ledger
+    (operators/ledger.py:drop_funnel): (stage, n_docs, share_e6),
+    additive because the ledger's first-drop-wins stages partition the
+    corpus — sum(n_docs) is exactly the document count. One partial
+    agg over the ledger with the grand total broadcast back."""
+    from ..operators.ledger import drop_funnel
+
+    return drop_funnel(q_drop_ledger(spark, sf_dir))
+
+
+def q_drop_funnel_sql(sf: str) -> str:
+    from ..operators.ledger import drop_funnel_sql
+
+    return drop_funnel_sql(ledger_sql=q_drop_ledger_sql(sf))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7548,6 +7631,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (twentieth arc): exact pairwise source vocabulary Jaccard —
     # persisted distinct token frame, grid keeps disjoint pairs' 0-rows
     "source_overlap": (q_source_overlap, q_source_overlap_sql),
+    # r5 (twenty-first arc): per-doc drop provenance — first-drop-wins
+    # stages partition the corpus; one md5 family window
+    "drop_ledger": (q_drop_ledger, q_drop_ledger_sql),
+    # r5 (twenty-first arc): additive stage-attrition funnel over the
+    # ledger — the published attrition table shape
+    "drop_funnel": (q_drop_funnel, q_drop_funnel_sql),
 }
 
 

@@ -413,3 +413,23 @@ def test_twentieth_arc_plans(spark):
     assert plan.count("InMemoryTableScan") >= 3, "token frame not reused"
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twenty_first_arc_plans(spark):
+    """drop_ledger's single corpus shuffle is the md5 family window
+    (all other signals ride the scan projection) — exactly one
+    hash-Exchange before the window, no Python, no cartesian;
+    drop_funnel adds only partial aggregation plus the broadcast
+    grand-total attach."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["drop_ledger"][0](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, "extra shuffle"
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["drop_funnel"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
