@@ -214,6 +214,8 @@ HEADLINE = [
     # r5 twenty-first arc: drop provenance ledger + attrition funnel
     "drop_ledger",
     "drop_funnel",
+    # r5 twenty-second arc: token-budget corpus selection
+    "budget_select",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -255,6 +257,8 @@ LARGE_RESULT = {
     "mad_outliers",
     # r5 twenty-first arc: per-doc result shape
     "drop_ledger",
+    # r5 twenty-second arc: per-doc result shape
+    "budget_select",
 }
 
 

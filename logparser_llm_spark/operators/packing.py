@@ -149,3 +149,45 @@ def global_rank(
         num_partitions=num_partitions,
     )
     return ranked.drop("__one")
+
+
+def budget_select(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    *,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget-constrained corpus selection: walk the corpus in
+    ``order_col`` order (the caller encodes best-first — e.g. quality
+    descending) and keep whole documents until the NEXT one would push
+    the running token total past ``budget`` — the "give me the best
+    10B tokens" cut every mixture builder makes, made exact: a doc is
+    selected iff its exclusive prefix-sum of ``tokens_col`` plus its
+    own count is <= budget. No partial documents, and because the
+    prefix sum is exact the selected set is the unique maximal prefix
+    of the ordering that fits (greedy-by-order, not knapsack — the
+    point is a deterministic, reproducible cut, not an NP-hard
+    optimum).
+
+    Scale shape: :func:`exclusive_prefix_sum` — range shuffle on the
+    order key, partition-parallel local sums, one bounded driver pass
+    over per-partition totals — NEVER the empty-window running sum
+    that funnels 100 TB through one task. ``order_col`` must be a
+    total order (unique keys; the repo convention is a fixed-width
+    string with an id tiebreak) and ``tokens_col`` non-negative —
+    a negative count would make "maximal prefix" meaningless.
+
+    Output: every input column plus ``cum_before`` (exclusive prefix
+    tokens) and ``selected``."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    ranked = exclusive_prefix_sum(
+        df, order_col, tokens_col, out_col="cum_before",
+        num_partitions=num_partitions,
+    )
+    return ranked.withColumn(
+        "selected",
+        (F.col("cum_before") + F.col(tokens_col)) <= F.lit(budget),
+    )

@@ -7316,6 +7316,84 @@ def q_drop_funnel_sql(sf: str) -> str:
     return drop_funnel_sql(ledger_sql=q_drop_ledger_sql(sf))
 
 
+BUDGET_SELECT_TOKENS = 8_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/packing.py:
+    budget_select): keep the highest-character-entropy documents (the
+    gibberish-resistant quality proxy from char_entropy) until the
+    next doc would cross the 8k-token budget — the "best N tokens"
+    mixture cut, exact and whole-doc. The total order is the repo's
+    fixed-width string convention: 7-digit DESCENDING entropy
+    complement + zero-padded doc_id, lexicographic-identical on every
+    engine. Scale shape: the entropy partial-agg pipeline, one
+    doc-keyed equi-join to attach token counts, then the prefix-sum
+    range shuffle (partition-parallel local sums + a bounded driver
+    pass) — never a single-task global window; the oracle IS the
+    window spelling, an independent algebra validating the prefix-sum
+    construction."""
+    from ..functions.text import lower_tokens
+    from ..operators.packing import budget_select
+    from ..operators.profile import char_entropy
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    ent = char_entropy(d, "doc_id", "text").select("doc_id", "entropy_e6")
+    toks = d.select(
+        "doc_id",
+        F.size(lower_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("bigint").alias("n_tokens"),
+    )
+    keyed = ent.join(toks, "doc_id").select(
+        "doc_id", "entropy_e6", "n_tokens",
+        F.concat(
+            F.lpad((F.lit(9_999_999) - F.col("entropy_e6")).cast("string"),
+                   7, "0"),
+            F.lit("-"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ).alias("skey"),
+    )
+    out = budget_select(keyed, "skey", "n_tokens",
+                        budget=BUDGET_SELECT_TOKENS)
+    return out.select("doc_id", "entropy_e6", "n_tokens",
+                      "cum_before", "selected")
+
+
+def q_budget_select_sql(sf: str) -> str:
+    from ..functions.text import LOWER_TOKENS_SQL
+    from ..operators.profile import char_entropy_sql
+
+    ent = char_entropy_sql(
+        rel="(select cast(doc_id as bigint) as doc_id, text from documents)",
+        id_col="doc_id", text_col="text",
+    )
+    toks = LOWER_TOKENS_SQL.format(c="coalesce(text, '')")
+    return f"""
+        with _bs_ent as ({ent}),
+        _bs_tok as (
+          select cast(doc_id as bigint) as doc_id,
+                 len({toks})::BIGINT as n_tokens
+          from documents
+        ),
+        _bs_keyed as (
+          select e.doc_id, e.entropy_e6, t.n_tokens,
+                 lpad(cast(9999999 - e.entropy_e6 as varchar), 7, '0')
+                 || '-' || lpad(cast(e.doc_id as varchar), 12, '0') as skey
+          from _bs_ent e join _bs_tok t using (doc_id)
+        )
+        select doc_id, entropy_e6, n_tokens,
+               coalesce(sum(n_tokens) over (order by skey
+                 rows between unbounded preceding and 1 preceding),
+                 0)::BIGINT as cum_before,
+               (coalesce(sum(n_tokens) over (order by skey
+                  rows between unbounded preceding and 1 preceding), 0)
+                + n_tokens) <= {BUDGET_SELECT_TOKENS} as selected
+        from _bs_keyed
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7637,6 +7715,9 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-first arc): additive stage-attrition funnel over the
     # ledger — the published attrition table shape
     "drop_funnel": (q_drop_funnel, q_drop_funnel_sql),
+    # r5 (twenty-second arc): token-budget corpus selection — exact
+    # whole-doc greedy cut via the prefix-sum range shuffle
+    "budget_select": (q_budget_select, q_budget_select_sql),
 }
 
 

@@ -181,3 +181,94 @@ def test_curriculum_order_laws(spark, sf):
     )
     pos_seq = [p for _, p in some]
     assert pos_seq != sorted(pos_seq), "md5 shuffle missing"
+
+
+# --- budget_select -----------------------------------------------------------
+
+
+def test_budget_select_exact_cut_and_maximality(spark):
+    """The selected set is the unique maximal prefix that fits: docs
+    of 3 tokens each under budget 7 → exactly 2 selected (6 <= 7 but
+    9 > 7); a doc exactly AT the boundary is kept; budget 0 selects
+    nothing; a zero-token doc inside the prefix is kept for free."""
+    from logparser_llm_spark.operators.packing import budget_select
+
+    rows = [(f"k{i}", i, 3) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, id long, tok long")
+    got = {r["id"]: r["selected"]
+           for r in budget_select(df, "k", "tok", budget=7).collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False, 4: False}
+
+    exact = budget_select(df, "k", "tok", budget=6).collect()
+    assert {r["id"]: r["selected"] for r in exact}[1] is True
+
+    zero = {r["id"]: r["selected"]
+            for r in budget_select(df, "k", "tok", budget=0).collect()}
+    assert all(v is False for v in zero.values())
+
+    free = spark.createDataFrame(
+        [("a", 1, 4), ("b", 2, 0), ("c", 3, 4)], "k string, id long, tok long"
+    )
+    gf = {r["id"]: r["selected"]
+          for r in budget_select(free, "k", "tok", budget=4).collect()}
+    assert gf == {1: True, 2: True, 3: False}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        budget_select(df, "k", "tok", budget=-1)
+
+
+def test_budget_select_matches_window_reference(spark):
+    """Prefix-sum spelling == the window spelling, across partition
+    counts (the global_rank differential, applied to the budget cut)."""
+    from pyspark.sql.window import Window
+
+    from logparser_llm_spark.operators.packing import budget_select
+
+    rows = [(f"{(i * 7) % 100:03d}-{i:04d}", i, (i * 3) % 9) for i in range(150)]
+    df = spark.createDataFrame(rows, "k string, id long, tok long")
+    w = (Window.orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ref = {
+        r["id"]: (r["cb"], r["cb"] + r["tok"] <= 100)
+        for r in df.select(
+            "id", "tok",
+            F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cb"),
+        ).collect()
+    }
+    for parts in (1, 13):
+        got = {r["id"]: (r["cum_before"], r["selected"])
+               for r in budget_select(df.repartition(parts), "k", "tok",
+                                      budget=100).collect()}
+        assert got == ref, parts
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_budget_select_registered_laws(spark, sf):
+    """Entropy-greedy cut: selected docs' total stays within budget
+    and is maximal (the best unselected doc would overflow it);
+    selection is exactly a prefix of the entropy-desc/id order; every
+    selected doc's entropy >= every unselected doc's entropy except
+    inside the straddle region caused by whole-doc granularity."""
+    from logparser_llm_spark.plans.queries import BUDGET_SELECT_TOKENS, QUERIES
+
+    rows = QUERIES["budget_select"][0](spark, sf).collect()
+    sel = [r for r in rows if r["selected"]]
+    uns = [r for r in rows if not r["selected"]]
+    assert sel and uns, sf
+    total = sum(r["n_tokens"] for r in sel)
+    assert total <= BUDGET_SELECT_TOKENS, sf
+    # maximality along the order: the FIRST unselected doc in key
+    # order (min cum_before) would overflow the budget
+    first_out = min(uns, key=lambda r: (r["cum_before"], r["doc_id"]))
+    assert first_out["cum_before"] + first_out["n_tokens"] \
+        > BUDGET_SELECT_TOKENS, sf
+    # prefix property in the total order (entropy desc, id asc)
+    key = lambda r: (-r["entropy_e6"], r["doc_id"])
+    ordered = sorted(rows, key=key)
+    flags = [r["selected"] for r in ordered]
+    # selected rows form a prefix except possible interleaving where
+    # a big doc overflowed but later small docs cannot re-enter (the
+    # cut is prefix-maximal, not knapsack): after the first False all
+    # must be False
+    assert flags == sorted(flags, reverse=True), sf

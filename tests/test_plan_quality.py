@@ -433,3 +433,18 @@ def test_twenty_first_arc_plans(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twenty_second_arc_plans(spark):
+    """budget_select must spell the global cut as the prefix-sum range
+    shuffle — rangepartitioning present, NO single-partition global
+    window (the 100 TB stage-killer it exists to avoid); the entropy
+    pipeline stays partial-aggregable; the only Python is the
+    prefix-sum's bounded mapInPandas scan stage."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["budget_select"][0](spark, SF))
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
