@@ -216,6 +216,8 @@ HEADLINE = [
     "drop_funnel",
     # r5 twenty-second arc: token-budget corpus selection
     "budget_select",
+    # r5 twenty-third arc: integer TrustRank crawl-priority signal
+    "trustrank",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -259,6 +261,8 @@ LARGE_RESULT = {
     "drop_ledger",
     # r5 twenty-second arc: per-doc result shape
     "budget_select",
+    # r5 twenty-third arc: per-node result shape (the pagerank shape)
+    "trustrank",
 }
 
 

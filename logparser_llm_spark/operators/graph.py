@@ -671,3 +671,133 @@ def pagerank_oracle_sql(
             f")"
         )
     return "with " + ",\n".join(parts) + f"\nselect node, pr from r{iterations}"
+
+
+def trustrank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    iterations: int = 4,
+    scale: int = DEFAULT_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004) —
+    PageRank personalized to a vetted SEED set, the classic
+    spam-demotion signal for crawl prioritization: trust originates
+    ONLY at manually-reviewed good pages and decays along links, so a
+    spam farm that link-bombs itself gains nothing unless a trusted
+    page links into it. Differences from :func:`pagerank_integer`,
+    which this mirrors step for step: the initial vector is
+    ``scale`` on seeds / 0 elsewhere, and the teleport mass
+    ``(damp_den-damp_num)·scale // damp_den`` returns to SEEDS only —
+    a node with no in-path from any seed within ``iterations`` hops
+    ends at exactly 0 (integer arithmetic keeps that zero exact; float
+    TrustRank can't say "unreachable", only "small").
+
+    Same exactness and scale contract as the module's PageRank: per-
+    edge contributions are int64 floor divisions split over outdegree,
+    per-node inflow an integer sum — bit-exact under any partitioning
+    and engine. ``seeds`` is a one-column frame of vetted node ids
+    (deduplicated here; ids not in ``nodes`` are ignored by the join).
+    The co-partitioned (src, dst, outdeg) frame persists across
+    rounds. Output: (node, is_seed, trust)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 < damp_num < damp_den:
+        raise ValueError("need 0 < damp_num < damp_den")
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").repartition(F.col("src")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct() \
+        .withColumn("is_seed", F.lit(True))
+    nodes = nodes.join(s, "node", "left").select(
+        "node", F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    base = (damp_den - damp_num) * scale // damp_den
+    seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale)).otherwise(F.lit(0))
+        .cast("long").alias("tr"),
+    )
+    for _ in range(iterations):
+        inflow = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"tr * {damp_num} div ({damp_den} * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (seed_base + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("tr"),
+        )
+    return nodes.join(ranks, "node").select(
+        "node", "is_seed", F.col("tr").alias("trust")
+    )
+
+
+def trustrank_oracle_sql(
+    node_source: str,
+    node_col: str,
+    edge_cte: str,
+    seed_pred: str,
+    *,
+    iterations: int = 4,
+    scale: int = DEFAULT_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """DuckDB CTE chain mirroring :func:`trustrank_integer` exactly
+    (unrolled, one CTE per iteration). ``edge_cte`` must yield
+    (src, dst, outdeg); ``seed_pred`` is a boolean SQL expression over
+    the node table's columns defining the vetted set. Kept next to the
+    operator so the two formulations cannot drift."""
+    base = (damp_den - damp_num) * scale // damp_den
+    parts = [
+        f"edges as ({edge_cte})",
+        f"nseed as (select {node_col} as node, ({seed_pred}) as is_seed "
+        f"from {node_source})",
+        f"r0 as (select node, cast(case when is_seed then {scale} else 0 end "
+        f"as bigint) as tr from nseed)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} as (\n"
+            f"  select n.node,\n"
+            f"         cast(case when n.is_seed then {base} else 0 end\n"
+            f"              + coalesce(sum(f.c), 0) as bigint) as tr\n"
+            f"  from nseed n left join (\n"
+            f"    select e.dst as node,\n"
+            f"           r.tr * {damp_num} // ({damp_den} * e.outdeg) as c\n"
+            f"    from edges e join r{i - 1} r on e.src = r.node) f\n"
+            f"    on f.node = n.node\n"
+            f"  group by n.node, n.is_seed\n"
+            f")"
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect n.node, n.is_seed, r.tr as trust"
+        f"\nfrom nseed n join r{iterations} r on r.node = n.node"
+    )

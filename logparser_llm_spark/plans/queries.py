@@ -7394,6 +7394,67 @@ def q_budget_select_sql(sf: str) -> str:
     """
 
 
+TRUSTRANK_ITERATIONS = 4
+
+
+def _trustrank_edges_cte() -> str:
+    """DuckDB edge generator mirroring q_trustrank's Spark-side synth:
+    node u links to (u·11 + 5j + 2) mod N for j = 0..(u mod 3) —
+    distinct constants from the PageRank graph so the two queries
+    exercise different topologies."""
+    return """
+        select d.doc_id as src,
+               (d.doc_id * 11 + 5 * j.j + 2)
+                 % (select count(*) from documents) as dst,
+               1 + d.doc_id % 3 as outdeg
+        from documents d, generate_series(0, 2) as j(j)
+        where j.j <= d.doc_id % 3
+    """
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer TrustRank (Gyongyi et al. 2004; operators/graph.py:
+    trustrank_integer) over a seeded link graph on documents: trust
+    originates only at the vetted set (doc_id % 13 == 0 — the
+    "manually reviewed" pages) and decays along the same style of
+    deterministic synth edges as q_pagerank (different constants).
+    All-integer per-edge floor divisions make the result bit-exact
+    under any partitioning — including the EXACT ZERO on every node
+    with no in-path from a seed within 4 hops, which float TrustRank
+    cannot express. Oracle: 4 unrolled CTE iterations generated by
+    the same module."""
+    from ..operators.graph import trustrank_integer
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()  # bounded driver scalar (node count)
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 11 + F.col("j") * 5 + 2) % F.lit(n)).alias("dst"),
+        )
+    )
+    seeds = d.where(F.col("doc_id") % 13 == 0)
+    out = trustrank_integer(edges, seeds, nodes=d,
+                            iterations=TRUSTRANK_ITERATIONS)
+    return out.select(F.col("node").alias("doc_id"), "is_seed", "trust")
+
+
+def q_trustrank_sql(sf: str) -> str:
+    from ..operators.graph import trustrank_oracle_sql
+
+    inner = trustrank_oracle_sql(
+        "documents", "doc_id", _trustrank_edges_cte(),
+        "doc_id % 13 = 0", iterations=TRUSTRANK_ITERATIONS,
+    )
+    return f"select node as doc_id, is_seed, trust from ({inner})"
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7718,6 +7779,9 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-second arc): token-budget corpus selection — exact
     # whole-doc greedy cut via the prefix-sum range shuffle
     "budget_select": (q_budget_select, q_budget_select_sql),
+    # r5 (twenty-third arc): integer TrustRank — seed-personalized
+    # PageRank, exact zero on seed-unreachable nodes
+    "trustrank": (q_trustrank, q_trustrank_sql),
 }
 
 

@@ -542,3 +542,94 @@ def test_crawl_depth_classes_present_both_sf(spark):
         assert depths == set(range(CRAWL_MAX_DEPTH + 1)), sf
         assert any(not r["reached"] for r in rows), sf
         assert all((r["depth"] is None) == (not r["reached"]) for r in rows)
+
+
+# --- trustrank_integer -------------------------------------------------------
+
+
+def test_trustrank_seed_decay_and_exact_zero(spark):
+    """A 2-hop chain from the one seed: the seed holds base + returned
+    mass, each hop multiplies by 85/100 with floor division, and a
+    node with no in-path from the seed is EXACTLY 0 (the integer
+    arithmetic promise). Hand graph: s→a, a→b, x→y (x unvetted)."""
+    from logparser_llm_spark.operators.graph import trustrank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11)], "n long")
+    seeds = spark.createDataFrame([(0,)], "n long")
+    got = {r["node"]: r for r in trustrank_integer(
+        edges, seeds, nodes=nodes, iterations=4).collect()}
+    assert got[0]["is_seed"] and not got[1]["is_seed"]
+    base = (100 - 85) * 10**9 // 100
+    assert got[0]["trust"] == base          # nothing links back to s
+    # a: base-less, receives floor(tr(s)·85/100) from the previous round
+    assert got[1]["trust"] == base * 85 // 100
+    assert got[2]["trust"] == base * 85 // 100 * 85 // 100
+    assert got[10]["trust"] == 0 and got[11]["trust"] == 0
+
+
+def test_trustrank_no_seeds_all_zero_and_validation(spark):
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.graph import trustrank_integer
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    none = spark.createDataFrame([], "n long")
+    got = trustrank_integer(edges, none, iterations=3).collect()
+    assert got and all(r["trust"] == 0 for r in got)
+    seeds = spark.createDataFrame([(0,)], "n long")
+    with _pytest.raises(ValueError, match="iterations"):
+        trustrank_integer(edges, seeds, iterations=0)
+    with _pytest.raises(ValueError, match="damp"):
+        trustrank_integer(edges, seeds, damp_num=100, damp_den=100)
+
+
+def test_trustrank_partition_invariance_and_outdeg_split(spark):
+    """Bit-exact under repartitioning; a seed with outdegree 3 splits
+    its contribution by floor division over outdeg (link-bombing a
+    node many times from one page does not multiply trust)."""
+    from logparser_llm_spark.operators.graph import trustrank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (5, 1), (2, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "n long")
+    a = sorted(map(tuple, trustrank_integer(
+        edges.repartition(1), seeds, iterations=4).collect()))
+    b = sorted(map(tuple, trustrank_integer(
+        edges.repartition(7), seeds, iterations=4).collect()))
+    assert a == b
+    got = dict((r[0], r[2]) for r in a)
+    base = (100 - 85) * 10**9 // 100
+    assert got[1] == base * 85 // (100 * 3)  # one third per out-link
+    assert got[1] == got[3]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_trustrank_registered_classes(spark, sf):
+    """Seeds hold at least the teleport base; unreachable nodes exist
+    and are exactly 0; any positive-trust non-seed has an in-edge from
+    a positive-trust node (trust cannot appear from nowhere)."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["trustrank"][0](spark, sf).collect()
+    got = {r["doc_id"]: r for r in rows}
+    n = len(rows)
+    base = (100 - 85) * 10**9 // 100
+    seeds = [r for r in rows if r["is_seed"]]
+    assert seeds and all(r["doc_id"] % 13 == 0 for r in seeds), sf
+    assert all(r["trust"] >= base for r in seeds), sf
+    zeros = [r for r in rows if r["trust"] == 0]
+    assert zeros and all(not r["is_seed"] for r in zeros), sf
+    # rebuild the synth edges driver-side and check conservation-style
+    # sanity on a sample of positive non-seeds
+    in_edges = {}
+    for u in range(n):
+        for j in range(u % 3 + 1):
+            in_edges.setdefault((u * 11 + 5 * j + 2) % n, []).append(u)
+    for r in rows:
+        if not r["is_seed"] and r["trust"] > 0:
+            assert any(got[u]["trust"] > 0 or got[u]["is_seed"]
+                       for u in in_edges.get(r["doc_id"], [])), r

@@ -448,3 +448,17 @@ def test_twenty_second_arc_plans(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_twenty_third_arc_plans(spark):
+    """trustrank reuses the pagerank per-round shape: the co-
+    partitioned edge frame persists across rounds (InMemoryTableScans),
+    inflow is a partial-aggregable integer sum, no cartesian, no
+    Python anywhere."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["trustrank"][0](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 4, "edge/node frames not reused"
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
