@@ -218,6 +218,10 @@ HEADLINE = [
     "budget_select",
     # r5 twenty-third arc: integer TrustRank crawl-priority signal
     "trustrank",
+    # r5 twenty-fourth arc: per-language quantile normalization +
+    # size-balanced export shard planning
+    "quantile_norm",
+    "shard_plan",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -263,6 +267,9 @@ LARGE_RESULT = {
     "budget_select",
     # r5 twenty-third arc: per-node result shape (the pagerank shape)
     "trustrank",
+    # r5 twenty-fourth arc: per-doc result shapes
+    "quantile_norm",
+    "shard_plan",
 }
 
 

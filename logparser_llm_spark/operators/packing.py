@@ -191,3 +191,41 @@ def budget_select(
         "selected",
         (F.col("cum_before") + F.col(tokens_col)) <= F.lit(budget),
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    order_col: str,
+    bytes_col: str,
+    *,
+    target_bytes: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-balanced export sharding: assign every document a shard id
+    so that shards, read in ``order_col`` order, each hold about
+    ``target_bytes`` — ``shard_id = exclusive_prefix_bytes //
+    target_bytes``. The plan every bulk exporter needs before writing
+    (a corpus dumped by hash lands wildly uneven file sizes; training
+    loaders want shards within a 2x band), with the two properties the
+    formula gives for free: shards are CONTIGUOUS in the order (shard
+    ids are non-decreasing, so shard k is a byte range, resumable and
+    seekable), and every shard except possibly the last spans at least
+    ``target_bytes`` of input once its straddling first document is
+    counted — a shard's overshoot is bounded by its largest document.
+
+    Same scale spelling as :func:`budget_select`:
+    :func:`exclusive_prefix_sum` (range shuffle, partition-parallel
+    local sums, bounded driver pass), never a single-task global
+    window. ``order_col`` must be a total order; ``bytes_col``
+    non-negative. Output: input columns plus ``cum_before`` and
+    ``shard_id``."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    ranked = exclusive_prefix_sum(
+        df, order_col, bytes_col, out_col="cum_before",
+        num_partitions=num_partitions,
+    )
+    # integer `div`, not `/`: stays on the exact bigint path end to end
+    return ranked.withColumn(
+        "shard_id", F.expr(f"cum_before div {target_bytes}")
+    )

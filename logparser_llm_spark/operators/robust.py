@@ -229,3 +229,76 @@ def key_skew_audit_sql(*, rel: str, candidates: dict[str, str]) -> str:
                 from {rel} group by 1)
         )""")
     return " union all ".join(parts)
+
+
+# --- per-group quantile normalization (rank transform) -------------------
+
+def quantile_normalize(
+    df: DataFrame, group_col: str, score_col: str, *,
+    out_col: str = "pct_e6",
+) -> DataFrame:
+    """Per-group percentile-rank transform of an integer score:
+    ``pct_e6 = round(1e6 · cum_below / (n − 1))`` where ``cum_below``
+    counts the group's rows STRICTLY below the row's score — the
+    standard way to make a quality signal comparable ACROSS groups
+    (CCNet compares documents by per-language perplexity percentile,
+    never raw perplexity, because each language's LM has its own score
+    scale; same for fusing entropy/readability/LM signals into one
+    ranking). The group minimum maps to 0, a unique maximum to
+    exactly 1e6, ties share one value (their common cum_below), and a
+    single-row group maps to 0 (the n−1 denominator is guarded to 1).
+
+    Same histogram-CDF shape as ppl_buckets (operators/lm.py): one
+    partially-aggregable (group, score) count, a window over each
+    group's DISTINCT scores only — bounded by score cardinality, never
+    corpus rows — and one (group, score) equi-join back. The one
+    division is correctly rounded on non-negative operands and
+    e6-quantized once, so the transform is a zero-tolerance
+    cross-engine contract. Output: the input columns plus
+    ``out_col``."""
+    hist = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_hc")
+    )
+    cum = Window.partitionBy(group_col).orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(group_col)
+    pct = hist.select(
+        group_col,
+        score_col,
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.sum("_hc").over(cum) - F.col("_hc")).cast("double")
+            / F.greatest(F.sum("_hc").over(tot) - F.lit(1), F.lit(1))
+            .cast("double")
+        ).cast("bigint").alias(out_col),
+    )
+    return df.join(pct, [group_col, score_col])
+
+
+def quantile_normalize_sql(
+    *, rel: str, group_col: str, score_col: str, cols: str,
+    out_col: str = "pct_e6",
+) -> str:
+    """DuckDB recompute of :func:`quantile_normalize` (same histogram
+    law, same strictly-below numerator and guarded n−1 denominator),
+    generated here so the two spellings cannot drift."""
+    return f"""
+        with _qn_hist as (
+          select {group_col} as g, {score_col} as s, count(*) as hc
+          from {rel} group by 1, 2
+        ),
+        _qn_pct as (
+          select g, s,
+                 cast(round(1000000.0
+                   * cast(sum(hc) over (partition by g order by s
+                       rows between unbounded preceding and current row)
+                       - hc as double)
+                   / cast(greatest(sum(hc) over (partition by g) - 1, 1)
+                       as double)) as bigint) as {out_col}
+          from _qn_hist
+        )
+        select {cols}, p.{out_col}
+        from {rel} r
+        join _qn_pct p on p.g = r.{group_col} and p.s = r.{score_col}
+    """

@@ -7455,6 +7455,93 @@ def q_trustrank_sql(sf: str) -> str:
     return f"select node as doc_id, is_seed, trust from ({inner})"
 
 
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile-rank normalization of document quality
+    (operators/robust.py:quantile_normalize): each doc's char-entropy
+    score becomes its percentile WITHIN its language — the
+    cross-language-comparable form (CCNet's per-language-percentile
+    lesson: raw scores from different languages are incommensurable;
+    ranks are not). Exact law: pct_e6 = round(1e6·cum_below/(n−1))
+    over the per-language score histogram — strictly-below numerator,
+    group min → 0, unique max → exactly 1e6, ties share a value. The
+    histogram-CDF window runs over distinct scores per language only;
+    assignment back is one (lang, score) equi-join."""
+    from ..operators.profile import char_entropy
+    from ..operators.robust import quantile_normalize
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "text"
+    )
+    ent = char_entropy(d, "doc_id", "text").select("doc_id", "entropy_e6")
+    scored = d.select("doc_id", "lang").join(ent, "doc_id")
+    return quantile_normalize(scored, "lang", "entropy_e6").select(
+        "doc_id", "lang", "entropy_e6", "pct_e6"
+    )
+
+
+def q_quantile_norm_sql(sf: str) -> str:
+    from ..operators.profile import char_entropy_sql
+    from ..operators.robust import quantile_normalize_sql
+
+    ent = char_entropy_sql(
+        rel="(select cast(doc_id as bigint) as doc_id, text from documents)",
+        id_col="doc_id", text_col="text",
+    )
+    scored = f"""(
+          select d.doc_id, d.lang, e.entropy_e6
+          from (select cast(doc_id as bigint) as doc_id, lang
+                from documents) d
+          join ({ent}) e using (doc_id)
+        )"""
+    return quantile_normalize_sql(
+        rel=scored, group_col="lang", score_col="entropy_e6",
+        cols="r.doc_id, r.lang, r.entropy_e6",
+    )
+
+
+SHARD_PLAN_TARGET = 20_000
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced export sharding (operators/packing.py:
+    shard_plan): documents in deterministic doc_id order are assigned
+    shard_id = exclusive-prefix-bytes div 20k — contiguous, resumable
+    byte-range shards whose overshoot is bounded by one document. The
+    prefix-sum range shuffle is the scale spelling (no single-task
+    window); the oracle is the window spelling — independent algebra.
+    Byte size is n_chars (the documents table's materialized length
+    column, validated against length(text) by the table_profile
+    family)."""
+    from ..operators.packing import shard_plan
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_bytes"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("okey"),
+    )
+    out = shard_plan(d, "okey", "n_bytes", target_bytes=SHARD_PLAN_TARGET)
+    return out.select("doc_id", "n_bytes", "cum_before", "shard_id")
+
+
+def q_shard_plan_sql(sf: str) -> str:
+    return f"""
+        with _sp as (
+          select cast(doc_id as bigint) as doc_id,
+                 cast(n_chars as bigint) as n_bytes,
+                 lpad(cast(doc_id as varchar), 12, '0') as okey
+          from documents
+        )
+        select doc_id, n_bytes,
+               coalesce(sum(n_bytes) over (order by okey
+                 rows between unbounded preceding and 1 preceding),
+                 0)::BIGINT as cum_before,
+               coalesce(sum(n_bytes) over (order by okey
+                 rows between unbounded preceding and 1 preceding),
+                 0)::BIGINT // {SHARD_PLAN_TARGET} as shard_id
+        from _sp
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7782,6 +7869,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-third arc): integer TrustRank — seed-personalized
     # PageRank, exact zero on seed-unreachable nodes
     "trustrank": (q_trustrank, q_trustrank_sql),
+    # r5 (twenty-fourth arc): per-language percentile-rank quality
+    # normalization — histogram-CDF rank transform
+    "quantile_norm": (q_quantile_norm, q_quantile_norm_sql),
+    # r5 (twenty-fourth arc): size-balanced contiguous export shards
+    # via the prefix-sum range shuffle
+    "shard_plan": (q_shard_plan, q_shard_plan_sql),
 }
 
 

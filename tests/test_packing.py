@@ -272,3 +272,70 @@ def test_budget_select_registered_laws(spark, sf):
     # cut is prefix-maximal, not knapsack): after the first False all
     # must be False
     assert flags == sorted(flags, reverse=True), sf
+
+
+# --- shard_plan --------------------------------------------------------------
+
+
+def test_shard_plan_contiguity_and_bounds(spark):
+    """Shard ids are non-decreasing in order (contiguous byte
+    ranges); every shard's overshoot past target is bounded by its
+    largest doc; a doc bigger than the target gets its own span."""
+    from logparser_llm_spark.operators.packing import shard_plan
+
+    rows = [(f"{i:03d}", i, b) for i, b in
+            enumerate((4, 4, 4, 15, 2, 2, 30, 1))]
+    df = spark.createDataFrame(rows, "k string, id long, b long")
+    got = sorted((r["id"], r["cum_before"], r["shard_id"])
+                 for r in shard_plan(df, "k", "b", target_bytes=10).collect())
+    ids = [s for _, _, s in got]
+    assert ids == sorted(ids)
+    # cum_before: 0,4,8,12,27,29,31,61 → shards 0,0,0,1,2,2,3,6
+    assert ids == [0, 0, 0, 1, 2, 2, 3, 6]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_bytes"):
+        shard_plan(df, "k", "b", target_bytes=0)
+
+
+def test_shard_plan_matches_window_reference(spark):
+    from pyspark.sql.window import Window
+
+    from logparser_llm_spark.operators.packing import shard_plan
+
+    rows = [(f"{i:04d}", i, (i * 7) % 40 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, id long, b long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {r["id"]: (r["cb"], r["cb"] // 100) for r in df.select(
+        "id", F.coalesce(F.sum("b").over(w), F.lit(0)).alias("cb")
+    ).collect()}
+    for parts in (1, 9):
+        got = {r["id"]: (r["cum_before"], r["shard_id"])
+               for r in shard_plan(df.repartition(parts), "k", "b",
+                                   target_bytes=100).collect()}
+        assert got == ref, parts
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_shard_plan_registered_laws(spark, sf):
+    """Shards are contiguous in doc order, every non-final shard spans
+    at least the target once its straddling doc closes it, and no
+    shard exceeds target + its own largest doc."""
+    from collections import defaultdict
+
+    from logparser_llm_spark.plans.queries import SHARD_PLAN_TARGET, QUERIES
+
+    rows = sorted(QUERIES["shard_plan"][0](spark, sf).collect(),
+                  key=lambda r: r["doc_id"])
+    ids = [r["shard_id"] for r in rows]
+    assert ids == sorted(ids), sf
+    by = defaultdict(list)
+    for r in rows:
+        by[r["shard_id"]].append(r["n_bytes"])
+    last = max(by)
+    for sid, bs in by.items():
+        total = sum(bs)
+        assert total <= SHARD_PLAN_TARGET + max(bs), (sf, sid)
+        if sid != last:
+            assert total + 0 >= SHARD_PLAN_TARGET - max(bs), (sf, sid)
+    assert len(by) >= 2, sf

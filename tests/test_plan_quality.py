@@ -462,3 +462,23 @@ def test_twenty_third_arc_plans(spark):
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twenty_fourth_arc_plans(spark):
+    """quantile_norm: histogram-CDF windows run over the distinct
+    (lang, score) frame, assignment join equi, entropy pipeline
+    partial-aggregable, no Python. shard_plan: the prefix-sum range
+    shuffle — rangepartitioning, never SinglePartition."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["quantile_norm"][0](spark, SF))
+    assert "Window" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["shard_plan"][0](spark, SF))
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

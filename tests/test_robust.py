@@ -183,3 +183,87 @@ def test_skew_audit_registered_classes(spark, sf):
     assert rows["user_id"]["n_keys"] > 100, sf
     assert rows["user_id"]["top1_share_e6"] < 20_000, sf
     assert rows["event_type"]["top1_cnt"] > rows["hour_of_day"]["top1_cnt"]
+
+
+# --- quantile_normalize ------------------------------------------------------
+
+
+def test_quantile_normalize_rank_law_and_ties(spark):
+    """min → 0, unique max → exactly 1e6, interior ranks are exact
+    strictly-below fractions, ties share one value, single-row group
+    → 0 (guarded denominator)."""
+    from logparser_llm_spark.operators.robust import quantile_normalize
+
+    rows = [(0, "g", 10), (1, "g", 20), (2, "g", 20), (3, "g", 30),
+            (4, "g", 40), (5, "solo", 7)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    got = {r["id"]: r["pct_e6"]
+           for r in quantile_normalize(df, "g", "s").collect()}
+    assert got[0] == 0
+    assert got[1] == got[2] == 250_000   # 1 strictly below, n-1 = 4
+    assert got[3] == 750_000
+    assert got[4] == 1_000_000
+    assert got[5] == 0
+
+
+def test_quantile_normalize_cross_group_comparability(spark):
+    """The same raw score maps to different percentiles per group —
+    the whole point: a score that is 'good' in one language can be
+    'bad' in another."""
+    from logparser_llm_spark.operators.robust import quantile_normalize
+
+    rows = [(i, "lo", s) for i, s in enumerate((1, 2, 3, 4, 100))] + \
+           [(10 + i, "hi", s) for i, s in enumerate((100, 200, 300, 400, 500))]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    got = {r["id"]: r["pct_e6"]
+           for r in quantile_normalize(df, "g", "s").collect()}
+    assert got[4] == 1_000_000   # 100 is lo's max
+    assert got[10] == 0          # 100 is hi's min
+
+
+def test_quantile_normalize_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.robust import (
+        quantile_normalize,
+        quantile_normalize_sql,
+    )
+
+    rows = [(i, f"g{i % 3}", (i * 11) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    got = sorted(map(tuple, quantile_normalize(df, "g", "s")
+                     .select("id", "g", "s", "pct_e6").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, g varchar, s bigint)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    sql = quantile_normalize_sql(rel="t", group_col="g", score_col="s",
+                                 cols="r.id, r.g, r.s")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_quantile_norm_registered_classes(spark, sf):
+    """Every language spans the full [0, 1e6] band (min 0, some doc at
+    1e6); within a language pct is monotone in the raw score; every
+    value is recomputable from the language's own score multiset."""
+    from collections import defaultdict
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["quantile_norm"][0](spark, sf).collect()
+    by = defaultdict(list)
+    for r in rows:
+        by[r["lang"]].append((r["entropy_e6"], r["pct_e6"]))
+    assert len(by) == 5, sf
+    for lang, pairs in by.items():
+        ps = [p for _, p in pairs]
+        assert min(ps) == 0, (sf, lang)
+        assert max(ps) == 1_000_000, (sf, lang)
+        pairs.sort()
+        for (s1, p1), (s2, p2) in zip(pairs, pairs[1:]):
+            assert (s1 == s2 and p1 == p2) or (s1 < s2 and p1 < p2), (lang, s1, s2)
+        n = len(pairs)
+        scores = [s for s, _ in pairs]
+        for s, p in pairs[:50]:
+            below = sum(1 for x in scores if x < s)
+            assert p == round(1e6 * below / max(n - 1, 1)), (lang, s, p)
