@@ -222,6 +222,8 @@ HEADLINE = [
     # size-balanced export shard planning
     "quantile_norm",
     "shard_plan",
+    # r5 twenty-fifth arc: FastSS ed-1 fuzzy title join
+    "fuzzy_titles",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -270,6 +272,8 @@ LARGE_RESULT = {
     # r5 twenty-fourth arc: per-doc result shapes
     "quantile_norm",
     "shard_plan",
+    # r5 twenty-fifth arc: per-pair result shape
+    "fuzzy_titles",
 }
 
 

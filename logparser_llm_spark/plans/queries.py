@@ -7542,6 +7542,55 @@ def q_shard_plan_sql(sf: str) -> str:
     """
 
 
+def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo'd-title fuzzy self-join (operators/fuzzy.py:fuzzy_join_ed1
+    — FastSS/SymSpell deletion-neighborhood banding, EXACT for d = 1):
+    every unordered doc pair whose staged 12-hex title is within one
+    edit. The staging builds 5-doc families on a shared md5 stem with
+    one substitution / one deletion / one insertion / two exact copies,
+    so all three edit kinds and the ed = 0 class are planted; pairs of
+    DIFFERENT edits (distance 2) must be absent — they enter the
+    candidate set via a shared deletion key and must die at the verify.
+    The oracle is the independent brute-force algebra (length-prune +
+    levenshtein, no deletion keys), so a banding false-negative breaks
+    the row count."""
+    from ..operators.fuzzy import fuzzy_join_ed1
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    base = F.substring(F.md5(F.expr("cast(doc_id div 5 as string)")), 1, 12)
+    m = F.col("doc_id") % 5
+    title = (
+        F.when(m == 1, F.concat(F.substring(base, 1, 2), F.lit("z"),
+                                F.substring(base, 4, 9)))
+        .when(m == 2, F.substring(base, 2, 11))
+        .when(m == 3, F.concat(F.lit("q"), base))
+        .otherwise(base)
+    )
+    return fuzzy_join_ed1(d.select("doc_id", title.alias("title")),
+                          "doc_id", "title")
+
+
+def q_fuzzy_titles_sql(sf: str) -> str:
+    from ..operators.fuzzy import fuzzy_join_ed1_oracle_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 5 = 1 then
+                      substr(b, 1, 2) || 'z' || substr(b, 4, 9)
+                    when doc_id % 5 = 2 then substr(b, 2, 11)
+                    when doc_id % 5 = 3 then 'q' || b
+                    else b end as title
+        from (select doc_id,
+                     substr(md5(cast(doc_id // 5 as varchar)), 1, 12) as b
+              from documents)
+    """
+    return fuzzy_join_ed1_oracle_sql(
+        rel=f"({staged})", id_col="doc_id", str_col="title"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7875,6 +7924,9 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-fourth arc): size-balanced contiguous export shards
     # via the prefix-sum range shuffle
     "shard_plan": (q_shard_plan, q_shard_plan_sql),
+    # r5 (twenty-fifth arc): FastSS ed-1 fuzzy join — exact deletion-
+    # neighborhood banding vs a brute-force independent oracle
+    "fuzzy_titles": (q_fuzzy_titles, q_fuzzy_titles_sql),
 }
 
 

@@ -482,3 +482,17 @@ def test_twenty_fourth_arc_plans(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_twenty_fifth_arc_plans(spark):
+    """fuzzy_titles: the deletion-key self-join is an equi SortMerge/
+    shuffled-hash join (never a cartesian — the whole point of the
+    banding), the verify is the JVM levenshtein (no Python), and the
+    candidate distinct is partial-aggregable."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["fuzzy_titles"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
