@@ -272,6 +272,54 @@ def __getattr__(name):
             "logparser_llm_spark.operators.lm",
             "sb_score_trigram",
         ),
+        # round-5 seventeenth arc: host boilerplate removal, JSD drift
+        "remove_host_boilerplate": (
+            "logparser_llm_spark.operators.dedup",
+            "remove_host_boilerplate",
+        ),
+        "mixture_jsd": ("logparser_llm_spark.operators.profile", "mixture_jsd"),
+        # round-5 eighteenth arc: CCNet terciles, Wilson host quality
+        "ppl_buckets": ("logparser_llm_spark.operators.lm", "ppl_buckets"),
+        "wilson_lower_e6": (
+            "logparser_llm_spark.functions.quality",
+            "wilson_lower_e6",
+        ),
+        # round-5 nineteenth arc: robust stats + skew audit
+        "mad_outliers": ("logparser_llm_spark.operators.robust", "mad_outliers"),
+        "group_lower_median": (
+            "logparser_llm_spark.operators.robust",
+            "group_lower_median",
+        ),
+        "key_skew_audit": (
+            "logparser_llm_spark.operators.robust",
+            "key_skew_audit",
+        ),
+        # round-5 twentieth arc: G-test drift, source overlap matrix
+        "g_test_drift": ("logparser_llm_spark.operators.profile", "g_test_drift"),
+        "source_token_jaccard": (
+            "logparser_llm_spark.operators.profile",
+            "source_token_jaccard",
+        ),
+        # round-5 twenty-first arc: drop provenance ledger
+        "drop_ledger": ("logparser_llm_spark.operators.ledger", "drop_ledger"),
+        "drop_funnel": ("logparser_llm_spark.operators.ledger", "drop_funnel"),
+        # round-5 twenty-second/twenty-fourth arcs: prefix-sum cuts
+        "budget_select": (
+            "logparser_llm_spark.operators.packing",
+            "budget_select",
+        ),
+        "shard_plan": ("logparser_llm_spark.operators.packing", "shard_plan"),
+        "quantile_normalize": (
+            "logparser_llm_spark.operators.robust",
+            "quantile_normalize",
+        ),
+        # round-5 twenty-third arc: seed-personalized trust propagation
+        "trustrank_integer": (
+            "logparser_llm_spark.operators.graph",
+            "trustrank_integer",
+        ),
+        # round-5 twenty-fifth arc: FastSS ed-1 fuzzy join
+        "fuzzy_join_ed1": ("logparser_llm_spark.operators.fuzzy", "fuzzy_join_ed1"),
     }
     if name in api:
         import importlib
