@@ -224,6 +224,9 @@ HEADLINE = [
     "shard_plan",
     # r5 twenty-fifth arc: FastSS ed-1 fuzzy title join
     "fuzzy_titles",
+    # r5 twenty-sixth arc: crawl-delay compliance + dup-family histogram
+    "politeness_audit",
+    "dup_family_hist",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -274,6 +277,8 @@ LARGE_RESULT = {
     "shard_plan",
     # r5 twenty-fifth arc: per-pair result shape
     "fuzzy_titles",
+    # r5 twenty-sixth arc: per-fetch result shape
+    "politeness_audit",
 }
 
 

@@ -320,6 +320,15 @@ def __getattr__(name):
         ),
         # round-5 twenty-fifth arc: FastSS ed-1 fuzzy join
         "fuzzy_join_ed1": ("logparser_llm_spark.operators.fuzzy", "fuzzy_join_ed1"),
+        # round-5 twenty-sixth arc: compliance audit + family histogram
+        "politeness_audit": (
+            "logparser_llm_spark.operators.frontier",
+            "politeness_audit",
+        ),
+        "dup_family_histogram": (
+            "logparser_llm_spark.operators.ledger",
+            "dup_family_histogram",
+        ),
     }
     if name in api:
         import importlib

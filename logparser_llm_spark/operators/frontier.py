@@ -111,3 +111,63 @@ def fetch_schedule_py(
         for slot, i in enumerate(ids):
             out[i] = (slot, slot // per_cycle, slot * delay_ms)
     return out
+
+
+def politeness_audit(
+    df: DataFrame,
+    host_col: str,
+    ts_col: str,
+    *,
+    min_gap_us: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Crawl-politeness COMPLIANCE audit — the inverse of
+    :func:`fetch_schedule`: given actual fetch logs, did the crawler
+    HONOR the per-host delay? For every fetch after a host's first,
+    the gap to that host's previous fetch in integer epoch micros,
+    flagged ``violation`` when the gap is strictly under
+    ``min_gap_us``. The audit every crawl operator runs when a
+    webmaster complains — and the output is per-fetch, so the
+    offending burst is identifiable, not just countable.
+
+    One host-keyed shuffle, then a partition-parallel ``lag`` window
+    per host (the fetch_schedule shape); all-integer comparison, so
+    the flag is bit-decidable cross-engine. If the log can carry
+    equal-microsecond fetches for one host, pass ``tiebreak_col`` (a
+    unique id) — without it, WHICH tied row receives the 0 gap is
+    partition-placement-dependent, exactly like any un-tiebroken
+    window. Equal timestamps produce a gap of 0, which is (correctly)
+    a violation for any positive delay. A host's FIRST fetch has no
+    gap (NULL) and is never a violation. Output: input columns plus
+    ``gap_us`` and ``violation``."""
+    if min_gap_us < 1:
+        raise ValueError(f"min_gap_us must be >= 1, got {min_gap_us}")
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(host_col).orderBy(*order)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    return df.withColumn("gap_us", gap.cast("bigint")).withColumn(
+        "violation",
+        F.coalesce(F.col("gap_us") < F.lit(min_gap_us), F.lit(False)),
+    )
+
+
+def politeness_audit_sql(
+    *, rel: str, host_col: str, ts_col: str, min_gap_us: int,
+    cols: str, tiebreak_col: str | None = None,
+) -> str:
+    """DuckDB recompute of :func:`politeness_audit` — same lag window,
+    same strict comparison, generated here so the two spellings cannot
+    drift. ``cols`` is the projected input column list."""
+    if min_gap_us < 1:
+        raise ValueError(f"min_gap_us must be >= 1, got {min_gap_us}")
+    order = ts_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    return f"""
+        select {cols},
+               cast({ts_col} - lag({ts_col}) over (
+                 partition by {host_col} order by {order}
+               ) as bigint) as gap_us,
+               coalesce(({ts_col} - lag({ts_col}) over (
+                 partition by {host_col} order by {order}
+               )) < {min_gap_us}, false) as violation
+        from {rel}
+    """

@@ -163,3 +163,67 @@ def drop_funnel_sql(*, ledger_sql: str) -> str:
                     as bigint) as share_e6
         from _df_cnt
     """
+
+
+def dup_family_histogram(
+    df: DataFrame, text_col: str
+) -> DataFrame:
+    """Duplicate-family SIZE distribution — the corpus-health summary
+    read after every dedup pass: how much of the corpus is singleton
+    (unique), how much sits in small families, and whether a
+    pathological mega-family exists (one boilerplate page crawled a
+    million times — the row that tells you to cap, not dedup). One
+    row per family size: ``(family_size, n_families, n_docs,
+    docs_share_e6)`` with the doc-mass share of the whole corpus
+    e6-quantized once.
+
+    Two partially-aggregable counts stacked — md5(text) → family
+    size, then size → family count; the second histogram is bounded
+    by distinct family sizes (tiny at any corpus scale), so the
+    grand-total broadcast and share division run on a frame of at
+    most a few thousand rows. NULL text hashes as empty (one family
+    with every NULL/empty doc — the silent-drop lesson)."""
+    fam = df.groupBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_fs"))
+    hist = fam.groupBy(F.col("_fs").alias("family_size")).agg(
+        F.count(F.lit(1)).alias("n_families")
+    )
+    tot = hist.agg(
+        F.sum(F.col("family_size") * F.col("n_families")).alias("_t")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "family_size", "n_families",
+            (F.col("family_size") * F.col("n_families")).alias("n_docs"),
+            F.round(
+                F.lit(1_000_000.0)
+                * (F.col("family_size") * F.col("n_families"))
+                .cast("double")
+                / F.col("_t").cast("double")
+            ).cast("bigint").alias("docs_share_e6"),
+        )
+    )
+
+
+def dup_family_histogram_sql(*, rel: str, text_col: str) -> str:
+    """DuckDB recompute of :func:`dup_family_histogram`."""
+    return f"""
+        with _dfh_fam as (
+          select md5(coalesce({text_col}, '')) as h, count(*)::BIGINT as fs
+          from {rel} group by 1
+        ),
+        _dfh_hist as (
+          select fs as family_size, count(*)::BIGINT as n_families
+          from _dfh_fam group by 1
+        )
+        select family_size, n_families,
+               (family_size * n_families)::BIGINT as n_docs,
+               cast(round(1000000.0
+                 * cast(family_size * n_families as double)
+                 / cast((select sum(family_size * n_families)
+                         from _dfh_hist) as double)) as bigint)
+                 as docs_share_e6
+        from _dfh_hist
+    """

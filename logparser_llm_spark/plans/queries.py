@@ -7591,6 +7591,91 @@ def q_fuzzy_titles_sql(sf: str) -> str:
     )
 
 
+# 3 ms: strictly below the corpus's minimum natural same-host gap at
+# every SF (4,217 µs at sf0.1, growing at smaller SFs), so unstaged
+# hosts are compliant by construction
+POLITENESS_MIN_GAP_US = 3_000
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay compliance audit (operators/frontier.py:
+    politeness_audit — the inverse of fetch_schedule): per host, the
+    integer-microsecond gap to the previous fetch, flagged when
+    strictly under the crawl delay. Hosts are users folded mod 25;
+    the staging collapses host h3's clock to ``raw_us % 1000`` (a
+    crawler hammering one host — every staged gap ≤ 999 µs), so EVERY
+    non-first h3 fetch violates the 3 ms delay while every other
+    host's natural cadence (≥ 4,217 µs between same-host events at
+    the densest SF) stays compliant — both flag classes planted,
+    decided by exact integer arithmetic. One host-keyed shuffle + a
+    partition-parallel lag window; the single corpus scan shape."""
+    from ..operators.events import _ts_us
+    from ..operators.frontier import politeness_audit
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"))
+        .alias("host"),
+        _ts_us("ts").alias("raw_us"),
+    ).select(
+        "event_id", "host",
+        F.when(F.col("host") == "h3", F.col("raw_us") % 1000)
+        .otherwise(F.col("raw_us")).alias("ts_us"),
+    )
+    # h3's collapsed clock guarantees equal-µs ties → event_id tiebreak
+    return politeness_audit(
+        ev, "host", "ts_us", min_gap_us=POLITENESS_MIN_GAP_US,
+        tiebreak_col="event_id",
+    )
+
+
+def q_politeness_audit_sql(sf: str) -> str:
+    from ..operators.frontier import politeness_audit_sql
+
+    staged = """
+        select event_id, host,
+               case when host = 'h3' then raw_us % 1000
+                    else raw_us end as ts_us
+        from (select cast(event_id as bigint) as event_id,
+                     'h' || cast(user_id % 25 as varchar) as host,
+                     epoch_us(ts) as raw_us
+              from events)
+    """
+    return politeness_audit_sql(
+        rel=f"({staged})", host_col="host", ts_col="ts_us",
+        min_gap_us=POLITENESS_MIN_GAP_US,
+        cols="event_id, host, ts_us", tiebreak_col="event_id",
+    )
+
+
+def q_dup_family_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution (operators/ledger.py:
+    dup_family_histogram) — the post-dedup corpus-health histogram.
+    The staging plants one mega-family (every %7 doc becomes the same
+    blob — the boilerplate-page-crawled-N-times pathology whose
+    docs_share row is the cap-don't-dedup signal) on top of the
+    natural corpus families. Two stacked partial-agg counts; the
+    share division runs on the tiny size-histogram frame."""
+    from ..operators.ledger import dup_family_histogram
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("megafam boilerplate blob"))
+        .otherwise(F.col("text")).alias("t")
+    )
+    return dup_family_histogram(d, "t")
+
+
+def q_dup_family_hist_sql(sf: str) -> str:
+    from ..operators.ledger import dup_family_histogram_sql
+
+    staged = """
+        select case when doc_id % 7 = 0 then 'megafam boilerplate blob'
+                    else text end as t
+        from documents
+    """
+    return dup_family_histogram_sql(rel=f"({staged})", text_col="t")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7927,6 +8012,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-fifth arc): FastSS ed-1 fuzzy join — exact deletion-
     # neighborhood banding vs a brute-force independent oracle
     "fuzzy_titles": (q_fuzzy_titles, q_fuzzy_titles_sql),
+    # r5 (twenty-sixth arc): crawl-delay compliance audit — per-host
+    # lag window, integer microsecond gaps
+    "politeness_audit": (q_politeness_audit, q_politeness_audit_sql),
+    # r5 (twenty-sixth arc): duplicate-family size histogram — the
+    # post-dedup corpus-health summary
+    "dup_family_hist": (q_dup_family_hist, q_dup_family_hist_sql),
 }
 
 

@@ -153,3 +153,79 @@ def test_crawl_frontier_plan_has_anti_join(spark):
     )
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- politeness_audit --------------------------------------------------------
+
+
+def test_politeness_gap_law_first_fetch_and_boundary(spark):
+    """Per host: the first fetch has NULL gap and never violates; a
+    gap exactly AT the minimum is compliant (strict <); equal
+    timestamps gap 0 and violate; hosts are independent."""
+    from logparser_llm_spark.operators.frontier import politeness_audit
+
+    rows = [
+        (1, "a", 1_000), (2, "a", 1_500), (3, "a", 2_500),
+        (4, "b", 10), (5, "b", 10),
+        (6, "c", 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, ts long")
+    got = {r["id"]: (r["gap_us"], r["violation"]) for r in
+           politeness_audit(df, "host", "ts", min_gap_us=1000,
+                            tiebreak_col="id").collect()}
+    assert got[1] == (None, False)
+    assert got[2] == (500, True)
+    assert got[3] == (1000, False)   # exactly the minimum: compliant
+    assert got[4] == (None, False)
+    assert got[5] == (0, True)       # same-microsecond burst
+    assert got[6] == (None, False)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_gap_us"):
+        politeness_audit(df, "host", "ts", min_gap_us=0)
+
+
+def test_politeness_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.frontier import (
+        politeness_audit,
+        politeness_audit_sql,
+    )
+
+    rows = [(i, f"h{i % 5}", (i * 997) % 10_000) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, host string, ts long")
+    got = sorted(map(tuple, politeness_audit(
+        df, "host", "ts", min_gap_us=500, tiebreak_col="id").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, host varchar, ts bigint)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    sql = politeness_audit_sql(rel="t", host_col="host", ts_col="ts",
+                               min_gap_us=500, cols="id, host, ts",
+                               tiebreak_col="id")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_politeness_audit_registered_classes(spark, sf):
+    """The clock-compressed host h3 violates on every non-first fetch;
+    every other host is fully compliant (the natural corpus cadence
+    exceeds the 60 s delay); each flag recomputable from its own
+    gap."""
+    from logparser_llm_spark.plans.queries import (
+        POLITENESS_MIN_GAP_US,
+        QUERIES,
+    )
+
+    rows = QUERIES["politeness_audit"][0](spark, sf).collect()
+    hosts = {r["host"] for r in rows}
+    assert "h3" in hosts and len(hosts) == 25, sf
+    for r in rows:
+        if r["gap_us"] is None:
+            assert not r["violation"], r
+        else:
+            assert r["violation"] == (r["gap_us"] < POLITENESS_MIN_GAP_US), r
+        if r["host"] == "h3":
+            assert r["violation"] == (r["gap_us"] is not None), r
+        else:
+            assert not r["violation"], r

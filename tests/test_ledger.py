@@ -147,3 +147,61 @@ def test_drop_ledger_registered_classes(spark, sf):
     assert sum(r["n_docs"] for r in funnel.values()) == len(rows), sf
     for r in funnel.values():
         assert r["share_e6"] == round(1e6 * r["n_docs"] / len(rows)), r
+
+
+# --- dup_family_histogram ----------------------------------------------------
+
+
+def test_dup_family_histogram_exact_counts_and_null(spark):
+    """Hand corpus: 3 copies of A, 2 of B, singletons C and D, one
+    NULL and one '' (which share the empty family) → histogram
+    {3: 1 family, 2: 2 families, 1: 2 families}; doc mass partitions
+    the corpus exactly."""
+    from logparser_llm_spark.operators.ledger import dup_family_histogram
+
+    rows = [(i, t) for i, t in enumerate(
+        ["A", "A", "A", "B", "B", "C", "D", None, ""])]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["family_size"]: r for r in
+           dup_family_histogram(df, "t").collect()}
+    assert got[3]["n_families"] == 1
+    assert got[2]["n_families"] == 2   # B-family and the NULL/'' family
+    assert got[1]["n_families"] == 2   # C, D
+    assert sum(r["n_docs"] for r in got.values()) == 9
+    assert got[3]["docs_share_e6"] == round(1e6 * 3 / 9)
+
+
+def test_dup_family_histogram_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.ledger import (
+        dup_family_histogram,
+        dup_family_histogram_sql,
+    )
+
+    rows = [(i, f"fam{i % 6}" if i % 3 else "mega") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = sorted(map(tuple, dup_family_histogram(df, "t").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, t varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = dup_family_histogram_sql(rel="t", text_col="t")
+    assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_dup_family_hist_registered_classes(spark, sf):
+    """The planted %7 mega-family appears as ONE family holding ~1/7
+    of the corpus; singleton families exist; doc mass partitions the
+    corpus exactly and shares recompute from the rows."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["dup_family_hist"][0](spark, sf).collect()
+    total = sum(r["n_docs"] for r in rows)
+    mega = max(rows, key=lambda r: r["family_size"])
+    assert mega["n_families"] == 1, sf
+    assert mega["family_size"] == (total + 6) // 7, sf
+    assert any(r["family_size"] == 1 for r in rows), sf
+    for r in rows:
+        assert r["n_docs"] == r["family_size"] * r["n_families"], r
+        assert r["docs_share_e6"] == round(1e6 * r["n_docs"] / total), r

@@ -496,3 +496,22 @@ def test_twenty_fifth_arc_plans(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twenty_sixth_arc_plans(spark):
+    """politeness_audit is one host-keyed shuffle feeding a lag
+    window — no extra exchange, no Python; dup_family_hist is two
+    stacked partial-agg counts with only the tiny grand-total
+    broadcast nested-loop."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    plan = physical_plan(QUERIES["politeness_audit"][0](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, "extra shuffle"
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = physical_plan(QUERIES["dup_family_hist"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
