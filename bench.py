@@ -227,6 +227,9 @@ HEADLINE = [
     # r5 twenty-sixth arc: crawl-delay compliance + dup-family histogram
     "politeness_audit",
     "dup_family_hist",
+    # r5 twenty-seventh arc: script-mix signal + decayed recrawl priority
+    "script_mix",
+    "recrawl_priority",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -279,6 +282,8 @@ LARGE_RESULT = {
     "fuzzy_titles",
     # r5 twenty-sixth arc: per-fetch result shape
     "politeness_audit",
+    # r5 twenty-seventh arc: per-doc result shape
+    "script_mix",
 }
 
 

@@ -329,6 +329,13 @@ def __getattr__(name):
             "logparser_llm_spark.operators.ledger",
             "dup_family_histogram",
         ),
+        # round-5 twenty-seventh arc: script-mix signal + decayed recrawl
+        # priority
+        "script_mix": ("logparser_llm_spark.operators.profile", "script_mix"),
+        "decayed_activity": (
+            "logparser_llm_spark.operators.frontier",
+            "decayed_activity",
+        ),
     }
     if name in api:
         import importlib

@@ -171,3 +171,133 @@ def politeness_audit_sql(
                )) < {min_gap_us}, false) as violation
         from {rel}
     """
+
+
+# --- time-decayed activity (recrawl priority) --------------------------------
+
+
+def decayed_activity(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    horizon_days: int = 30,
+    recent_days: int = 7,
+) -> DataFrame:
+    """Exponentially time-decayed activity per key — the recrawl-
+    priority signal a crawl scheduler feeds its frontier (a host whose
+    pages changed yesterday outranks one with the same lifetime volume
+    spread over a quiet month). Half-life = one day, spelled EXACTLY:
+    an event ``age`` whole days before the corpus's newest date weighs
+    ``2^(horizon_days - age)`` (a bigint shift — no float decay), 0
+    beyond the horizon, so every engine sums the identical integers.
+
+    Per key: ``n_events`` (all rows, decayed-out and NULL-ts included),
+    ``n_recent`` (rows with age < ``recent_days``), ``score`` (the
+    decayed bigint sum), ``recent_share_e6`` (n_recent·10⁶ DIV
+    n_events — event-count based, exact integer division) and ``rank``
+    (1 = hottest; score desc, key asc — total order). A NULL timestamp
+    contributes weight 0 but still counts in n_events (the r4
+    silent-drop lesson: rows never vanish).
+
+    Overflow headroom (Spark 4 runs ANSI — an overflow would RAISE,
+    not wrap): score <= n_events·2^horizon, so horizon_days <= 40
+    keeps 8·10⁶ events per key exact; recent_share_e6 needs
+    n_events <= 9.2·10¹². Both bounds validated/documented, far above
+    any per-key mass the pipeline shuffles.
+
+    Scale shape: one 1-row global max-date aggregate broadcast back
+    (the training_mix anchor shape), per-row weights in pure codegen,
+    ONE partially-aggregable groupBy(key) with map-side combine; the
+    rank window runs over the already-aggregated n_keys-row frame,
+    never the event stream. Output: (key, n_events, n_recent, score,
+    recent_share_e6, rank)."""
+    if not 1 <= horizon_days <= 40:
+        raise ValueError(
+            f"horizon_days must be in [1, 40], got {horizon_days}"
+        )
+    if not 1 <= recent_days <= horizon_days:
+        raise ValueError(
+            "recent_days must be in [1, horizon_days], got "
+            f"{recent_days}"
+        )
+    anchor = df.agg(F.max(F.to_date(ts_col)).alias("_anchor_d"))
+    age = F.datediff(F.col("_anchor_d"), F.to_date(ts_col))
+    aged = df.crossJoin(F.broadcast(anchor)).select(
+        F.col(key_col).alias("key"), age.alias("_age")
+    )
+    # shiftleft's bit count must be a column here, which the Python DSL
+    # doesn't accept — the SQL spelling compiles to the same codegen
+    weight = F.when(
+        F.col("_age") <= horizon_days,
+        F.expr(f"shiftleft(cast(1 as bigint), {horizon_days} - _age)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    agg = aged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.coalesce(
+                (F.col("_age") < recent_days).cast("bigint"), F.lit(0)
+            )
+        ).alias("n_recent"),
+        F.sum(F.coalesce(weight, F.lit(0))).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.col("key"))
+    return agg.select(
+        "key",
+        "n_events",
+        "n_recent",
+        "score",
+        F.expr("n_recent * 1000000 div n_events").alias(
+            "recent_share_e6"
+        ),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def decayed_activity_sql(
+    *,
+    rel: str,
+    key_col: str,
+    ts_col: str,
+    horizon_days: int = 30,
+    recent_days: int = 7,
+) -> str:
+    """DuckDB recompute of :func:`decayed_activity` — same shift
+    weights, same anchor cross join, same integer division, generated
+    here so the two spellings cannot drift."""
+    if not 1 <= horizon_days <= 40:
+        raise ValueError(
+            f"horizon_days must be in [1, 40], got {horizon_days}"
+        )
+    if not 1 <= recent_days <= horizon_days:
+        raise ValueError(
+            "recent_days must be in [1, horizon_days], got "
+            f"{recent_days}"
+        )
+    return f"""
+        with _da_anchor as (
+          select max(cast({ts_col} as date)) as _anchor_d from {rel}
+        ),
+        _da_agg as (
+          select {key_col} as key,
+                 count(*)::BIGINT as n_events,
+                 coalesce(sum(case when date_diff('day',
+                     cast({ts_col} as date), _anchor_d)
+                     < {recent_days} then 1 else 0 end), 0)::BIGINT
+                   as n_recent,
+                 coalesce(sum(case when date_diff('day',
+                     cast({ts_col} as date), _anchor_d)
+                     <= {horizon_days}
+                   then (1::BIGINT << ({horizon_days} - date_diff('day',
+                     cast({ts_col} as date), _anchor_d)))
+                   else 0 end), 0)::BIGINT as score
+          from {rel} cross join _da_anchor
+          group by 1
+        )
+        select key, n_events, n_recent, score,
+               (n_recent * 1000000 // n_events)::BIGINT
+                 as recent_share_e6,
+               cast(row_number() over (order by score desc, key)
+                 as integer) as rank
+        from _da_agg
+    """

@@ -681,3 +681,144 @@ def source_token_jaccard_sql(
         join _stj_sizes b on a.g < b.g
         left join _stj_inter i on i.g1 = a.g and i.g2 = b.g
     """
+
+
+# --- Unicode script mix ------------------------------------------------------
+
+# Char classes as LITERAL-character ranges (the Python source embeds the
+# endpoints as real characters), so Java regex (Spark) and RE2 (DuckDB)
+# interpret them identically by codepoint — no \uXXXX vs \x{XXXX}
+# dialect split. All ranges are BMP, so surrogate handling never enters.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("han", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+)
+
+
+def _second_max(cols: list) -> "F.Column":
+    """Exact second-largest of the columns: the greatest of all pairwise
+    leasts (for sorted x1 >= x2 >= ...: pair (x1, x2) contributes x2 and
+    every other pair's least is <= x2). Spells identically in both
+    engines (GREATEST/LEAST), no sort, no array."""
+    pairs = [
+        F.least(cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return F.greatest(*pairs)
+
+
+def script_mix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    mixed_permille: int = 100,
+) -> DataFrame:
+    """Per-document Unicode script histogram + mixed-script flag — the
+    encoding-health / spam signal every multilingual crawl pipeline
+    computes before language ID (mixed-script pages are dominated by
+    keyword-stuffing spam and mojibake; CCNet-style pipelines drop or
+    down-weight them, and a Latin page claiming lang=zh is a routing
+    bug upstream).
+
+    Per doc: the count of characters in each of :data:`SCRIPT_CLASSES`
+    (latin / cyrillic / han / arabic — the four classes the synthetic
+    corpus can stage decidably), ``n_letters`` their sum, ``dominant``
+    the argmax with first-wins tie precedence in SCRIPT_CLASSES order
+    (``none`` for a letterless doc), and ``is_mixed`` true iff the
+    SECOND-largest script holds at least ``mixed_permille``/1000 of the
+    letters — integer law ``second * 1000 >= mixed_permille *
+    n_letters`` with n_letters > 0, so the boundary is bit-decidable
+    cross-engine. The second max is the greatest-of-pairwise-leasts
+    closed form (no sort). NULL text emits a row with zero counts and
+    dominant ``none`` (the r4 silent-drop lesson).
+
+    Scale shape: one regexp_count per class in a single projection —
+    pure whole-stage-codegen scan, ZERO exchanges (the cdx_index
+    shape); at 100 TB the cost is the four byte passes over each page,
+    scan-bound. Output: (id, n_latin, n_cyrillic, n_han, n_arabic,
+    n_letters, dominant, is_mixed)."""
+    if not 1 <= mixed_permille <= 1000:
+        raise ValueError(
+            f"mixed_permille must be in [1, 1000], got {mixed_permille}"
+        )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("bigint")
+        for name, pat in SCRIPT_CLASSES
+    }
+    names = [n for n, _ in SCRIPT_CLASSES]
+    n_letters = sum(counts[n] for n in names)
+    # first-wins CASE chain in SCRIPT_CLASSES order = deterministic
+    # tie precedence latin > cyrillic > han > arabic
+    chain = F.when(F.lit(False), F.lit(""))
+    for i, n in enumerate(names):
+        cond = None
+        for m in names[i + 1:]:
+            c = counts[n] >= counts[m]
+            cond = c if cond is None else (cond & c)
+        chain = chain.when(
+            cond if cond is not None else F.lit(True), F.lit(n)
+        )
+    dominant = F.when(n_letters == 0, F.lit("none")).otherwise(chain)
+    second = _second_max([counts[n] for n in names])
+    mixed = (n_letters > 0) & (
+        second * 1000 >= F.lit(mixed_permille) * n_letters
+    )
+    return df.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n in names],
+        n_letters.alias("n_letters"),
+        dominant.alias("dominant"),
+        mixed.alias("is_mixed"),
+    )
+
+
+def script_mix_sql(
+    *, rel: str, id_col: str, text_col: str, mixed_permille: int = 100
+) -> str:
+    """DuckDB recompute of :func:`script_mix` — same literal-range
+    patterns, same first-wins CASE chain and pairwise-least second
+    max, generated here so the two spellings cannot drift."""
+    if not 1 <= mixed_permille <= 1000:
+        raise ValueError(
+            f"mixed_permille must be in [1, 1000], got {mixed_permille}"
+        )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    cnt = {
+        n: (
+            "cast(len(regexp_extract_all(coalesce("
+            f"{text_col}, ''), '{pat}')) as bigint)"
+        )
+        for n, pat in SCRIPT_CLASSES
+    }
+    tot = " + ".join(f"n_{n}" for n in names)
+    chain = []
+    for i, n in enumerate(names):
+        conds = [f"n_{n} >= n_{m}" for m in names[i + 1:]]
+        chain.append(
+            f"when {' and '.join(conds)} then '{n}'"
+            if conds else f"else '{n}'"
+        )
+    pairs = ", ".join(
+        f"least(n_{names[i]}, n_{names[j]})"
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    )
+    return f"""
+        with _sm_cnt as (
+          select {id_col},
+                 {', '.join(f'{cnt[n]} as n_{n}' for n in names)}
+          from {rel}
+        )
+        select {id_col}, {', '.join(f'n_{n}' for n in names)},
+               ({tot}) as n_letters,
+               case when ({tot}) = 0 then 'none'
+                    {' '.join(chain[:-1])} {chain[-1]} end as dominant,
+               (({tot}) > 0 and greatest({pairs}) * 1000
+                  >= {mixed_permille} * ({tot})) as is_mixed
+        from _sm_cnt
+    """

@@ -7676,6 +7676,79 @@ def q_dup_family_hist_sql(sf: str) -> str:
     return dup_family_histogram_sql(rel=f"({staged})", text_col="t")
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script histogram + mixed-script spam flag
+    (operators/profile.py:script_mix) — the encoding-health signal run
+    before language ID. The ASCII corpus is staged with every
+    decidable class: %11==3 docs keep their Latin text but gain a
+    Cyrillic tail (Latin-dominant AND mixed), %11==7 become 18 Han chars
+    plus 'ok' — 2/20 letters sits EXACTLY on the inclusive 100‰ bar
+    (Han-dominant, is_mixed must read true), %11==5 become Arabic-pure (dominant
+    arabic, not mixed), everything else stays Latin-only. Pure
+    whole-stage-codegen regexp chain, zero exchanges — the cdx_index
+    scan-bound shape."""
+    from ..operators.profile import script_mix
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    staged = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.when(m == 3, F.concat(F.col("text"), F.lit(" привет мир зеркало")))
+        .when(m == 7, F.lit("你好世界网页抓取与清洗流水线数据处理 ok"))
+        .when(m == 5, F.lit("مرحبا بالعالم تحليل النصوص"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_mix(staged, "doc_id", "text")
+
+
+def q_script_mix_sql(sf: str) -> str:
+    from ..operators.profile import script_mix_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 11 = 3
+                      then text || ' привет мир зеркало'
+                    when doc_id % 11 = 7
+                      then '你好世界网页抓取与清洗流水线数据处理 ok'
+                    when doc_id % 11 = 5
+                      then 'مرحبا بالعالم تحليل النصوص'
+                    else text end as text
+        from documents
+    """
+    return script_mix_sql(rel=f"({staged})", id_col="doc_id", text_col="text")
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-priority ranking (operators/frontier.py:
+    decayed_activity): per-user exact power-of-2 time-decayed activity
+    over the 30-day event stream — newest-day events weigh 2^30, each
+    day halves, all bigint (no float decay), so the hot-yesterday key
+    outranks the same lifetime volume spread thin. One broadcast
+    max-date anchor + ONE map-side-combinable per-key agg; the rank
+    window runs over the ~150-row aggregate, never the events."""
+    from ..operators.frontier import decayed_activity
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"), F.col("ts")
+    )
+    return decayed_activity(
+        ev, "user_id", "ts", horizon_days=30, recent_days=7
+    )
+
+
+def q_recrawl_priority_sql(sf: str) -> str:
+    from ..operators.frontier import decayed_activity_sql
+
+    return decayed_activity_sql(
+        rel="(select cast(user_id as bigint) as user_id, ts from events)",
+        key_col="user_id",
+        ts_col="ts",
+        horizon_days=30,
+        recent_days=7,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8018,6 +8091,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-sixth arc): duplicate-family size histogram — the
     # post-dedup corpus-health summary
     "dup_family_hist": (q_dup_family_hist, q_dup_family_hist_sql),
+    # r5 (twenty-seventh arc): Unicode script-mix signal — zero-exchange
+    # codegen scan, all four staged script classes decidable
+    "script_mix": (q_script_mix, q_script_mix_sql),
+    # r5 (twenty-seventh arc): exact power-of-2 time-decayed recrawl
+    # priority — broadcast anchor + one partial agg
+    "recrawl_priority": (q_recrawl_priority, q_recrawl_priority_sql),
 }
 
 

@@ -881,3 +881,104 @@ def test_source_overlap_registered_classes(spark, sf):
             assert r["jaccard_e6"] == 1_000_000, r
         elif not staged & {r["g1"], r["g2"]}:
             assert 0 < r["jaccard_e6"] <= 1_000_000, r
+
+
+# --- script_mix (operators/profile.py) --------------------------------------
+
+
+def test_script_mix_hand_check_and_ties(spark):
+    """Dominant picks the argmax; exact ties resolve by SCRIPT_CLASSES
+    precedence (latin > cyrillic > han > arabic); letterless and NULL
+    docs emit zero rows with dominant 'none' (never dropped); the
+    mixed bar is inclusive (second·1000 == permille·letters flags)."""
+    from logparser_llm_spark.operators.profile import script_mix
+
+    rows = [
+        (0, "hello world"),            # latin pure
+        (1, "привет мир hello"),       # cyr-dominant, latin 5/14 mixed
+        (2, "你好世界"),                 # han pure
+        (3, None),                     # NULL: zero row, 'none'
+        (4, "123 !!"),                 # letterless: 'none'
+        (5, "abc абв"),                # 3-3 tie -> latin wins
+        (6, "a" * 18 + " по"),         # 2/20 == inclusive 100 permille bar
+        (7, "a" * 19 + " п"),          # 1/20 = 50 permille: under bar
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in script_mix(df, "id", "text").collect()}
+    assert len(got) == 8  # NULL and letterless rows present
+    assert (got[0]["dominant"], got[0]["is_mixed"]) == ("latin", False)
+    assert (got[1]["dominant"], got[1]["is_mixed"]) == ("cyrillic", True)
+    assert (got[2]["dominant"], got[2]["n_han"]) == ("han", 4)
+    assert (got[3]["dominant"], got[3]["n_letters"]) == ("none", 0)
+    assert got[4]["dominant"] == "none"
+    assert got[5]["dominant"] == "latin"  # tie precedence
+    assert got[6]["is_mixed"] is True     # inclusive bar
+    assert got[7]["is_mixed"] is False
+
+
+def test_script_mix_validation_and_second_max_law(spark):
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.profile import (
+        script_mix,
+        script_mix_sql,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with _pytest.raises(ValueError, match="mixed_permille"):
+        script_mix(df, "id", "text", mixed_permille=0)
+    with _pytest.raises(ValueError, match="mixed_permille"):
+        script_mix_sql(rel="t", id_col="id", text_col="text",
+                       mixed_permille=1001)
+    # greatest-of-pairwise-leasts == true second max on a 4-way spread
+    rows = [(0, "aa ббб 你好世界好 ννν")]  # latin 2, cyr 3, han 5 (greek !counted)
+    d2 = spark.createDataFrame(rows, "id long, text string")
+    r = script_mix(d2, "id", "text").collect()[0]
+    assert (r["n_latin"], r["n_cyrillic"], r["n_han"]) == (2, 3, 5)
+    # second max is 3 -> 3*1000 >= 100*10 -> mixed
+    assert r["n_letters"] == 10 and r["is_mixed"] is True
+
+
+def test_script_mix_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.profile import (
+        script_mix,
+        script_mix_sql,
+    )
+
+    rows = []
+    for i in range(150):
+        base = f"doc {i} " + "word " * (i % 5)
+        if i % 4 == 1:
+            base += " привет мир" * (i % 3 + 1)
+        if i % 4 == 2:
+            base = "数据处理流水线" * (i % 2 + 1) + " ok"
+        if i % 7 == 3:
+            base += " مرحبا"
+        if i % 29 == 0:
+            base = None
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(map(tuple, script_mix(df, "id", "text").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        script_mix_sql(rel="t", id_col="id", text_col="text")
+    ).fetchall()))
+    assert got == want
+
+
+def test_script_mix_zero_exchange_plan(spark):
+    """The signal is a pure scan-side projection: no Exchange, no
+    Python, whole-stage codegen."""
+    from logparser_llm_spark.operators.profile import script_mix
+    from logparser_llm_spark.plans.inspect import plan_facts
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = script_mix(df, "doc_id", "text")
+    facts = plan_facts(out)
+    assert facts["exchanges"] == 0
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    assert facts["whole_stage_codegen"]

@@ -229,3 +229,87 @@ def test_politeness_audit_registered_classes(spark, sf):
             assert r["violation"] == (r["gap_us"] is not None), r
         else:
             assert not r["violation"], r
+
+
+# --- decayed_activity --------------------------------------------------------
+
+
+def test_decayed_activity_exact_weights_and_rank(spark):
+    """Newest day weighs 2^horizon, each day halves exactly; beyond the
+    horizon contributes 0 but still counts; NULL ts counts with weight
+    0 (rows never vanish); rank totals by (score desc, key)."""
+    import datetime
+
+    from logparser_llm_spark.operators.frontier import decayed_activity
+
+    base = datetime.datetime(2024, 1, 31, 12, 0, 0)
+    d = datetime.timedelta
+    rows = [
+        (1, base), (1, base - d(days=1)),           # 2^30 + 2^29
+        (2, base - d(days=40)), (2, base - d(days=3)),  # 0 + 2^27
+        (3, None), (3, base - d(days=7)),           # null + 2^23; age 7 NOT recent
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    got = {r["key"]: r for r in decayed_activity(df, "k", "ts").collect()}
+    assert got[1]["score"] == 2**30 + 2**29 and got[1]["rank"] == 1
+    assert got[2]["score"] == 2**27 and got[2]["n_events"] == 2
+    assert got[3]["score"] == 2**23 and got[3]["n_events"] == 2
+    assert got[3]["n_recent"] == 0          # age 7 fails strict < 7
+    assert got[1]["n_recent"] == 2 and got[1]["recent_share_e6"] == 1_000_000
+    assert got[2]["recent_share_e6"] == 500_000
+    assert [got[k]["rank"] for k in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_decayed_activity_validation(spark):
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.frontier import (
+        decayed_activity,
+        decayed_activity_sql,
+    )
+
+    df = spark.createDataFrame([(1, None)], "k long, ts timestamp")
+    with _pytest.raises(ValueError, match="horizon_days"):
+        decayed_activity(df, "k", "ts", horizon_days=41)
+    with _pytest.raises(ValueError, match="recent_days"):
+        decayed_activity(df, "k", "ts", horizon_days=10, recent_days=11)
+    with _pytest.raises(ValueError, match="horizon_days"):
+        decayed_activity_sql(rel="t", key_col="k", ts_col="ts",
+                             horizon_days=0)
+
+
+def test_decayed_activity_partition_invariance(spark):
+    import datetime
+
+    from logparser_llm_spark.operators.frontier import decayed_activity
+
+    base = datetime.datetime(2024, 2, 10)
+    rows = [(i % 9, base - datetime.timedelta(days=(i * 7) % 45,
+                                              hours=i % 23))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    a = sorted(map(tuple,
+                   decayed_activity(df.repartition(1), "k", "ts").collect()))
+    b = sorted(map(tuple,
+                   decayed_activity(df.repartition(17), "k", "ts").collect()))
+    assert a == b
+
+
+def test_decayed_activity_plan_partial_agg_no_event_window(spark):
+    """The per-key agg must partially aggregate (map-side combine) and
+    the rank window must run over the aggregated frame — the plan has
+    no Window above the raw scan side, and no Python."""
+    from logparser_llm_spark.operators.frontier import decayed_activity
+    from logparser_llm_spark.plans.inspect import physical_plan, plan_facts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = decayed_activity(ev, "user_id", "ts")
+    facts = plan_facts(out)
+    assert facts["partial_aggregate"]
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    plan = physical_plan(out)
+    # the Window appears once, above HashAggregate, not over the scan
+    assert plan.count("Window") >= 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos < agg_pos  # executed-plan prints top-down
