@@ -230,6 +230,9 @@ HEADLINE = [
     # r5 twenty-seventh arc: script-mix signal + decayed recrawl priority
     "script_mix",
     "recrawl_priority",
+    # r5 twenty-eighth arc: sitemap discovery audit + minhash calibration
+    "sitemap_coverage",
+    "minhash_calib",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

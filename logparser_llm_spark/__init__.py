@@ -336,6 +336,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.frontier",
             "decayed_activity",
         ),
+        # round-5 twenty-eighth arc: sitemap audit + minhash calibration
+        "sitemap_coverage": (
+            "logparser_llm_spark.operators.frontier",
+            "sitemap_coverage",
+        ),
+        "minhash_calibration": (
+            "logparser_llm_spark.operators.dedup",
+            "minhash_calibration",
+        ),
     }
     if name in api:
         import importlib

@@ -1324,3 +1324,165 @@ def remove_host_boilerplate_sql(
                         filter (where k), {sep_sql}), '') as text_clean
         from _hb_tagged group by {id_col}
     """
+
+
+# --- MinHash estimator calibration -------------------------------------------
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Calibration audit of the MinHash Jaccard ESTIMATOR against exact
+    truth — the check a pipeline owner runs before trusting an LSH
+    threshold at 100 TB (a mis-calibrated estimator silently moves the
+    dedup bar; this measures, per estimate decile, how far the
+    signature agreement sits from the true Jaccard on the pipeline's
+    OWN candidate pairs).
+
+    For every LSH candidate pair (≥1 shared band — the same candidate
+    rule the production dedup uses): the estimate
+    ``est_e6 = matches·10⁶ DIV k`` (signature positions agreeing, k =
+    ``num_hashes``) and the exact ``true_e6 = inter·10⁶ DIV union``
+    over the distinct shingle sets, binned by estimate decile
+    (``bin = least(est_e6 DIV 100000, 9)`` — the exact-1.0 pairs land
+    in bin 9). Per bin: ``n_pairs``, ``mean_est_e6``, ``mean_true_e6``
+    (integer-division means of the exact e6 sums) and
+    ``mean_abs_err_e6`` — every number an exact integer, zero-tolerance
+    cross-engine.
+
+    Scale shape: the shingle frame and the signature frame are each
+    built ONCE and persisted MEMORY_AND_DISK (the ngram_jaccard
+    multi-consumer pattern): signatures feed both the banding and the
+    per-pair agreement join; shingles feed sizes and the candidate-
+    restricted intersection join (candidates × their shingles — the
+    verify cost the production path already pays, never all pairs).
+    The decile rollup is a 10-row partial agg. Output: (bin, n_pairs,
+    mean_est_e6, mean_true_e6, mean_abs_err_e6)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    rows = num_hashes // bands
+    sh = _distinct_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_x = sh.withColumn("_x", _base_hash(F.col("shingle")))
+    coeffs = minhash_coeffs(num_hashes)
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("_x") + F.lit(b), F.lit(MINHASH_PRIME))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = (
+        sh_x.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", bi * rows + 1, rows),
+                        lambda h: h.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sig.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sig", "sig_a")
+        .join(
+            sig.select(
+                F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: (x == y).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("matches"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            F.expr(f"matches * 1000000 div {num_hashes}").alias("est_e6"),
+            F.expr(
+                "coalesce(inter, 0) * 1000000 div "
+                "(sz_a + sz_b - coalesce(inter, 0))"
+            ).alias("true_e6"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.expr("est_e6 div 100000"), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("est_e6").alias("_se"),
+            F.sum("true_e6").alias("_st"),
+            F.sum(F.abs(F.col("est_e6") - F.col("true_e6"))).alias("_sa"),
+        )
+        .select(
+            "bin",
+            "n_pairs",
+            F.expr("_se div n_pairs").alias("mean_est_e6"),
+            F.expr("_st div n_pairs").alias("mean_true_e6"),
+            F.expr("_sa div n_pairs").alias("mean_abs_err_e6"),
+        )
+    )

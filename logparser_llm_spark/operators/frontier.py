@@ -301,3 +301,149 @@ def decayed_activity_sql(
                  as integer) as rank
         from _da_agg
     """
+
+
+# --- sitemap discovery coverage ----------------------------------------------
+
+_LOC_PATTERN = r"<loc>([^<]+)</loc>"
+
+
+def sitemap_coverage(
+    sitemaps: DataFrame,
+    host_col: str,
+    xml_col: str,
+    crawled: DataFrame,
+    crawled_host_col: str,
+    url_col: str,
+) -> DataFrame:
+    """Sitemap discovery-gap audit — for each host, how much of what the
+    site DECLARES (its sitemap ``<loc>`` entries) did the crawl actually
+    fetch, and how much was fetched that the site never declared? The
+    two failure modes a crawl operator watches: a coverage gap means the
+    frontier is starving a host; orphan fetches mean the crawler is
+    burning budget on undeclared (often parameter-explosion) URLs.
+
+    Per host: ``n_declared`` / ``n_crawled`` (distinct URLs each side),
+    ``n_both``, ``n_gap`` (declared-only), ``n_orphan`` (crawled-only),
+    and ``coverage_e6`` (n_both·10⁶ DIV n_declared; 0 for an empty
+    sitemap). Every count is a distinct-URL count, so repeated fetches
+    of one URL don't inflate coverage.
+
+    Scale shape: the natural full-outer join on url would SHUFFLE the
+    whole fetch log (Spark cannot broadcast a full-outer side). Instead
+    the audit decomposes into a broadcast semi-join (n_both) and a
+    broadcast anti-join (n_orphan) against the declared set — the
+    sitemap side is host-cardinality-bounded (URLs a site declares,
+    ≤50k/host by protocol), so the 10¹²-row fetch log is scanned twice
+    but never shuffled; n_gap falls out arithmetically
+    (declared − both). The per-host rollups are map-side-combinable
+    aggs; the final stitch joins tiny per-host frames. Output rows: one
+    per host appearing on either side (full outer over the TINY
+    aggregates — hosts with an empty crawl or no sitemap both
+    surface)."""
+    loc = F.regexp_extract_all(
+        F.coalesce(F.col(xml_col), F.lit("")), F.lit(_LOC_PATTERN), 1
+    )
+    # explode_outer: a host whose sitemap is NULL/empty keeps one
+    # (host, NULL) row, so it still surfaces with n_declared = 0 (the
+    # r4 silent-drop lesson); NULL urls never join, and n_declared
+    # counts only real locs
+    declared = (
+        sitemaps.select(
+            F.col(host_col).alias("host"), F.explode_outer(loc).alias("url")
+        )
+        .distinct()
+    )
+    crawled_d = crawled.select(
+        F.col(crawled_host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct()
+    n_declared = declared.groupBy("host").agg(
+        F.count("url").alias("n_declared")
+    )
+    n_crawled = crawled_d.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_crawled")
+    )
+    n_both = (
+        crawled_d.join(F.broadcast(declared), ["host", "url"], "left_semi")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    stitched = (
+        n_declared.join(n_crawled, "host", "full_outer")
+        .join(n_both, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("n_declared", F.lit(0)).alias("n_declared"),
+            F.coalesce("n_crawled", F.lit(0)).alias("n_crawled"),
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+        )
+    )
+    return stitched.select(
+        "host",
+        "n_declared",
+        "n_crawled",
+        "n_both",
+        (F.col("n_declared") - F.col("n_both")).alias("n_gap"),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_orphan"),
+        F.when(F.col("n_declared") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("n_both * 1000000 div n_declared"))
+        .alias("coverage_e6"),
+    )
+
+
+def sitemap_coverage_sql(
+    *,
+    sitemaps_rel: str,
+    host_col: str,
+    xml_col: str,
+    crawled_rel: str,
+    crawled_host_col: str,
+    url_col: str,
+) -> str:
+    """DuckDB recompute of :func:`sitemap_coverage` by the INDEPENDENT
+    algebra — one full-outer join over the distinct URL sets plus
+    conditional counts (the spelling the Spark side deliberately avoids
+    at scale), so a broken semi/anti decomposition breaks the hash."""
+    return f"""
+        with _sc_decl as (
+          -- left join lateral keeps empty/NULL-sitemap hosts as a
+          -- (host, NULL) row — the Spark side's explode_outer
+          select distinct s.host, u.url
+          from (
+            select {host_col} as host,
+                   regexp_extract_all(coalesce({xml_col}, ''),
+                          '{_LOC_PATTERN}', 1) as urls
+            from {sitemaps_rel}
+          ) s
+          left join lateral (select unnest(s.urls) as url) u on true
+        ),
+        _sc_crawl as (
+          select distinct {crawled_host_col} as host, {url_col} as url
+          from {crawled_rel}
+        ),
+        _sc_full as (
+          select coalesce(d.host, c.host) as host,
+                 (d.url is not null) as declared,
+                 (c.url is not null) as crawled
+          from _sc_decl d
+          full outer join _sc_crawl c
+            on d.host = c.host and d.url = c.url
+        ),
+        _sc_agg as (
+          select host,
+                 sum(case when declared then 1 else 0 end)::BIGINT
+                   as n_declared,
+                 sum(case when crawled then 1 else 0 end)::BIGINT
+                   as n_crawled,
+                 sum(case when declared and crawled then 1 else 0
+                     end)::BIGINT as n_both
+          from _sc_full group by 1
+        )
+        select host, n_declared, n_crawled, n_both,
+               (n_declared - n_both)::BIGINT as n_gap,
+               (n_crawled - n_both)::BIGINT as n_orphan,
+               case when n_declared = 0 then 0
+                    else n_both * 1000000 // n_declared
+               end::BIGINT as coverage_e6
+        from _sc_agg
+    """

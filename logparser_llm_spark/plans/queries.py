@@ -7749,6 +7749,144 @@ def q_recrawl_priority_sql(sf: str) -> str:
     )
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery-gap audit (operators/frontier.py:
+    sitemap_coverage): per host, declared-vs-crawled URL coverage. The
+    sitemap XML is BUILT per host from the documents table (locs for
+    doc_id%3!=1, string_agg in sorted order so both engines render the
+    same blob), the crawl log covers doc_id%4!=2 — so every host has
+    all three decidable classes (both / gap / orphan). The Spark side
+    is the broadcast semi-join decomposition (the fetch log is scanned,
+    never shuffled); the oracle is the INDEPENDENT full-outer spelling."""
+    from ..operators.frontier import sitemap_coverage
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("source")
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/page"),
+        F.col("doc_id").cast("string"),
+    )
+    sitemaps = (
+        d.where(F.expr("(doc_id div 20) % 3 != 1"))
+        .select(F.col("source"), F.concat(F.lit("<url><loc>"), url,
+                                          F.lit("</loc></url>")).alias("entry"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    crawled = d.where(F.expr("(doc_id div 20) % 4 != 2")).select(
+        F.col("source"), url.alias("url")
+    )
+    return sitemap_coverage(sitemaps, "source", "xml", crawled, "source", "url")
+
+
+def q_sitemap_coverage_sql(sf: str) -> str:
+    from ..operators.frontier import sitemap_coverage_sql
+
+    url = "'https://' || source || '.example/page' || cast(doc_id as varchar)"
+    sitemaps = f"""
+        select source,
+               '<urlset>' || string_agg(
+                 '<url><loc>' || {url} || '</loc></url>', ''
+                 order by '<url><loc>' || {url} || '</loc></url>'
+               ) || '</urlset>' as xml
+        from documents where (doc_id // 20) % 3 != 1
+        group by source
+    """
+    crawled = f"""
+        select source, {url} as url
+        from documents where (doc_id // 20) % 4 != 2
+    """
+    return sitemap_coverage_sql(
+        sitemaps_rel=f"({sitemaps})", host_col="source", xml_col="xml",
+        crawled_rel=f"({crawled})", crawled_host_col="source", url_col="url",
+    )
+
+
+def q_minhash_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration bins (operators/dedup.py:
+    minhash_calibration) — per estimate decile over the production LSH
+    candidate pairs, how far the 16-hash signature agreement sits from
+    the exact shingle Jaccard. Same corpus, same shingle law, same
+    coefficient family as `minhash_lsh`; shingles and signatures each
+    built once and persisted for their two consumers."""
+    from ..operators.dedup import minhash_calibration
+
+    d = _read(spark, sf_dir, "documents")
+    return minhash_calibration(d, "doc_id", "text", num_hashes=16, bands=4)
+
+
+def q_minhash_calib_sql(sf: str) -> str:
+    from ..operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    coeff_rows = ", ".join(
+        f"({i}, {a}::bigint, {b}::bigint)"
+        for i, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    return f"""
+        with {SHINGLE_CTES},
+        coeffs(hi, a, b) as (values {coeff_rows}),
+        mh as (
+          select doc_id, hi,
+            min((a * ('0x' || substr(md5(shingle), 1, 8))::bigint + b)
+                % {MINHASH_PRIME}) as h
+          from sh, coeffs
+          group by doc_id, hi
+        ),
+        sig as (select doc_id, list(h order by hi) as sig from mh group by doc_id),
+        bands as (
+          select doc_id, b as band_idx,
+            md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                x -> cast(x as varchar)), ',')) as band_key
+          from sig, lateral (select unnest(range(4)) as b)
+        ),
+        cand as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from bands a join bands b using (band_idx, band_key)
+          where a.doc_id < b.doc_id
+        ),
+        est as (
+          select c.id_a, c.id_b,
+                 sum(case when x.h = y.h then 1 else 0 end)::BIGINT
+                   as matches
+          from cand c
+          join mh x on x.doc_id = c.id_a
+          join mh y on y.doc_id = c.id_b and y.hi = x.hi
+          group by 1, 2
+        ),
+        sz as (select doc_id, count(*)::BIGINT as s from sh group by 1),
+        inter as (
+          select c.id_a, c.id_b, count(*)::BIGINT as i
+          from cand c
+          join sh p on p.doc_id = c.id_a
+          join sh q on q.doc_id = c.id_b and q.shingle = p.shingle
+          group by 1, 2
+        ),
+        pairs as (
+          select (e.matches * 1000000 // 16) as est_e6,
+                 (coalesce(i.i, 0) * 1000000
+                  // (sa.s + sb.s - coalesce(i.i, 0))) as true_e6
+          from est e
+          left join inter i on i.id_a = e.id_a and i.id_b = e.id_b
+          join sz sa on sa.doc_id = e.id_a
+          join sz sb on sb.doc_id = e.id_b
+        )
+        select least(est_e6 // 100000, 9)::BIGINT as bin,
+               count(*)::BIGINT as n_pairs,
+               (sum(est_e6) // count(*))::BIGINT as mean_est_e6,
+               (sum(true_e6) // count(*))::BIGINT as mean_true_e6,
+               (sum(abs(est_e6 - true_e6)) // count(*))::BIGINT
+                 as mean_abs_err_e6
+        from pairs group by 1
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8097,6 +8235,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-seventh arc): exact power-of-2 time-decayed recrawl
     # priority — broadcast anchor + one partial agg
     "recrawl_priority": (q_recrawl_priority, q_recrawl_priority_sql),
+    # r5 (twenty-eighth arc): sitemap discovery-gap audit — broadcast
+    # semi/anti decomposition vs the oracle's full-outer spelling
+    "sitemap_coverage": (q_sitemap_coverage, q_sitemap_coverage_sql),
+    # r5 (twenty-eighth arc): MinHash estimator calibration bins over
+    # the production LSH candidates — exact integer decile audit
+    "minhash_calib": (q_minhash_calib, q_minhash_calib_sql),
 }
 
 

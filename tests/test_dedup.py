@@ -930,3 +930,71 @@ def test_host_boilerplate_registered_classes(spark, sf):
             assert ("trending widget sidebar" in t) != exp_trend[h], i
         if i % 3 == 0:
             assert ("copyright" in t) != exp_copy[h], i
+
+
+# --- minhash_calibration -----------------------------------------------------
+
+
+def test_minhash_calibration_identical_family_and_bounds(spark):
+    """A planted family of identical docs must land in bin 9 with
+    est == true == 10^6 and zero error; every bin stays within
+    [0, 10^6] and bin ids within [0, 9]."""
+    from logparser_llm_spark.operators.dedup import minhash_calibration
+
+    blob = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, blob) for i in range(4)] + [
+        (10 + i,
+         f"doc {i} unique words number {i * 7} content tail {i * 13} end "
+         f"filler {i % 3} mark {i % 5} zz")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bin"]: r for r in
+           minhash_calibration(df, "doc_id", "text").collect()}
+    nine = got[9]
+    # the 4 identical docs give C(4,2)=6 exact pairs (others may join)
+    assert nine["n_pairs"] >= 6
+    assert nine["mean_est_e6"] == 1_000_000 == nine["mean_true_e6"]
+    assert nine["mean_abs_err_e6"] == 0
+    for b, r in got.items():
+        assert 0 <= b <= 9
+        assert 0 <= r["mean_est_e6"] <= 1_000_000
+        assert 0 <= r["mean_true_e6"] <= 1_000_000
+
+
+def test_minhash_calibration_validation_and_partition_invariance(spark):
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.dedup import minhash_calibration
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} shared common tail words here ok")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_calibration(df, "doc_id", "text", num_hashes=16, bands=5)
+    a = sorted(map(tuple,
+                   minhash_calibration(df.repartition(1), "doc_id", "text")
+                   .collect()))
+    b = sorted(map(tuple,
+                   minhash_calibration(df.repartition(11), "doc_id", "text")
+                   .collect()))
+    assert a == b
+
+
+def test_minhash_calibration_reuses_persisted_frames(spark):
+    """Shingles and signatures are each built once and persisted for
+    their two consumers — the plan must carry InMemoryTableScans, no
+    Python, and partial aggregation for the decile rollup."""
+    from logparser_llm_spark.operators.dedup import minhash_calibration
+    from logparser_llm_spark.plans.inspect import physical_plan, plan_facts
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_calibration(df, "doc_id", "text")
+    out.collect()
+    plan = physical_plan(out)
+    assert plan.count("InMemoryTableScan") >= 4, plan.count("InMemoryTableScan")
+    facts = plan_facts(out)
+    assert not facts["python_udf"] and not facts["map_in_pandas"]
+    assert facts["partial_aggregate"]

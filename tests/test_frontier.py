@@ -313,3 +313,106 @@ def test_decayed_activity_plan_partial_agg_no_event_window(spark):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos < agg_pos  # executed-plan prints top-down
+
+
+# --- sitemap_coverage --------------------------------------------------------
+
+
+def test_sitemap_coverage_hand_check_all_classes(spark):
+    """Dup locs and repeat fetches collapse (distinct-URL counts);
+    empty-sitemap, declared-only, crawled-only and NULL-sitemap hosts
+    all surface (rows never vanish); coverage is the exact integer
+    division with a 0 guard for empty sitemaps."""
+    from logparser_llm_spark.operators.frontier import sitemap_coverage
+
+    sm = [
+        ("h1", "<urlset><url><loc>http://h1/a</loc></url>"
+               "<url><loc>http://h1/b</loc></url>"
+               "<url><loc>http://h1/a</loc></url></urlset>"),
+        ("h2", "<urlset></urlset>"),
+        ("h3", "<loc>http://h3/x</loc>"),
+        ("h5", None),
+    ]
+    cr = [
+        ("h1", "http://h1/a"), ("h1", "http://h1/a"),
+        ("h1", "http://h1/z"), ("h2", "http://h2/q"),
+        ("h4", "http://h4/only"),
+    ]
+    sdf = spark.createDataFrame(sm, "host string, xml string")
+    cdf = spark.createDataFrame(cr, "host string, url string")
+    got = {r["host"]: tuple(r)
+           for r in sitemap_coverage(sdf, "host", "xml",
+                                     cdf, "host", "url").collect()}
+    assert got["h1"] == ("h1", 2, 2, 1, 1, 1, 500_000)
+    assert got["h2"] == ("h2", 0, 1, 0, 0, 1, 0)
+    assert got["h3"] == ("h3", 1, 0, 0, 1, 0, 0)
+    assert got["h4"] == ("h4", 0, 1, 0, 0, 1, 0)
+    assert got["h5"] == ("h5", 0, 0, 0, 0, 0, 0)
+
+
+def test_sitemap_coverage_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.frontier import (
+        sitemap_coverage,
+        sitemap_coverage_sql,
+    )
+
+    sm, cr = [], []
+    for h in range(12):
+        locs = "".join(
+            f"<url><loc>http://h{h}/p{j}</loc></url>"
+            for j in range(h * 3) if j % 3 != 1
+        )
+        sm.append((f"h{h}", f"<urlset>{locs}</urlset>" if h % 5 else None))
+        for j in range(h * 2):
+            if j % 4 != 2:
+                cr.append((f"h{h}", f"http://h{h}/p{j}"))
+    sdf = spark.createDataFrame(sm, "host string, xml string")
+    cdf = spark.createDataFrame(cr, "host string, url string")
+    got = sorted(map(tuple, sitemap_coverage(
+        sdf, "host", "xml", cdf, "host", "url").collect()))
+    con = duckdb.connect()
+    con.execute("create table s (host varchar, xml varchar)")
+    con.executemany("insert into s values (?,?)", sm)
+    con.execute("create table c (host varchar, url varchar)")
+    con.executemany("insert into c values (?,?)", cr)
+    want = sorted(map(tuple, con.execute(sitemap_coverage_sql(
+        sitemaps_rel="s", host_col="host", xml_col="xml",
+        crawled_rel="c", crawled_host_col="host", url_col="url",
+    )).fetchall()))
+    assert got == want
+
+
+def test_sitemap_coverage_broadcasts_declared_side(spark):
+    """The 10^12-row fetch log must never shuffle on the url: the semi
+    join against the declared set is a broadcast join, and no
+    sort-merge join appears anywhere in the plan."""
+    from logparser_llm_spark.operators.frontier import sitemap_coverage
+    from logparser_llm_spark.plans.inspect import plan_facts
+
+    sm = spark.createDataFrame(
+        [("h", "<loc>http://h/a</loc><loc>http://h/b</loc>")],
+        "host string, xml string",
+    )
+    cr = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("source as host", "concat('http://h/', doc_id) as url")
+    out = sitemap_coverage(sm, "host", "xml", cr, "host", "url")
+    facts = plan_facts(out)
+    assert facts["broadcast_hash_join"]
+    assert not facts["python_udf"]
+    # the only sort-merge joins allowed are the FULL OUTER stitches of
+    # the tiny per-host aggregates (keyed by host alone); the fetch log
+    # must meet the declared set in a broadcast LeftSemi on (host, url)
+    from logparser_llm_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(out)
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin (\[[^\]]*\]), \[[^\]]*\], (\w+)",
+                          plan):
+        keys, how = m.group(1), m.group(2)
+        assert how == "FullOuter" and "url" not in keys, m.group(0)
+    assert _re.search(r"BroadcastHashJoin \[[^\]]*host[^\]]*url[^\]]*\].*LeftSemi",
+                      plan)
