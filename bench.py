@@ -233,6 +233,9 @@ HEADLINE = [
     # r5 twenty-eighth arc: sitemap discovery audit + minhash calibration
     "sitemap_coverage",
     "minhash_calib",
+    # r5 twenty-ninth arc: sorted-neighborhood blocking + KS drift
+    "snm_blocking",
+    "length_drift",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -287,6 +290,8 @@ LARGE_RESULT = {
     "politeness_audit",
     # r5 twenty-seventh arc: per-doc result shape
     "script_mix",
+    # r5 twenty-ninth arc: per-pair result shape
+    "snm_blocking",
 }
 
 

@@ -345,6 +345,9 @@ def __getattr__(name):
             "logparser_llm_spark.operators.dedup",
             "minhash_calibration",
         ),
+        # round-5 twenty-ninth arc: SNM blocking + KS drift
+        "snm_pairs": ("logparser_llm_spark.operators.fuzzy", "snm_pairs"),
+        "ks_drift": ("logparser_llm_spark.operators.profile", "ks_drift"),
     }
     if name in api:
         import importlib

@@ -112,3 +112,128 @@ def fuzzy_join_ed1_oracle_sql(*, rel: str, id_col: str, str_col: str) -> str:
         where a.{str_col} is not null and b.{str_col} is not null
           and levenshtein(a.{str_col}, b.{str_col}) <= 1
     """
+
+
+# --- sorted-neighborhood blocking (merge/purge) ------------------------------
+
+
+def snm_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo's
+    merge/purge, SIGMOD 1995) — the third blocking paradigm next to
+    this module's deletion-neighborhood banding and dedup.py's LSH:
+    sort the corpus by a blocking key and pair every record with its
+    ``window − 1`` successors in that order. Guarantees exactly
+    ``n·(window−1) − C(window−1, 2)`` candidates (boundary-truncated) —
+    a LINEAR candidate budget regardless of key skew, the property
+    LSH and banding cannot give — at the price of recall limited to
+    what the sort key brings adjacent (the classic multi-pass remedy:
+    union several snm_pairs runs over different keys).
+
+    Ordering is total: (key, id) — equal keys tie-break on the id, so
+    the pairing is deterministic and partition-invariant. Output:
+    (id_a, id_b, key_a, key_b, dist) with ``dist`` = rank distance in
+    [1, window−1]; id_a is the EARLIER record in sort order. Callers
+    verify candidates with their comparator (levenshtein etc.).
+
+    Scale shape: the global order comes from
+    :func:`~logparser_llm_spark.operators.packing.global_rank` (range
+    shuffle + partition-parallel local ranks + a bounded driver pass —
+    never the single-task empty-window row_number); the pairing is a
+    ``window−1``-way explode of probe positions joined back on the
+    bigint position — one equi-join whose fan-out is the candidate
+    budget itself."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from .packing import global_rank
+
+    reserved = {"_snm_key", "_snm_pos", "_probe"}
+    if reserved & set(df.columns):
+        raise ValueError(f"reserved column name(s): {sorted(reserved & set(df.columns))}")
+    # total order: key, then zero-padded non-negative id — lexicographic
+    # == numeric for the pad width. The concat order equals (key, id)
+    # order only if ids are non-negative and no key byte sorts at or
+    # below the \x01 separator (the prefix-key case) — the asserts are
+    # WOVEN into the consumed sort-key expression (a standalone assert
+    # column would be pruned by Catalyst and never execute)
+    k = F.coalesce(F.col(key_col), F.lit(""))
+    guard = (
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(10**18))
+        & ~F.contains(k, F.lit("\x00"))
+        & ~F.contains(k, F.lit("\x01"))
+    )
+    skey = F.when(
+        F.assert_true(
+            guard,
+            F.lit("snm_pairs requires non-negative ids < 10^18 and keys "
+                  "without \\x00/\\x01 bytes"),
+        ).isNull(),
+        F.concat(k, F.lit("\x01"),
+                 F.lpad(F.col(id_col).cast("string"), 20, "0")),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        k.alias("key"),
+        skey.alias("_snm_key"),
+    )
+    ranked = global_rank(
+        base, "_snm_key", out_col="_snm_pos",
+        num_partitions=num_partitions,
+    ).drop("_snm_key")
+    probes = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("_snm_pos"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("_d"),
+    ).select(
+        "id_a",
+        "key_a",
+        "_d",
+        (F.col("_snm_pos") + F.col("_d")).alias("_probe"),
+    )
+    right = ranked.select(
+        F.col("_snm_pos").alias("_probe"),
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+    )
+    return probes.join(right, "_probe").select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        F.col("_d").cast("bigint").alias("dist"),
+    )
+
+
+def snm_pairs_oracle_sql(
+    *, rel: str, id_col: str, key_col: str, window: int = 5
+) -> str:
+    """INDEPENDENT-algebra oracle for :func:`snm_pairs`: the
+    single-node window spelling (row_number over the total order +
+    self-join on rank distance) that the Spark side deliberately
+    avoids at scale — a broken prefix-sum rank or probe join breaks
+    the row set."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    return f"""
+        with _snm_r as (
+          select {id_col} as id, coalesce({key_col}, '') as key,
+                 row_number() over (
+                   order by coalesce({key_col}, ''), {id_col}
+                 ) - 1 as pos
+          from {rel}
+        )
+        select a.id as id_a, b.id as id_b,
+               a.key as key_a, b.key as key_b,
+               (b.pos - a.pos)::BIGINT as dist
+        from _snm_r a
+        join _snm_r b
+          on b.pos > a.pos and b.pos <= a.pos + {window - 1}
+    """

@@ -822,3 +822,171 @@ def script_mix_sql(
                   >= {mixed_permille} * ({tot})) as is_mixed
         from _sm_cnt
     """
+
+
+# --- two-sample KS drift -----------------------------------------------------
+
+
+def ks_drift(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic against the
+    REST of the corpus — the distribution-shape drift audit that
+    catches what count-based tests miss (a source whose document-length
+    DISTRIBUTION shifted while its volume stayed flat). For each group
+    g: ``D = max_v |CDF_g(v) − CDF_rest(v)|`` over the integer value
+    column, computed EXACTLY as the bigint
+    ``ks_num = max_v |cum_g(v)·n_rest − cum_rest(v)·n_g|`` over the
+    common denominator ``n_g·n_rest`` (no floats anywhere until the
+    single e6 quantization), with ``at_value`` the SMALLEST value
+    achieving the max (deterministic argmax). A group that is the
+    whole corpus (or empty rest) emits ks_e6 = 0 with at_value NULL
+    rather than dividing by zero.
+
+    Exactness bound: the cross products need ``n_g·n_rest ≤ 2⁶³``, so
+    the corpus must hold ≤ 3·10⁹ rows — enforced by a woven
+    assert_true (the mixture_jsd headroom pattern); beyond that,
+    pre-aggregate values into quantized buckets or sample per group
+    upstream.
+
+    Scale shape: one (group, value) partial-agg count; per-value
+    totals are a second partial agg of THAT frame; the evaluation grid
+    is groups × distinct values (two small frames cross-joined — the
+    CDF step function only changes at support points, so this grid is
+    sufficient AND necessary); one partition-parallel cumulative
+    window per group ordered by value; the argmax resolves via a tiny
+    equi-join of the per-group max back to the grid. The raw corpus
+    is scanned ONCE. Output: (group, n_g, n_rest, ks_e6, at_value)."""
+    cnt = (
+        df.groupBy(
+            F.col(group_col).alias("g"), F.col(val_col).alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_v = cnt.groupBy("v").agg(F.sum("c").alias("t"))
+    n_g = cnt.groupBy("g").agg(F.sum("c").alias("n_g"))
+    n_tot = (
+        tot_v.agg(F.sum("t").alias("n_total"))
+        .select(
+            "n_total",
+            F.assert_true(
+                F.col("n_total") <= F.lit(3_000_000_000),
+                F.lit("ks_drift exactness bound: corpus must be <= 3e9 "
+                      "rows — pre-bucket or sample upstream"),
+            ).alias("_chk"),
+        )
+        .drop("_chk")
+    )
+    grid = n_g.crossJoin(F.broadcast(tot_v.select("v")))
+    joined = (
+        grid.join(cnt, ["g", "v"], "left")
+        .join(F.broadcast(tot_v), "v")
+        .select(
+            "g", "v", "n_g", "t",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = joined.select(
+        "g", "v", "n_g",
+        F.sum("c").over(w).alias("cum_g"),
+        F.sum("t").over(w).alias("cum_tot"),
+    ).crossJoin(F.broadcast(n_tot))
+    d = cum.select(
+        "g", "v", "n_g",
+        (F.col("n_total") - F.col("n_g")).alias("n_rest"),
+        F.abs(
+            F.col("cum_g") * (F.col("n_total") - F.col("n_g"))
+            - (F.col("cum_tot") - F.col("cum_g")) * F.col("n_g")
+        ).alias("d_num"),
+    )
+    per_g = d.groupBy("g", "n_g", "n_rest").agg(
+        F.max("d_num").alias("ks_num")
+    )
+    at_v = (
+        per_g.join(
+            d.select("g", "v", F.col("d_num").alias("ks_num")),
+            ["g", "ks_num"],
+        )
+        .groupBy("g")
+        .agg(F.min("v").alias("at_value"))
+    )
+    return (
+        per_g.join(at_v, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_g",
+            "n_rest",
+            F.when(
+                (F.col("n_g") == 0) | (F.col("n_rest") == 0),
+                F.lit(0).cast("bigint"),
+            )
+            .otherwise(
+                F.expr("ks_num * 1000000 div (n_g * n_rest)")
+            )
+            .alias("ks_e6"),
+            F.when(
+                (F.col("n_g") == 0) | (F.col("n_rest") == 0),
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(F.col("at_value").cast("bigint"))
+            .alias("at_value"),
+        )
+    )
+
+
+def ks_drift_sql(*, rel: str, group_col: str, val_col: str) -> str:
+    """DuckDB recompute of :func:`ks_drift` — same grid, same bigint
+    cross products, same smallest-argmax law, generated here so the
+    two spellings cannot drift."""
+    return f"""
+        with _ks_cnt as (
+          select {group_col} as g, {val_col} as v,
+                 count(*)::BIGINT as c
+          from {rel} group by 1, 2
+        ),
+        _ks_tot as (select v, sum(c)::BIGINT as t from _ks_cnt group by 1),
+        _ks_ng as (select g, sum(c)::BIGINT as n_g from _ks_cnt group by 1),
+        _ks_n as (select sum(t)::BIGINT as n_total from _ks_tot),
+        _ks_grid as (
+          select ng.g, ng.n_g, tv.v from _ks_ng ng cross join _ks_tot tv
+        ),
+        _ks_cum as (
+          select gr.g, gr.v, gr.n_g,
+                 sum(coalesce(c.c, 0)) over (
+                   partition by gr.g order by gr.v
+                   rows between unbounded preceding and current row
+                 )::BIGINT as cum_g,
+                 sum(t.t) over (
+                   partition by gr.g order by gr.v
+                   rows between unbounded preceding and current row
+                 )::BIGINT as cum_tot
+          from _ks_grid gr
+          left join _ks_cnt c on c.g = gr.g and c.v = gr.v
+          join _ks_tot t on t.v = gr.v
+        ),
+        _ks_d as (
+          select g, v, n_g, (n.n_total - n_g)::BIGINT as n_rest,
+                 abs(cum_g * (n.n_total - n_g)
+                     - (cum_tot - cum_g) * n_g)::BIGINT as d_num
+          from _ks_cum cross join _ks_n n
+        ),
+        _ks_max as (
+          select g, n_g, n_rest, max(d_num)::BIGINT as ks_num
+          from _ks_d group by 1, 2, 3
+        ),
+        _ks_at as (
+          select m.g, min(d.v)::BIGINT as at_value
+          from _ks_max m join _ks_d d on d.g = m.g and d.d_num = m.ks_num
+          group by 1
+        )
+        select m.g as {group_col}, m.n_g, m.n_rest,
+               case when m.n_g = 0 or m.n_rest = 0 then 0
+                    else m.ks_num * 1000000 // (m.n_g * m.n_rest)
+               end::BIGINT as ks_e6,
+               case when m.n_g = 0 or m.n_rest = 0 then NULL
+                    else a.at_value end::BIGINT as at_value
+        from _ks_max m left join _ks_at a on a.g = m.g
+    """

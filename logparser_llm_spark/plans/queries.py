@@ -7887,6 +7887,102 @@ def q_minhash_calib_sql(sf: str) -> str:
     """
 
 
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking + verify (operators/fuzzy.py:
+    snm_pairs — Hernández & Stolfo merge/purge): candidates are each
+    record's window−1 successors in blocking-key order, then one exact
+    levenshtein per candidate. The key reuses the fuzzy_titles staged
+    family titles (md5 stems with planted substitution / deletion /
+    insertion / copies), so family members sort adjacent and the
+    verify column carries real 0/1/2 distances. The Spark rank is the
+    range-shuffle prefix sum (never the single-task global window);
+    the oracle IS that window spelling plus a rank-distance self-join
+    — an independent algebra."""
+    from ..operators.fuzzy import snm_pairs
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    base = F.substring(F.md5(F.expr("cast(doc_id div 5 as string)")), 1, 12)
+    m = F.col("doc_id") % 5
+    title = (
+        F.when(m == 1, F.concat(F.substring(base, 1, 2), F.lit("z"),
+                                F.substring(base, 4, 9)))
+        .when(m == 2, F.substring(base, 2, 11))
+        .when(m == 3, F.concat(F.lit("q"), base))
+        .otherwise(base)
+    )
+    pairs = snm_pairs(
+        d.select("doc_id", title.alias("title")), "doc_id", "title",
+        window=4,
+    )
+    return pairs.withColumn(
+        "ed_key", F.levenshtein("key_a", "key_b").cast("bigint")
+    )
+
+
+def q_snm_blocking_sql(sf: str) -> str:
+    from ..operators.fuzzy import snm_pairs_oracle_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 5 = 1
+                      then substr(md5(cast(doc_id // 5 as varchar)), 1, 2)
+                           || 'z'
+                           || substr(md5(cast(doc_id // 5 as varchar)), 4, 9)
+                    when doc_id % 5 = 2
+                      then substr(md5(cast(doc_id // 5 as varchar)), 2, 11)
+                    when doc_id % 5 = 3
+                      then 'q' || substr(md5(cast(doc_id // 5 as varchar)), 1, 12)
+                    else substr(md5(cast(doc_id // 5 as varchar)), 1, 12)
+               end as title
+        from documents
+    """
+    inner = snm_pairs_oracle_sql(
+        rel=f"({staged})", id_col="doc_id", key_col="title", window=4
+    )
+    return f"""
+        select id_a, id_b, key_a, key_b, dist,
+               levenshtein(key_a, key_b)::BIGINT as ed_key
+        from ({inner})
+    """
+
+
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS drift of the document-length distribution
+    (operators/profile.py:ks_drift) — the shape-sensitive audit that
+    catches a source whose LENGTH distribution shifted while its
+    volume stayed flat (exactly what the count-based G-test misses).
+    Staging shifts src13's n_chars by +250 (one corpus IQR), a pure
+    translation with zero volume change — src13 must carry the suite's
+    largest ks_e6, clear of the small-sample noise floor
+    (KS ~ 1/sqrt(n_g) ≈ 0.25 at the sf0.001 per-source n of 25).
+    All bigint cross products over the common n_g·n_rest denominator;
+    at_value is the smallest value achieving the max."""
+    from ..operators.profile import ks_drift
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.when(F.col("source") == "src13", F.col("n_chars") + 250)
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+        .alias("len"),
+    )
+    return ks_drift(d, "source", "len")
+
+
+def q_length_drift_sql(sf: str) -> str:
+    from ..operators.profile import ks_drift_sql
+
+    staged = """
+        select source,
+               cast(case when source = 'src13' then n_chars + 250
+                         else n_chars end as bigint) as len
+        from documents
+    """
+    return ks_drift_sql(rel=f"({staged})", group_col="source", val_col="len")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8241,6 +8337,12 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-eighth arc): MinHash estimator calibration bins over
     # the production LSH candidates — exact integer decile audit
     "minhash_calib": (q_minhash_calib, q_minhash_calib_sql),
+    # r5 (twenty-ninth arc): sorted-neighborhood blocking (merge/purge)
+    # — linear candidate budget via the prefix-sum global rank
+    "snm_blocking": (q_snm_blocking, q_snm_blocking_sql),
+    # r5 (twenty-ninth arc): per-source KS drift of the length
+    # distribution — exact bigint CDF cross products
+    "length_drift": (q_length_drift, q_length_drift_sql),
 }
 
 

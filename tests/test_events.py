@@ -982,3 +982,71 @@ def test_script_mix_zero_exchange_plan(spark):
     assert facts["exchanges"] == 0
     assert not facts["python_udf"] and not facts["map_in_pandas"]
     assert facts["whole_stage_codegen"]
+
+
+# --- ks_drift (operators/profile.py) ----------------------------------------
+
+
+def test_ks_drift_hand_cases_and_python_reference(spark):
+    """Disjoint supports → D = 1 exactly; identical distributions →
+    D = 0; a +shift translation must dominate a same-volume unshifted
+    group; results match a pure-Python KS reference."""
+    from logparser_llm_spark.operators.profile import ks_drift
+
+    rows = (
+        [("a", v) for v in (1, 1, 2, 3)]
+        + [("b", v) for v in (1, 1, 2, 3)]      # identical law to a
+        + [("c", v) for v in (11, 12, 12, 13)]  # disjoint support
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in ks_drift(df, "g", "v").collect()}
+    assert got["c"]["ks_e6"] == 1_000_000 and got["c"]["at_value"] == 3
+
+    # python reference on the same data
+    def ks(g):
+        from collections import Counter
+        mine = Counter(v for gg, v in rows if gg == g)
+        rest = Counter(v for gg, v in rows if gg != g)
+        ng, nr = sum(mine.values()), sum(rest.values())
+        best, at = -1, None
+        cg = cr = 0
+        for v in sorted(set(mine) | set(rest)):
+            cg += mine.get(v, 0); cr += rest.get(v, 0)
+            d = abs(cg * nr - cr * ng)
+            if d > best:
+                best, at = d, v
+        return best * 1_000_000 // (ng * nr), at
+
+    for g in ("a", "b", "c"):
+        want_ks, want_at = ks(g)
+        assert got[g]["ks_e6"] == want_ks, g
+        if want_ks > 0:
+            assert got[g]["at_value"] == want_at, g
+
+
+def test_ks_drift_single_group_and_invariance(spark):
+    from logparser_llm_spark.operators.profile import ks_drift
+
+    one = spark.createDataFrame([("a", 1), ("a", 5)], "g string, v long")
+    r = ks_drift(one, "g", "v").collect()
+    assert len(r) == 1 and r[0]["ks_e6"] == 0 and r[0]["at_value"] is None
+
+    rows = [(f"g{i % 5}", (i * 13) % 40 + (i % 5) * 3) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    a = sorted(map(tuple, ks_drift(df.repartition(1), "g", "v").collect()))
+    b = sorted(map(tuple, ks_drift(df.repartition(13), "g", "v").collect()))
+    assert a == b
+
+
+def test_ks_drift_shift_dominates_in_query_staging(spark):
+    """The registered length_drift staging (+250 IQR shift on src13)
+    must rank src13 decisively top — the shape-vs-volume point."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["length_drift"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    top = max(rows, key=lambda r: r["ks_e6"])
+    assert top["source"] == "src13"
+    runner_up = sorted((r["ks_e6"] for r in rows), reverse=True)[1]
+    assert top["ks_e6"] * 2 > 3 * runner_up  # >= 1.5x the noise floor

@@ -119,3 +119,92 @@ def test_fuzzy_titles_registered_classes(spark, sf):
         for edited in (1, 2, 3):   # sub/del/ins × both base copies
             assert (fam, 0, edited) in found, (sf, fam, edited)
             assert (fam, edited, 4) in found, (sf, fam, edited)
+
+
+# --- snm_pairs ---------------------------------------------------------------
+
+
+def test_snm_pairs_hand_check_order_and_count(spark):
+    """Sorted order (key, id); each record pairs with its window−1
+    successors; candidate count is exactly n·(w−1) − C(w−1,2) − ...
+    boundary truncation; NULL keys sort first as ''."""
+    from logparser_llm_spark.operators.fuzzy import snm_pairs
+
+    rows = [(1, "b"), (2, "a"), (3, "a"), (4, None), (5, "c")]
+    # sort order: (''/4), (a/2), (a/3), (b/1), (c/5)
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in snm_pairs(df, "id", "key", window=3).collect()
+    )
+    assert got == [
+        (1, 5, 1),
+        (2, 1, 2), (2, 3, 1),
+        (3, 1, 1), (3, 5, 2),
+        (4, 2, 1), (4, 3, 2),
+    ]
+
+
+def test_snm_pairs_validation_and_guards(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from logparser_llm_spark.operators.fuzzy import (
+        snm_pairs,
+        snm_pairs_oracle_sql,
+    )
+
+    df = spark.createDataFrame([(1, "k")], "id long, key string")
+    with _pytest.raises(ValueError, match="window"):
+        snm_pairs(df, "id", "key", window=1)
+    with _pytest.raises(ValueError, match="window"):
+        snm_pairs_oracle_sql(rel="t", id_col="id", key_col="key", window=0)
+    neg = spark.createDataFrame([(-1, "k"), (2, "k")], "id long, key string")
+    with _pytest.raises(SparkRuntimeException, match="non-negative"):
+        snm_pairs(neg, "id", "key").collect()
+    ctl = spark.createDataFrame([(1, "a\x01b"), (2, "c")],
+                                "id long, key string")
+    with _pytest.raises(SparkRuntimeException, match="x00"):
+        snm_pairs(ctl, "id", "key").collect()
+
+
+def test_snm_pairs_matches_duckdb_and_partition_invariance(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.fuzzy import (
+        snm_pairs,
+        snm_pairs_oracle_sql,
+    )
+
+    rows = [(i, f"k{(i * 7) % 13:02d}") for i in range(80)] + [
+        (100, None), (101, "k03"), (102, "k03")
+    ]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = sorted(map(tuple, snm_pairs(df, "id", "key", window=5).collect()))
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, key varchar)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(snm_pairs_oracle_sql(
+        rel="t", id_col="id", key_col="key", window=5)).fetchall()))
+    assert got == want
+    n, w = len(rows), 5
+    assert len(got) == n * (w - 1) - (w - 1) * (w - 2) // 2 - (w - 1)
+    g2 = sorted(map(tuple,
+                    snm_pairs(df.repartition(9), "id", "key",
+                              window=5).collect()))
+    assert g2 == got
+
+
+def test_snm_pairs_no_global_single_partition_window(spark):
+    """The global order must come from the range-shuffle prefix sum —
+    the plan carries no SinglePartition exchange and no Window over
+    the full frame."""
+    from logparser_llm_spark.operators.fuzzy import snm_pairs
+    from logparser_llm_spark.plans.inspect import physical_plan
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id as id", "source as key")
+    plan = physical_plan(snm_pairs(df, "id", "key"))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
