@@ -236,6 +236,9 @@ HEADLINE = [
     # r5 twenty-ninth arc: sorted-neighborhood blocking + KS drift
     "snm_blocking",
     "length_drift",
+    # r5 thirtieth arc: dual-rater kappa + tokenizer fertility
+    "rater_kappa",
+    "lang_fertility",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

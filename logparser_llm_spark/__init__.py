@@ -348,6 +348,11 @@ def __getattr__(name):
         # round-5 twenty-ninth arc: SNM blocking + KS drift
         "snm_pairs": ("logparser_llm_spark.operators.fuzzy", "snm_pairs"),
         "ks_drift": ("logparser_llm_spark.operators.profile", "ks_drift"),
+        # round-5 thirtieth arc: chance-corrected rater agreement
+        "cohens_kappa": (
+            "logparser_llm_spark.operators.evaluation",
+            "cohens_kappa",
+        ),
     }
     if name in api:
         import importlib

@@ -379,3 +379,127 @@ def eval_py(
 def eval_auc_py(rows: Sequence[tuple[int, bool]]) -> int:
     """Just the ``auc_e6`` of :func:`eval_py` (convenience)."""
     return eval_py(rows)[1][2]
+
+
+# --- Cohen's kappa -----------------------------------------------------------
+
+
+def cohens_kappa(
+    df: DataFrame, group_col: str, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Per-group Cohen's kappa between two label columns — the
+    chance-corrected agreement a pipeline owner checks before
+    substituting a cheap heuristic rater for an expensive one (raw
+    agreement is inflated whenever one label dominates; kappa is the
+    agreement beyond what label marginals alone produce). Classic
+    exact-rational form over counts:
+
+        kappa = (n·agree − Σ_l a_l·b_l) / (n² − Σ_l a_l·b_l)
+
+    with a_l/b_l the per-rater label marginals — numerator and
+    denominator exact bigints, ONE e6 quantization at the end with
+    explicit sign handling (Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors — they agree only on non-negative
+    operands, so the sign is peeled first; kappa < 0 = worse than
+    chance is a real outcome). A group where chance agreement is
+    total (both raters constant on the same label: denominator 0)
+    emits NULL kappa — agreement is undefined there, not perfect.
+    NULL labels count as the literal label '∅' so partially-rated
+    rows neither vanish nor crash (the r4 lesson).
+
+    Exactness bound: n² ≤ 2⁶³ needs n ≤ 3·10⁹ rows per group —
+    enforced by a woven assert (the ks_drift/mixture_jsd headroom
+    pattern).
+
+    Scale shape: ONE scan → (group, a, b) partial-agg counts; the
+    agree sum, both marginals and the Σ a_l·b_l cross term all derive
+    from that small counts frame (two partial re-aggs + one tiny
+    label-keyed equi-join — never a row-level self-join). Output:
+    (group, n, agree, kappa_e6)."""
+    g = F.col(group_col).alias("g")
+    a = F.coalesce(F.col(rater_a).cast("string"), F.lit("∅")).alias("a")
+    b = F.coalesce(F.col(rater_b).cast("string"), F.lit("∅")).alias("b")
+    cnt = df.select(g, a, b).groupBy("g", "a", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_g = cnt.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+              .otherwise(F.lit(0))).alias("agree"),
+    ).select(
+        "g", "agree",
+        F.when(
+            F.assert_true(
+                F.col("n") <= F.lit(3_000_000_000),
+                F.lit("cohens_kappa exactness bound: <= 3e9 rows per "
+                      "group — sample upstream"),
+            ).isNull(),
+            F.col("n"),
+        ).alias("n"),
+    )
+    ma = cnt.groupBy("g", "a").agg(F.sum("c").alias("na"))
+    mb = cnt.groupBy("g", "b").agg(F.sum("c").alias("nb"))
+    cross = (
+        ma.join(mb, (ma["g"] == mb["g"]) & (ma["a"] == mb["b"]))
+        .groupBy(ma["g"].alias("g"))
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    out = per_g.join(cross, "g", "left").select(
+        "g", "n", "agree",
+        F.coalesce("pe_num", F.lit(0)).alias("pe_num"),
+    )
+    num = F.col("n") * F.col("agree") - F.col("pe_num")
+    den = F.col("n") * F.col("n") - F.col("pe_num")
+    kappa = F.when(den == 0, F.lit(None).cast("bigint")).otherwise(
+        F.when(num >= 0, F.expr("(n * agree - pe_num) * 1000000 "
+                                "div (n * n - pe_num)"))
+        .otherwise(-F.expr("(pe_num - n * agree) * 1000000 "
+                           "div (n * n - pe_num)"))
+        .cast("bigint")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n"),
+        F.col("agree"),
+        kappa.alias("kappa_e6"),
+    )
+
+
+def cohens_kappa_sql(
+    *, rel: str, group_col: str, rater_a: str, rater_b: str
+) -> str:
+    """DuckDB recompute of :func:`cohens_kappa` — same counts algebra,
+    same sign-peeled single quantization, generated here so the two
+    spellings cannot drift."""
+    return f"""
+        with _ck_cnt as (
+          select {group_col} as g,
+                 coalesce(cast({rater_a} as varchar), '∅') as a,
+                 coalesce(cast({rater_b} as varchar), '∅') as b,
+                 count(*)::BIGINT as c
+          from {rel} group by 1, 2, 3
+        ),
+        _ck_n as (
+          select g, sum(c)::BIGINT as n,
+                 sum(case when a = b then c else 0 end)::BIGINT as agree
+          from _ck_cnt group by 1
+        ),
+        _ck_ma as (select g, a, sum(c)::BIGINT as na from _ck_cnt group by 1, 2),
+        _ck_mb as (select g, b, sum(c)::BIGINT as nb from _ck_cnt group by 1, 2),
+        _ck_pe as (
+          select ma.g, sum(ma.na * mb.nb)::BIGINT as pe_num
+          from _ck_ma ma join _ck_mb mb on ma.g = mb.g and ma.a = mb.b
+          group by 1
+        )
+        select n.g as {group_col}, n.n, n.agree,
+               case
+                 when n.n * n.n - coalesce(p.pe_num, 0) = 0 then NULL
+                 when n.n * n.agree - coalesce(p.pe_num, 0) >= 0 then
+                   (n.n * n.agree - coalesce(p.pe_num, 0)) * 1000000
+                     // (n.n * n.n - coalesce(p.pe_num, 0))
+                 else
+                   -((coalesce(p.pe_num, 0) - n.n * n.agree) * 1000000
+                     // (n.n * n.n - coalesce(p.pe_num, 0)))
+               end::BIGINT as kappa_e6
+        from _ck_n n left join _ck_pe p on p.g = n.g
+    """

@@ -7983,6 +7983,109 @@ def q_length_drift_sql(sf: str) -> str:
     return ks_drift_sql(rel=f"({staged})", group_col="source", val_col="len")
 
 
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa (operators/evaluation.py:cohens_kappa)
+    between two cheap quality raters — the chance-corrected check run
+    before swapping raters in a filtering pipeline. Rater A: length
+    floor (n_chars >= 300); rater B: BPE-token floor (>= 60 tokens) —
+    correlated through document length but not identical, so kappa
+    sits strictly inside (0, 1); doc_id%31 rows get a NULL rater-A
+    label (partially-rated rows must neither vanish nor crash). One
+    scan → (source, a, b) counts; marginals, agree and the chance
+    cross term all derive from that small frame."""
+    from ..operators.evaluation import cohens_kappa
+
+    d = _read(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("source"),
+        F.when(F.col("doc_id") % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.when(F.col("n_chars") >= 300, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+        )
+        .alias("rater_a"),
+        F.when(
+            token_count_bpe(F.col("text")) >= 60, F.lit("keep")
+        )
+        .otherwise(F.lit("drop"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(staged, "source", "rater_a", "rater_b")
+
+
+def q_rater_kappa_sql(sf: str) -> str:
+    from ..operators.evaluation import cohens_kappa_sql
+
+    staged = f"""
+        select source,
+               case when doc_id % 31 = 0 then NULL
+                    when n_chars >= 300 then 'keep'
+                    else 'drop' end as rater_a,
+               case when len(regexp_extract_all(text,
+                      '{BPE_TOKEN_PATTERN}')) >= 60 then 'keep'
+                    else 'drop' end as rater_b
+        from documents
+    """
+    return cohens_kappa_sql(
+        rel=f"({staged})", group_col="source",
+        rater_a="rater_a", rater_b="rater_b",
+    )
+
+
+def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens per
+    whitespace word (functions/text.py single-definition token laws),
+    the tokenizer-fit audit run before fixing a training mixture (a
+    language whose fertility is 2× pays 2× the compute per word and
+    silently shrinks its effective mixture share). Staging turns
+    lang='de' into hyphen-joined compounds (spaces → hyphens: one ws
+    word per doc, the bpe count unchanged) — de must rank top by an
+    order of magnitude. One scan, ONE partially-aggregable rollup;
+    fertility is a single integer division of the exact sums (NULL
+    for a zero-word group, never a divide-by-zero)."""
+    d = _read(spark, sf_dir, "documents")
+    staged_text = F.when(
+        F.col("lang") == "de",
+        F.regexp_replace(F.col("text"), " ", "-"),
+    ).otherwise(F.col("text"))
+    per_doc = d.select(
+        F.col("lang"),
+        token_count_ws(staged_text).cast("bigint").alias("n_ws"),
+        token_count_bpe(staged_text).cast("bigint").alias("n_bpe"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("sum_words"),
+        F.sum("n_bpe").alias("sum_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "sum_words", "sum_tokens",
+        F.when(F.col("sum_words") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("sum_tokens * 1000 div sum_words"))
+        .alias("fertility_e3"),
+    )
+
+
+def q_lang_fertility_sql(sf: str) -> str:
+    staged = "case when lang = 'de' then replace(text, ' ', '-') else text end"
+    return f"""
+        with _lf as (
+          select lang,
+                 len({_TOKENS_SQL.format(c=staged)}) as n_ws,
+                 len(regexp_extract_all({staged},
+                     '{BPE_TOKEN_PATTERN}')) as n_bpe
+          from documents
+        )
+        select lang, count(*)::BIGINT as n_docs,
+               sum(n_ws)::BIGINT as sum_words,
+               sum(n_bpe)::BIGINT as sum_tokens,
+               case when sum(n_ws) = 0 then NULL
+                    else sum(n_bpe) * 1000 // sum(n_ws)
+               end::BIGINT as fertility_e3
+        from _lf group by 1
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8343,6 +8446,10 @@ QUERIES: dict[str, tuple] = {
     # r5 (twenty-ninth arc): per-source KS drift of the length
     # distribution — exact bigint CDF cross products
     "length_drift": (q_length_drift, q_length_drift_sql),
+    # r5 (thirtieth arc): chance-corrected dual-rater agreement
+    "rater_kappa": (q_rater_kappa, q_rater_kappa_sql),
+    # r5 (thirtieth arc): BPE-per-word tokenizer-fit audit
+    "lang_fertility": (q_lang_fertility, q_lang_fertility_sql),
 }
 
 

@@ -207,3 +207,71 @@ def test_quality_calibration_monotone_tendency(spark, sf):
     # beats the worst bin by a wide margin (calibration has signal)
     rates = [p for _, _, p in rows]
     assert max(rates) - min(rates) >= 300
+
+
+# --- cohens_kappa ------------------------------------------------------------
+
+
+def test_cohens_kappa_textbook_values_and_edges(spark):
+    """The classic 2x2 example lands exactly on kappa = 0.4; perfect
+    balanced disagreement = −1.0 (sign-peeled quantization, floor ==
+    truncate divergence covered); both-raters-constant emits NULL (den
+    0 — undefined, not perfect); NULL labels count as a real label."""
+    from logparser_llm_spark.operators.evaluation import cohens_kappa
+
+    rows = (
+        [("g1", "y", "y")] * 20 + [("g1", "y", "n")] * 5
+        + [("g1", "n", "y")] * 10 + [("g1", "n", "n")] * 15
+        + [("g2", "x", "x")] * 7
+        + [("g3", "y", "n")] * 5 + [("g3", "n", "y")] * 5
+        + [("g4", None, "y")] * 3 + [("g4", "y", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {r["g"]: r for r in cohens_kappa(df, "g", "a", "b").collect()}
+    assert (got["g1"]["n"], got["g1"]["agree"], got["g1"]["kappa_e6"]) \
+        == (50, 35, 400_000)
+    assert got["g2"]["kappa_e6"] is None
+    assert got["g3"]["kappa_e6"] == -1_000_000
+    # g4: b constant, a split ∅/y → pe_num = n·agree → kappa exactly 0
+    assert got["g4"]["kappa_e6"] == 0 and got["g4"]["n"] == 6
+
+
+def test_cohens_kappa_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.evaluation import (
+        cohens_kappa,
+        cohens_kappa_sql,
+    )
+
+    labels = ["a", "b", "c"]
+    rows = [
+        (f"g{i % 4}", labels[(i * 7) % 3],
+         labels[(i * 7 + (1 if i % 5 == 0 else 0)) % 3])
+        for i in range(240)
+    ] + [(f"g0", None, "a")] * 4
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = sorted(map(tuple, cohens_kappa(df, "g", "a", "b").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (g varchar, a varchar, b varchar)")
+    con.executemany("insert into t values (?,?,?)", rows)
+    want = sorted(map(tuple, con.execute(cohens_kappa_sql(
+        rel="t", group_col="g", rater_a="a", rater_b="b")).fetchall()))
+    assert got == want
+
+
+def test_cohens_kappa_partition_invariance_and_plan(spark):
+    from logparser_llm_spark.operators.evaluation import cohens_kappa
+    from logparser_llm_spark.plans.inspect import plan_facts
+
+    rows = [(f"g{i % 3}", f"l{(i * 11) % 4}", f"l{(i * 5) % 4}")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    x = sorted(map(tuple,
+                   cohens_kappa(df.repartition(1), "g", "a", "b").collect()))
+    y = sorted(map(tuple,
+                   cohens_kappa(df.repartition(13), "g", "a", "b").collect()))
+    assert x == y
+    facts = plan_facts(cohens_kappa(df, "g", "a", "b"))
+    assert facts["partial_aggregate"]
+    assert not facts["python_udf"] and not facts["map_in_pandas"]

@@ -138,3 +138,23 @@ def test_token_count_matches_duckdb(spark, tdf):
         ).fetchall()
     )
     assert spark_rows == duck
+
+
+# --- lang_fertility query ----------------------------------------------------
+
+
+def test_lang_fertility_staged_de_dominates_and_exact_division(spark):
+    """The hyphen-compound staging gives de one ws word per doc with
+    the bpe count unchanged — its fertility must dwarf every natural
+    language; the division is the exact floor of the sums."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = {r["lang"]: r for r in QUERIES["lang_fertility"][0](
+        spark, "/root/testdata/sf0.001").collect()}
+    de = rows["de"]
+    assert de["sum_words"] == de["n_docs"]  # one hyphen-word per doc
+    assert de["fertility_e3"] == de["sum_tokens"] * 1000 // de["sum_words"]
+    others = [r["fertility_e3"] for lang, r in rows.items() if lang != "de"]
+    assert de["fertility_e3"] > 10 * max(others)
+    for r in rows.values():
+        assert r["fertility_e3"] == r["sum_tokens"] * 1000 // r["sum_words"]
