@@ -239,6 +239,9 @@ HEADLINE = [
     # r5 thirtieth arc: dual-rater kappa + tokenizer fertility
     "rater_kappa",
     "lang_fertility",
+    # r5 thirty-first arc: crawl-continuity gaps + retrieval scorecard
+    "crawl_gaps",
+    "retrieval_eval",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -353,6 +353,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.evaluation",
             "cohens_kappa",
         ),
+        # round-5 thirty-first arc: crawl continuity + retrieval eval
+        "crawl_gaps": (
+            "logparser_llm_spark.operators.frontier",
+            "crawl_gaps",
+        ),
+        "retrieval_metrics": (
+            "logparser_llm_spark.operators.ranking",
+            "retrieval_metrics",
+        ),
     }
     if name in api:
         import importlib

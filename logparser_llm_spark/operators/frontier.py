@@ -447,3 +447,119 @@ def sitemap_coverage_sql(
                end::BIGINT as coverage_e6
         from _sc_agg
     """
+
+
+# --- crawl day-coverage gaps -------------------------------------------------
+
+
+def crawl_gaps(df: DataFrame, host_col: str, ts_col: str) -> DataFrame:
+    """Per-host crawl CONTINUITY audit — the inverse question to
+    :func:`politeness_audit` (too fast?) and :func:`decayed_activity`
+    (how fresh?): did the crawler keep SHOWING UP? Over each host's
+    distinct active days: first/last day, ``n_active``, the calendar
+    ``span_days`` (inclusive), ``n_missed`` = span − active,
+    ``longest_gap`` (max whole missed-day run strictly inside the
+    span; 0 when every day is covered) and ``coverage_e6`` =
+    n_active·10⁶ DIV span. A host whose longest_gap is a week tells
+    you its frontier entry starved — per-host, so the offending
+    scheduler shard is identifiable.
+
+    All integer date arithmetic on distinct days (never raw fetches).
+    NULL timestamps are excluded from day coverage but surface the
+    host: a host with ONLY NULL ts emits (0 active, 0 span, NULL
+    days, 0 coverage) rather than vanishing.
+
+    Scale shape: one (host, day) DISTINCT partial agg collapses the
+    10¹²-fetch log to ≤ hosts × days rows; the gap window (lag per
+    host over its own days) runs partition-parallel on that tiny
+    frame; one final per-host rollup. Output: (host, first_day,
+    last_day, n_active, span_days, n_missed, longest_gap,
+    coverage_e6)."""
+    days = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("host").orderBy("day")
+    gaps = days.where(F.col("day").isNotNull()).withColumn(
+        "gap",
+        F.datediff(F.col("day"), F.lag("day").over(w)) - 1,
+    )
+    per_host = gaps.groupBy("host").agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_active"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint")
+        .alias("longest_gap"),
+    )
+    hosts = days.select("host").distinct()
+    return (
+        hosts.join(per_host, "host", "left")
+        .select(
+            "host",
+            "first_day",
+            "last_day",
+            F.coalesce("n_active", F.lit(0)).cast("bigint")
+            .alias("n_active"),
+            F.coalesce(
+                F.datediff("last_day", "first_day") + 1, F.lit(0)
+            )
+            .cast("bigint")
+            .alias("span_days"),
+            F.coalesce("longest_gap", F.lit(0)).alias("longest_gap"),
+        )
+        .select(
+            "host",
+            "first_day",
+            "last_day",
+            "n_active",
+            "span_days",
+            (F.col("span_days") - F.col("n_active")).alias("n_missed"),
+            "longest_gap",
+            F.when(F.col("span_days") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("n_active * 1000000 div span_days"))
+            .alias("coverage_e6"),
+        )
+    )
+
+
+def crawl_gaps_sql(*, rel: str, host_col: str, ts_col: str) -> str:
+    """DuckDB recompute of :func:`crawl_gaps` — same distinct-day lag
+    window, same integer laws, generated here so the two spellings
+    cannot drift."""
+    return f"""
+        with _cg_days as (
+          select distinct {host_col} as host, cast({ts_col} as date) as day
+          from {rel}
+        ),
+        _cg_gap as (
+          select host, day,
+                 date_diff('day', lag(day) over (
+                   partition by host order by day
+                 ), day) - 1 as gap
+          from _cg_days where day is not null
+        ),
+        _cg_agg as (
+          select host, min(day) as first_day, max(day) as last_day,
+                 count(*)::BIGINT as n_active,
+                 coalesce(max(gap), 0)::BIGINT as longest_gap
+          from _cg_gap group by 1
+        ),
+        _cg_hosts as (select distinct host from _cg_days)
+        select h.host, a.first_day, a.last_day,
+               coalesce(a.n_active, 0)::BIGINT as n_active,
+               coalesce(date_diff('day', a.first_day, a.last_day) + 1,
+                        0)::BIGINT as span_days,
+               (coalesce(date_diff('day', a.first_day, a.last_day) + 1, 0)
+                - coalesce(a.n_active, 0))::BIGINT as n_missed,
+               coalesce(a.longest_gap, 0)::BIGINT as longest_gap,
+               case when coalesce(date_diff('day', a.first_day,
+                                            a.last_day) + 1, 0) = 0
+                    then 0
+                    else coalesce(a.n_active, 0) * 1000000
+                         // (date_diff('day', a.first_day, a.last_day) + 1)
+               end::BIGINT as coverage_e6
+        from _cg_hosts h left join _cg_agg a on a.host = h.host
+    """

@@ -498,3 +498,163 @@ def doc_keywords_sql(
              cast(tf as bigint) as tf, score_e6
       from kw_rnk where rnk <= {top_k}
     """
+
+
+# --- judged retrieval evaluation (MRR / P@k / NDCG@k) ------------------------
+
+import math as _math
+
+
+def ndcg_weights_e6(k: int) -> list[int]:
+    """The rank-r NDCG gain ``round(1e6 / log2(r + 1))`` for r = 1..k,
+    computed ONCE here in Python and injected as LITERALS into both
+    the Spark plan and the DuckDB oracle — cross-engine exactness by
+    construction (no engine evaluates a log)."""
+    return [round(1_000_000 / _math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query judged-retrieval metrics over a run frame
+    ``(query, rank, rel)`` — the scorecard every retrieval stack owes
+    its owner (the repo ships BM25, dense cosine and RRF fusion; this
+    is how you decide between them): reciprocal rank of the first
+    relevant hit, precision at ``k``, and binary NDCG at ``k``, each
+    an exact integer.
+
+        rr_e6    = 10⁶ DIV first_rel_rank          (0 if none found)
+        p_at_k_e6  = hits_in_top_k · 10⁶ DIV k
+        ndcg_e6  = DCG · 10⁶ DIV IDCG, DCG = Σ_{rel hits r ≤ k} w_r,
+                   IDCG = Σ_{r ≤ min(n_rel, k)} w_r
+
+    with the gain table w_r = round(10⁶/log2(r+1)) precomputed in
+    Python (:func:`ndcg_weights_e6`) and joined as a broadcast
+    literal dim — neither engine ever evaluates a log, so the floats
+    are gone before the plan starts. A query with NO relevant
+    documents anywhere emits 0/0/NULL (NDCG undefined — not perfect,
+    not zero: the query can't distinguish systems). Ranks must be
+    ≥ 1 and unique per query (enforced by a woven assert on the rank
+    domain; uniqueness is the run contract).
+
+    Scale shape: one filter to ranks ≤ k + broadcast weight join for
+    DCG/P@k, one partially-aggregable per-query rollup for n_rel and
+    the first relevant rank (a MIN, not a window), one broadcast
+    IDCG-prefix dim on min(n_rel, k). The run frame is scanned twice
+    (top-k slice + n_rel), both scans partial-agg; no windows, no
+    driver loops. Output: (query, n_rel, first_rel_rank, rr_e6,
+    p_at_k_e6, ndcg_e6)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    w = ndcg_weights_e6(k)
+    wdim = spark.createDataFrame(
+        [(r + 1, w[r]) for r in range(k)], "rnk bigint, w bigint"
+    )
+    pre = [(m, sum(w[:m])) for m in range(1, k + 1)]
+    idim = spark.createDataFrame(pre, "m bigint, idcg bigint")
+    rnk = F.col(rank_col).cast("bigint")
+    base = df.select(
+        F.col(query_col).alias("q"),
+        F.when(
+            F.assert_true(
+                rnk >= 1, F.lit("retrieval_metrics requires ranks >= 1")
+            ).isNull(),
+            rnk,
+        ).alias("rnk"),
+        F.col(rel_col).cast("boolean").alias("rel"),
+    )
+    per_q = base.groupBy("q").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel_rank"),
+    )
+    topk = (
+        base.where((F.col("rnk") <= k) & F.col("rel"))
+        .join(F.broadcast(wdim), "rnk")
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("hits_k"),
+            F.sum("w").alias("dcg"),
+        )
+    )
+    out = (
+        per_q.join(topk, "q", "left")
+        .join(
+            F.broadcast(idim),
+            F.least(F.col("n_rel"), F.lit(k).cast("bigint"))
+            == F.col("m"),
+            "left",
+        )
+        .select(
+            F.col("q").alias(query_col),
+            "n_rel",
+            "first_rel_rank",
+            F.when(F.col("n_rel") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 div first_rel_rank"))
+            .cast("bigint")
+            .alias("rr_e6"),
+            F.expr(f"coalesce(hits_k, 0) * 1000000 div {k}")
+            .cast("bigint")
+            .alias("p_at_k_e6"),
+            F.when(F.col("n_rel") == 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.expr("coalesce(dcg, 0) * 1000000 div idcg")
+            )
+            .alias("ndcg_e6"),
+        )
+    )
+    return out
+
+
+def retrieval_metrics_sql(
+    *, rel: str, query_col: str, rank_col: str, rel_col: str, k: int = 10
+) -> str:
+    """DuckDB recompute of :func:`retrieval_metrics` — the SAME
+    Python-computed gain literals (values dims), same integer laws,
+    generated here so the two spellings cannot drift."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = ndcg_weights_e6(k)
+    wrows = ", ".join(f"({r + 1}, {w[r]})" for r in range(k))
+    irows = ", ".join(
+        f"({m}, {sum(w[:m])})" for m in range(1, k + 1)
+    )
+    return f"""
+        with _rm_w(rnk, w) as (values {wrows}),
+        _rm_i(m, idcg) as (values {irows}),
+        _rm_base as (
+          select {query_col} as q, cast({rank_col} as bigint) as rnk,
+                 cast({rel_col} as boolean) as rel
+          from {rel}
+        ),
+        _rm_q as (
+          select q, sum(case when rel then 1 else 0 end)::BIGINT as n_rel,
+                 min(case when rel then rnk end) as first_rel_rank
+          from _rm_base group by 1
+        ),
+        _rm_topk as (
+          select b.q, count(*)::BIGINT as hits_k, sum(w.w)::BIGINT as dcg
+          from _rm_base b join _rm_w w on w.rnk = b.rnk
+          where b.rnk <= {k} and b.rel
+          group by 1
+        )
+        select pq.q as {query_col}, pq.n_rel, pq.first_rel_rank,
+               case when pq.n_rel = 0 then 0
+                    else 1000000 // pq.first_rel_rank
+               end::BIGINT as rr_e6,
+               (coalesce(t.hits_k, 0) * 1000000 // {k})::BIGINT
+                 as p_at_k_e6,
+               case when pq.n_rel = 0 then NULL
+                    else coalesce(t.dcg, 0) * 1000000 // i.idcg
+               end::BIGINT as ndcg_e6
+        from _rm_q pq
+        left join _rm_topk t on t.q = pq.q
+        left join _rm_i i on i.m = least(pq.n_rel, {k})
+    """

@@ -8086,6 +8086,84 @@ def q_lang_fertility_sql(sf: str) -> str:
     """
 
 
+def q_crawl_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-continuity audit (operators/frontier.py:
+    crawl_gaps): distinct active days → span, missed days, longest
+    gap, coverage. Staging deletes days 10–19 of the 30-day event
+    stream for users ≡ 5 (mod 10), so those hosts must read
+    longest_gap = 10 while the rest stay gap-free — frontier
+    starvation made decidable. The fetch log collapses to a
+    (host, day) distinct partial agg before any window."""
+    from ..operators.frontier import crawl_gaps
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("host"), F.col("ts")
+    )
+    staged = ev.where(
+        ~(
+            (F.col("host") % 10 == 5)
+            & F.dayofmonth("ts").between(10, 19)
+        )
+    )
+    return crawl_gaps(staged, "host", "ts")
+
+
+def q_crawl_gaps_sql(sf: str) -> str:
+    from ..operators.frontier import crawl_gaps_sql
+
+    staged = """
+        select cast(user_id as bigint) as host, ts from events
+        where not (user_id % 10 = 5
+                   and day(ts) between 10 and 19)
+    """
+    return crawl_gaps_sql(rel=f"({staged})", host_col="host", ts_col="ts")
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged-retrieval scorecard (operators/ranking.py:
+    retrieval_metrics — exact-integer MRR / P@10 / binary NDCG@10
+    with Python-precomputed gain literals, so neither engine evaluates
+    a log): each source is a 'query', its docs ranked by portable md5
+    (a deterministic stand-in run), relevance = page-index
+    (doc_id div 20) ≡ 1 (mod 4) — doc_id itself is congruent mod 20
+    per source, so a doc_id-mod relevance would be all-or-nothing per
+    query; the page index interleaves, giving interior metrics.
+    The per-source ranking window is partition-parallel (20 keys);
+    the metrics are two partial aggs + broadcast literal dims."""
+    from ..operators.ranking import retrieval_metrics
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("(doc_id div 20) % 4 = 1").alias("rel"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    run = d.select(
+        "source", "rel",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+    return retrieval_metrics(run, "source", "rank", "rel", k=10)
+
+
+def q_retrieval_eval_sql(sf: str) -> str:
+    from ..operators.ranking import retrieval_metrics_sql
+
+    run = """
+        select source, ((doc_id // 20) % 4 = 1) as rel,
+               cast(row_number() over (
+                 partition by source
+                 order by md5(cast(doc_id as varchar)), doc_id
+               ) as bigint) as rank
+        from documents
+    """
+    return retrieval_metrics_sql(
+        rel=f"({run})", query_col="source", rank_col="rank",
+        rel_col="rel", k=10,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8450,6 +8528,10 @@ QUERIES: dict[str, tuple] = {
     "rater_kappa": (q_rater_kappa, q_rater_kappa_sql),
     # r5 (thirtieth arc): BPE-per-word tokenizer-fit audit
     "lang_fertility": (q_lang_fertility, q_lang_fertility_sql),
+    # r5 (thirty-first arc): crawl-continuity day-gap audit
+    "crawl_gaps": (q_crawl_gaps, q_crawl_gaps_sql),
+    # r5 (thirty-first arc): exact-integer MRR/P@10/NDCG@10 scorecard
+    "retrieval_eval": (q_retrieval_eval, q_retrieval_eval_sql),
 }
 
 

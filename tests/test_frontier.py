@@ -416,3 +416,64 @@ def test_sitemap_coverage_broadcasts_declared_side(spark):
         assert how == "FullOuter" and "url" not in keys, m.group(0)
     assert _re.search(r"BroadcastHashJoin \[[^\]]*host[^\]]*url[^\]]*\].*LeftSemi",
                       plan)
+
+
+# --- crawl_gaps --------------------------------------------------------------
+
+
+def test_crawl_gaps_hand_check_and_null_host(spark):
+    """Gaps count whole missed-day runs; repeated same-day fetches
+    collapse; a single-day host spans 1 with gap 0; an all-NULL-ts
+    host surfaces with zeros and NULL days (never vanishes)."""
+    import datetime
+
+    from logparser_llm_spark.operators.frontier import crawl_gaps
+
+    D = lambda d: datetime.datetime(2024, 1, d, 10, 0, 0)  # noqa: E731
+    rows = (
+        [("h1", D(1)), ("h1", D(1)), ("h1", D(2)), ("h1", D(5)),
+         ("h1", D(10))]
+        + [("h2", D(3))]
+        + [("h3", None)]
+        + [("h4", D(1)), ("h4", None), ("h4", D(2))]
+    )
+    df = spark.createDataFrame(rows, "h string, ts timestamp")
+    got = {r["host"]: tuple(r) for r in crawl_gaps(df, "h", "ts").collect()}
+    assert got["h1"][3:] == (4, 10, 6, 4, 400_000)
+    assert got["h2"][3:] == (1, 1, 0, 0, 1_000_000)
+    assert got["h3"][3:] == (0, 0, 0, 0, 0) and got["h3"][1] is None
+    assert got["h4"][3:] == (2, 2, 0, 0, 1_000_000)
+
+
+def test_crawl_gaps_matches_duckdb_and_staged_starvation(spark):
+    import datetime
+
+    import duckdb
+
+    from logparser_llm_spark.operators.frontier import (
+        crawl_gaps,
+        crawl_gaps_sql,
+    )
+
+    rows = []
+    for h in range(8):
+        for d in range(1, 29):
+            if h % 3 == 1 and 10 <= d <= 19:
+                continue  # starved hosts
+            if (h * d) % 5 == 2:
+                continue  # natural noise
+            rows.append((f"h{h}", datetime.datetime(2024, 1, d, h, 30)))
+    df = spark.createDataFrame(rows, "h string, ts timestamp")
+    got = sorted(map(tuple, crawl_gaps(df, "h", "ts").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (h varchar, ts timestamp)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(crawl_gaps_sql(
+        rel="t", host_col="h", ts_col="ts")).fetchall()))
+    assert got == want
+    by = {r[0]: r for r in got}
+    for h in range(8):
+        if h % 3 == 1:
+            assert by[f"h{h}"][6] >= 10  # longest_gap spans the hole
+        else:
+            assert by[f"h{h}"][6] < 10

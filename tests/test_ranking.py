@@ -309,3 +309,70 @@ def test_doc_keywords_semantics_and_plan(spark):
         .executedPlan().toString()
     assert "InMemoryTableScan" in plan          # (doc, term, tf) reused
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- retrieval_metrics -------------------------------------------------------
+
+
+def test_retrieval_metrics_hand_values_and_edges(spark):
+    """First-rel-at-2 gives RR exactly 500000 and the two-hit NDCG
+    closed form; a query with no relevant docs anywhere emits 0/0/NULL
+    (undefined, not perfect); relevance outside the top-k zeroes
+    P@k/NDCG but not RR."""
+    from logparser_llm_spark.operators.ranking import (
+        ndcg_weights_e6,
+        retrieval_metrics,
+    )
+
+    rows = (
+        [("q1", r, r in (2, 5)) for r in range(1, 21)]
+        + [("q2", r, False) for r in range(1, 21)]
+        + [("q3", r, r == 15) for r in range(1, 21)]
+    )
+    df = spark.createDataFrame(rows, "q string, rank long, rel boolean")
+    got = {r["q"]: tuple(r)
+           for r in retrieval_metrics(df, "q", "rank", "rel",
+                                      k=10).collect()}
+    w = ndcg_weights_e6(10)
+    assert got["q1"][1:] == (2, 2, 500_000, 200_000,
+                             (w[1] + w[4]) * 1_000_000 // (w[0] + w[1]))
+    assert got["q2"][1:] == (0, None, 0, 0, None)
+    assert got["q3"][1:] == (1, 15, 66_666, 0, 0)
+
+
+def test_retrieval_metrics_validation_and_duckdb(spark):
+    import duckdb
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.ranking import (
+        retrieval_metrics,
+        retrieval_metrics_sql,
+    )
+
+    df = spark.createDataFrame([("q", 1, True)],
+                               "q string, rank long, rel boolean")
+    with _pytest.raises(ValueError, match="k must be"):
+        retrieval_metrics(df, "q", "rank", "rel", k=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        retrieval_metrics_sql(rel="t", query_col="q", rank_col="rank",
+                              rel_col="rel", k=-1)
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame([("q", 0, True)],
+                                "q string, rank long, rel boolean")
+    with _pytest.raises(SparkRuntimeException, match="ranks >= 1"):
+        retrieval_metrics(bad, "q", "rank", "rel").collect()
+
+    rows = [(f"q{i % 7}", (i // 7) + 1, (i * 11) % 3 == 0)
+            for i in range(210)]
+    d2 = spark.createDataFrame(rows, "q string, rank long, rel boolean")
+    got = sorted(map(tuple,
+                     retrieval_metrics(d2, "q", "rank", "rel",
+                                       k=10).collect()))
+    con = duckdb.connect()
+    con.execute("create table t (q varchar, rank bigint, rel boolean)")
+    con.executemany("insert into t values (?,?,?)", rows)
+    want = sorted(map(tuple, con.execute(retrieval_metrics_sql(
+        rel="t", query_col="q", rank_col="rank", rel_col="rel",
+        k=10)).fetchall()))
+    assert got == want
