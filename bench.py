@@ -242,6 +242,9 @@ HEADLINE = [
     # r5 thirty-first arc: crawl-continuity gaps + retrieval scorecard
     "crawl_gaps",
     "retrieval_eval",
+    # r5 thirty-second arc: trimmed-mean quality + param explosion
+    "trimmed_quality",
+    "param_explosion",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -362,6 +362,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.ranking",
             "retrieval_metrics",
         ),
+        # round-5 thirty-second arc: robust trimmed mean + URL audit
+        "trimmed_mean": (
+            "logparser_llm_spark.operators.robust",
+            "trimmed_mean",
+        ),
+        "param_explosion": (
+            "logparser_llm_spark.operators.frontier",
+            "param_explosion",
+        ),
     }
     if name in api:
         import importlib

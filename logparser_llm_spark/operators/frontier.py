@@ -563,3 +563,106 @@ def crawl_gaps_sql(*, rel: str, host_col: str, ts_col: str) -> str:
                end::BIGINT as coverage_e6
         from _cg_hosts h left join _cg_agg a on a.host = h.host
     """
+
+
+# --- URL parameter-explosion detector ----------------------------------------
+
+
+def param_explosion(
+    df: DataFrame, host_col: str, url_col: str
+) -> DataFrame:
+    """Per-host URL parameter-explosion audit — the crawl-budget trap
+    detector: a host serving the same path under thousands of query
+    strings (session ids, tracking params, faceted search) burns
+    fetch budget on duplicate content. Per host: distinct full URLs,
+    distinct paths (query+fragment stripped), ``urls_per_path_e3``
+    (the explosion ratio), the single WORST path's distinct-URL count
+    and the path itself (smallest such path on ties — deterministic).
+    Read next to :func:`~..functions.web.surt_key`: this measures how
+    much the canonicalizer WOULD collapse, host by host, before you
+    pay for the fetches.
+
+    NULL URLs count as the empty string (rows never vanish). Path =
+    the URL up to the first ``?`` or ``#`` — one anchored regex
+    replace, identical in Java regex and RE2.
+
+    Scale shape: one (host, path) partial agg over distinct URLs
+    (count-distinct pre-aggregates per partition after the first
+    distinct), one per-host rollup, and the worst-path argmax via the
+    tiny max-join (the ks_drift pattern) — the URL stream is scanned
+    once. Output: (host, n_urls, n_paths, urls_per_path_e3,
+    max_path_urls, top_path)."""
+    path = F.regexp_replace(
+        F.coalesce(F.col(url_col), F.lit("")), "[?#].*$", ""
+    )
+    per_path = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.coalesce(F.col(url_col), F.lit("")).alias("url"),
+            path.alias("path"),
+        )
+        .distinct()
+        .groupBy("host", "path")
+        .agg(F.count(F.lit(1)).alias("pu"))
+    )
+    per_host = per_path.groupBy("host").agg(
+        F.sum("pu").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_paths"),
+        F.max("pu").alias("max_path_urls"),
+    )
+    worst = (
+        per_host.select("host", F.col("max_path_urls").alias("pu"))
+        .join(per_path, ["host", "pu"])
+        .groupBy("host")
+        .agg(F.min("path").alias("top_path"))
+    )
+    return (
+        per_host.join(worst, "host")
+        .select(
+            "host",
+            F.col("n_urls").cast("bigint").alias("n_urls"),
+            F.col("n_paths").cast("bigint").alias("n_paths"),
+            F.expr("n_urls * 1000 div n_paths")
+            .cast("bigint")
+            .alias("urls_per_path_e3"),
+            F.col("max_path_urls").cast("bigint").alias("max_path_urls"),
+            "top_path",
+        )
+    )
+
+
+def param_explosion_sql(
+    *, rel: str, host_col: str, url_col: str
+) -> str:
+    """DuckDB recompute of :func:`param_explosion` — same anchored
+    strip, same two-phase argmax, generated here so the two spellings
+    cannot drift."""
+    return f"""
+        with _pe_d as (
+          select distinct {host_col} as host,
+                 coalesce({url_col}, '') as url,
+                 regexp_replace(coalesce({url_col}, ''),
+                                '[?#].*$', '') as path
+          from {rel}
+        ),
+        _pe_p as (
+          select host, path, count(*)::BIGINT as pu
+          from _pe_d group by 1, 2
+        ),
+        _pe_h as (
+          select host, sum(pu)::BIGINT as n_urls,
+                 count(*)::BIGINT as n_paths,
+                 max(pu)::BIGINT as max_path_urls
+          from _pe_p group by 1
+        ),
+        _pe_w as (
+          select h.host, min(p.path) as top_path
+          from _pe_h h
+          join _pe_p p on p.host = h.host and p.pu = h.max_path_urls
+          group by 1
+        )
+        select h.host, h.n_urls, h.n_paths,
+               (h.n_urls * 1000 // h.n_paths)::BIGINT as urls_per_path_e3,
+               h.max_path_urls, w.top_path
+        from _pe_h h join _pe_w w on w.host = h.host
+    """

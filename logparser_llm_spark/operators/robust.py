@@ -302,3 +302,125 @@ def quantile_normalize_sql(
         from {rel} r
         join _qn_pct p on p.g = r.{group_col} and p.s = r.{score_col}
     """
+
+
+# --- trimmed mean ------------------------------------------------------------
+
+
+def trimmed_mean(
+    df: DataFrame, group_col: str, val_col: str, *, trim_permille: int = 100
+) -> DataFrame:
+    """Per-group symmetric trimmed mean of an integer column — the
+    robust location between the mean (breakdown 0) and the median
+    (breakdown 0.5, but throws away all magnitude): drop the
+    ``k = n·trim_permille DIV 1000`` smallest AND largest values by
+    rank, average the rest. The host-quality aggregate that a single
+    spam blob or a single empty page cannot move, while real mass
+    shifts still register.
+
+    Exact integer law by histogram-CDF clipping — never a per-row
+    rank: each distinct value v with count c occupies ranks
+    ``[cum−c+1, cum]``; its kept multiplicity is the overlap with
+    ``[k+1, n−k]``, so ``trimmed_sum = Σ v·clip`` and
+    ``mean_e6 = trimmed_sum·10⁶ / (n−2k)`` with the SIGN PEELED
+    before the division (Spark ``div`` truncates, DuckDB ``//``
+    floors — they agree only on non-negatives; values may be
+    negative). A group left empty by the trim (n ≤ 2k) emits NULL.
+
+    Scale shape: one (group, value) partial-agg histogram; two
+    partition-parallel windows over DISTINCT values per group (cum +
+    total); one final per-group rollup. Output:
+    (group, n, n_kept, mean_e6)."""
+    if not 0 <= trim_permille <= 499:
+        raise ValueError(
+            f"trim_permille must be in [0, 499], got {trim_permille}"
+        )
+    hist = df.groupBy(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("g")
+    clipped = (
+        hist.select(
+            "g", "v", "c",
+            F.sum("c").over(cum).alias("cum"),
+            F.sum("c").over(tot).alias("n"),
+        )
+        .withColumn("k", F.expr(f"n * {trim_permille} div 1000"))
+        .withColumn(
+            "clip",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.col("cum"), F.col("n") - F.col("k"))
+                - F.greatest(
+                    F.col("cum") - F.col("c") + 1, F.col("k") + 1
+                )
+                + 1,
+            ),
+        )
+    )
+    agg = clipped.groupBy("g", "n", "k").agg(
+        F.sum(F.col("v") * F.col("clip")).alias("ts"),
+        F.sum("clip").alias("n_kept"),
+    )
+    mean = F.when(F.col("n_kept") == 0, F.lit(None).cast("bigint")).otherwise(
+        F.when(F.col("ts") >= 0, F.expr("ts * 1000000 div n_kept"))
+        .otherwise(-F.expr("(-ts) * 1000000 div n_kept"))
+        .cast("bigint")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n"),
+        F.col("n_kept"),
+        mean.alias("mean_e6"),
+    )
+
+
+def trimmed_mean_sql(
+    *, rel: str, group_col: str, val_col: str, trim_permille: int = 100
+) -> str:
+    """DuckDB recompute of :func:`trimmed_mean` — same histogram-CDF
+    clip, same sign-peeled division, generated here so the two
+    spellings cannot drift."""
+    if not 0 <= trim_permille <= 499:
+        raise ValueError(
+            f"trim_permille must be in [0, 499], got {trim_permille}"
+        )
+    return f"""
+        with _tm_h as (
+          select {group_col} as g, {val_col} as v, count(*)::BIGINT as c
+          from {rel} group by 1, 2
+        ),
+        _tm_c as (
+          select g, v, c,
+                 sum(c) over (partition by g order by v
+                   rows between unbounded preceding and current row
+                 )::BIGINT as cum,
+                 sum(c) over (partition by g)::BIGINT as n
+          from _tm_h
+        ),
+        _tm_k as (
+          select g, v, c, cum, n, (n * {trim_permille} // 1000) as k
+          from _tm_c
+        ),
+        _tm_clip as (
+          select g, n, k,
+                 greatest(0, least(cum, n - k)
+                             - greatest(cum - c + 1, k + 1) + 1) as clip,
+                 v
+          from _tm_k
+        ),
+        _tm_agg as (
+          select g, n, k, sum(v * clip)::BIGINT as ts,
+                 sum(clip)::BIGINT as n_kept
+          from _tm_clip group by 1, 2, 3
+        )
+        select g as {group_col}, n, n_kept,
+               case when n_kept = 0 then NULL
+                    when ts >= 0 then ts * 1000000 // n_kept
+                    else -((-ts) * 1000000 // n_kept)
+               end::BIGINT as mean_e6
+        from _tm_agg
+    """

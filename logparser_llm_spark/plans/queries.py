@@ -8164,6 +8164,90 @@ def q_retrieval_eval_sql(sf: str) -> str:
     )
 
 
+def q_trimmed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trimmed mean of document length (operators/robust.py:
+    trimmed_mean, 10% symmetric) — the robust host-quality location:
+    the staged spam class (page-index ≡ 0 mod 17 gets n_chars × 100)
+    must NOT move the trimmed mean materially while it drags the raw
+    mean by orders of magnitude. Histogram-CDF clipping, never a
+    per-row rank; sign-peeled exact division."""
+    from ..operators.robust import trimmed_mean
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.when(
+            F.expr("(doc_id div 20) % 17 = 0"), F.col("n_chars") * 100
+        )
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+        .alias("len"),
+    )
+    return trimmed_mean(d, "source", "len", trim_permille=100)
+
+
+def q_trimmed_quality_sql(sf: str) -> str:
+    from ..operators.robust import trimmed_mean_sql
+
+    staged = """
+        select source,
+               cast(case when (doc_id // 20) % 17 = 0 then n_chars * 100
+                         else n_chars end as bigint) as len
+        from documents
+    """
+    return trimmed_mean_sql(
+        rel=f"({staged})", group_col="source", val_col="len",
+        trim_permille=100,
+    )
+
+
+def q_param_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL parameter-explosion audit (operators/frontier.py:
+    param_explosion). Staged URL space: every doc is a fetch of
+    ``/page{p%7}`` (p = the per-host page index); hosts with source
+    index ≡ 2 (mod 5) append a unique ``?sid=`` per fetch — the
+    session-id explosion — so those hosts must read
+    urls_per_path_e3 ≫ 1000 and their worst path carries the blown-up
+    distinct-URL count, while clean hosts sit at exactly 1000."""
+    from ..operators.frontier import param_explosion
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+    sidx = F.regexp_replace(F.col("source"), "[^0-9]", "").cast("bigint")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/page"),
+        (F.expr("doc_id div 20") % 7).cast("string"),
+    )
+    url = F.when(
+        sidx % 5 == 2,
+        F.concat(base, F.lit("?sid="), F.col("doc_id").cast("string")),
+    ).otherwise(base)
+    return param_explosion(
+        d.select("source", url.alias("url")), "source", "url"
+    )
+
+
+def q_param_explosion_sql(sf: str) -> str:
+    from ..operators.frontier import param_explosion_sql
+
+    staged = """
+        select source,
+               case when cast(regexp_replace(source, '[^0-9]', '', 'g')
+                         as bigint) % 5 = 2
+                    then 'https://' || source || '.example/page'
+                         || cast((doc_id // 20) % 7 as varchar)
+                         || '?sid=' || cast(doc_id as varchar)
+                    else 'https://' || source || '.example/page'
+                         || cast((doc_id // 20) % 7 as varchar)
+               end as url
+        from documents
+    """
+    return param_explosion_sql(
+        rel=f"({staged})", host_col="source", url_col="url"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8532,6 +8616,10 @@ QUERIES: dict[str, tuple] = {
     "crawl_gaps": (q_crawl_gaps, q_crawl_gaps_sql),
     # r5 (thirty-first arc): exact-integer MRR/P@10/NDCG@10 scorecard
     "retrieval_eval": (q_retrieval_eval, q_retrieval_eval_sql),
+    # r5 (thirty-second arc): robust trimmed-mean host quality
+    "trimmed_quality": (q_trimmed_quality, q_trimmed_quality_sql),
+    # r5 (thirty-second arc): URL parameter-explosion crawl-budget audit
+    "param_explosion": (q_param_explosion, q_param_explosion_sql),
 }
 
 

@@ -477,3 +477,54 @@ def test_crawl_gaps_matches_duckdb_and_staged_starvation(spark):
             assert by[f"h{h}"][6] >= 10  # longest_gap spans the hole
         else:
             assert by[f"h{h}"][6] < 10
+
+
+# --- param_explosion ---------------------------------------------------------
+
+
+def test_param_explosion_hand_check_and_duckdb(spark):
+    """Query strings and fragments strip to the path; repeat fetches
+    collapse (distinct URLs); the worst path resolves with the
+    smallest-path tiebreak; NULL URLs count as '' and never vanish."""
+    import duckdb
+
+    from logparser_llm_spark.operators.frontier import (
+        param_explosion,
+        param_explosion_sql,
+    )
+
+    urls = (
+        [("h1", f"http://h1/p?s={i}") for i in range(5)]
+        + [("h1", "http://h1/q"), ("h1", "http://h1/q"),
+           ("h1", "http://h1/r#frag")]
+        + [("h2", None), ("h2", "http://h2/a")]
+    )
+    df = spark.createDataFrame(urls, "h string, u string")
+    got = {r["host"]: tuple(r)
+           for r in param_explosion(df, "h", "u").collect()}
+    assert got["h1"] == ("h1", 7, 3, 2333, 5, "http://h1/p")
+    assert got["h2"] == ("h2", 2, 2, 1000, 1, "")
+    con = duckdb.connect()
+    con.execute("create table u (h varchar, u varchar)")
+    con.executemany("insert into u values (?,?)", urls)
+    want = {r[0]: tuple(r) for r in con.execute(param_explosion_sql(
+        rel="u", host_col="h", url_col="u")).fetchall()}
+    assert got == want
+
+
+def test_param_explosion_staged_classes_in_query(spark):
+    """Registered staging: session-id hosts (idx ≡ 2 mod 5) must blow
+    past 1000 urls-per-path while clean hosts sit at exactly 1000."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["param_explosion"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        idx = int(r["host"].replace("src", ""))
+        if idx % 5 == 2:
+            assert r["urls_per_path_e3"] > 3000, r
+            assert "?sid=" not in r["top_path"]
+        else:
+            assert r["urls_per_path_e3"] == 1000, r
+            assert r["max_path_urls"] == 1, r

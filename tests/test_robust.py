@@ -267,3 +267,84 @@ def test_quantile_norm_registered_classes(spark, sf):
         for s, p in pairs[:50]:
             below = sum(1 for x in scores if x < s)
             assert p == round(1e6 * below / max(n - 1, 1)), (lang, s, p)
+
+
+# --- trimmed_mean ------------------------------------------------------------
+
+
+def test_trimmed_mean_exact_laws_and_sign(spark):
+    """k = n·permille DIV 1000 from each end by rank; k = 0 degrades to
+    the plain mean; a huge outlier vanishes once k >= 1; negative sums
+    divide with the peeled sign (truncate-vs-floor trap); heavy trim
+    on 3 values keeps exactly the median."""
+    from logparser_llm_spark.operators.robust import trimmed_mean
+
+    rows = (
+        [("g", v) for v in (1, 2, 3, 4, 100)]
+        + [("h", v) for v in range(1, 21)] + [("h", 10**6)]
+        + [("neg", v) for v in (-7, -5, -3)]
+        + [("tiny", 5)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r[0]: tuple(r) for r in trimmed_mean(df, "g", "v").collect()}
+    assert got["g"] == ("g", 5, 5, 22_000_000)        # k=0: plain mean
+    assert got["h"][1:] == (21, 17, 187 * 1_000_000 // 17)
+    assert got["neg"][3] == -5_000_000
+    assert got["tiny"][1:] == (1, 1, 5_000_000)
+    m = {r[0]: tuple(r) for r in trimmed_mean(
+        spark.createDataFrame([("x", 1), ("x", 50), ("x", 9)],
+                              "g string, v long"),
+        "g", "v", trim_permille=400).collect()}
+    assert m["x"][1:] == (3, 1, 9_000_000)
+
+
+def test_trimmed_mean_validation_and_duckdb(spark):
+    import duckdb
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.robust import (
+        trimmed_mean,
+        trimmed_mean_sql,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with _pytest.raises(ValueError, match="trim_permille"):
+        trimmed_mean(df, "g", "v", trim_permille=500)
+    with _pytest.raises(ValueError, match="trim_permille"):
+        trimmed_mean_sql(rel="t", group_col="g", val_col="v",
+                         trim_permille=-1)
+    rows = [(f"g{i % 4}", ((i * 37) % 100) - 50
+             + (10_000 if i % 23 == 0 else 0)) for i in range(200)]
+    d2 = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(map(tuple,
+                     trimmed_mean(d2, "g", "v",
+                                  trim_permille=150).collect()))
+    con = duckdb.connect()
+    con.execute("create table t (g varchar, v bigint)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(trimmed_mean_sql(
+        rel="t", group_col="g", val_col="v",
+        trim_permille=150)).fetchall()))
+    assert got == want
+
+
+def test_trimmed_mean_resists_staged_spam_in_query(spark):
+    """In the registered staging the ×100 spam class must drag the RAW
+    mean far above the trimmed mean on every source."""
+    from pyspark.sql import functions as F2
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    trimmed = {r["source"]: r["mean_e6"]
+               for r in QUERIES["trimmed_quality"][0](spark, sf).collect()}
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source",
+        F2.when(F2.expr("(doc_id div 20) % 17 = 0"),
+                F2.col("n_chars") * 100)
+        .otherwise(F2.col("n_chars")).alias("len"),
+    )
+    raw = {r["source"]: r["m"] for r in
+           d.groupBy("source").agg(F2.avg("len").alias("m")).collect()}
+    for src, tm in trimmed.items():
+        assert raw[src] * 1_000_000 > 2 * tm, src  # raw mean at least 2x
