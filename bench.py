@@ -245,6 +245,9 @@ HEADLINE = [
     # r5 thirty-second arc: trimmed-mean quality + param explosion
     "trimmed_quality",
     "param_explosion",
+    # r5 thirty-third arc: JSON extraction + schema-drift profile
+    "props_extract",
+    "json_schema",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -301,6 +304,8 @@ LARGE_RESULT = {
     "script_mix",
     # r5 twenty-ninth arc: per-pair result shape
     "snm_blocking",
+    # r5 thirty-third arc: per-event result shape
+    "props_extract",
 }
 
 

@@ -371,6 +371,16 @@ def __getattr__(name):
             "logparser_llm_spark.operators.frontier",
             "param_explosion",
         ),
+        # round-5 thirty-third arc: JSON payload surface
+        "json_field": ("logparser_llm_spark.functions.json", "json_field"),
+        "json_field_bigint": (
+            "logparser_llm_spark.functions.json",
+            "json_field_bigint",
+        ),
+        "json_schema_profile": (
+            "logparser_llm_spark.operators.profile",
+            "json_schema_profile",
+        ),
     }
     if name in api:
         import importlib

@@ -990,3 +990,84 @@ def ks_drift_sql(*, rel: str, group_col: str, val_col: str) -> str:
                     else a.at_value end::BIGINT as at_value
         from _ks_max m left join _ks_at a on a.g = m.g
     """
+
+
+# --- JSON schema profile -----------------------------------------------------
+
+
+def json_schema_profile(
+    df: DataFrame, group_col: str, json_col: str
+) -> DataFrame:
+    """Per-group TOP-LEVEL-key profile of a JSON payload column — the
+    schema-drift audit for semi-structured telemetry: a producer that
+    renamed a field, started emitting a new one, or began sending
+    garbage shows up as a key's share moving between crawls, per
+    event type. Invalid/NULL/non-object payloads surface as the
+    reserved key ``∅invalid`` (they must be visible, not dropped —
+    the r4 lesson applied to documents that don't even parse).
+
+    Per (group, key): ``n`` and ``share_e6`` = n·10⁶ DIV the GROUP's
+    total payload count (all rows, invalid included), so shares are
+    comparable across keys and the invalid share is itself a tracked
+    signal. Key order inside a document is irrelevant (keys explode to
+    rows); duplicate keys in one document count once per occurrence
+    as the engines report them.
+
+    Scale shape: one scan → explode_outer of ``json_object_keys`` (a
+    JVM codegen parser, no Python) → ONE partially-aggregable
+    (group, key) count; group totals are a partial re-agg of that
+    frame joined back broadcast. Output: (group, key, n, share_e6)."""
+    keys = F.json_object_keys(F.col(json_col))
+    exploded = df.select(
+        F.col(group_col).alias("g"), F.explode_outer(keys).alias("k")
+    ).select(
+        "g", F.coalesce(F.col("k"), F.lit("∅invalid")).alias("k")
+    )
+    cnt = exploded.groupBy("g", "k").agg(F.count(F.lit(1)).alias("n"))
+    tot = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    return (
+        cnt.join(F.broadcast(tot), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").alias("key"),
+            "n",
+            F.expr("n * 1000000 div t").cast("bigint").alias("share_e6"),
+        )
+    )
+
+
+def json_schema_profile_sql(
+    *, rel: str, group_col: str, json_col: str
+) -> str:
+    """DuckDB recompute of :func:`json_schema_profile` — LEFT JOIN
+    LATERAL over json_keys guarded by try_cast-to-JSON (a bare CASE
+    over the VARCHAR column is NOT safe — DuckDB casts the whole input
+    vector to JSON before CASE filters rows, erroring on malformed
+    payloads; try_cast yields NULL per row),
+    generated here so the two spellings cannot drift."""
+    return f"""
+        with _js_k as (
+          select b.g, coalesce(u.k, '∅invalid') as k
+          from (
+            select {group_col} as g,
+                   case when json_type(try_cast({json_col} as json))
+                          = 'OBJECT'
+                        then json_keys(try_cast({json_col} as json))
+                   end as ks
+            from {rel}
+          ) b
+          left join lateral (select unnest(b.ks) as k) u on true
+        ),
+        _js_c as (
+          select g, k, count(*)::BIGINT as n from _js_k group by 1, 2
+        ),
+        _js_t as (
+          select {group_col} as g, count(*)::BIGINT as t
+          from {rel} group by 1
+        )
+        select c.g as {group_col}, c.k as key, c.n,
+               (c.n * 1000000 // t.t)::BIGINT as share_e6
+        from _js_c c join _js_t t on t.g = c.g
+    """

@@ -8248,6 +8248,120 @@ def q_param_explosion_sql(sf: str) -> str:
     )
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON field extraction over the event props payload
+    (functions/json.py) — the semi-structured hot path of every
+    telemetry pipeline, JVM-codegen end to end (get_json_object +
+    try_cast; no Python parser). The staging nests the real
+    ``props`` ({"k": n}) under $.meta and adds a tag array; every
+    tolerant-semantics class is planted: event_id ≡ 0 (mod 13)
+    truncates the payload (malformed → NULLs + valid=false),
+    $.meta.absent probes the missing path, and $.tags[0] reads an
+    array element. The DuckDB twin guards via try_cast-to-JSON
+    (a CASE over the raw VARCHAR is vector-cast before filtering —
+    found live in this arc)."""
+    from ..functions.json import json_field, json_field_bigint, json_valid
+
+    ev = _read(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"meta": '), F.col("props"),
+        F.lit(', "tags": ["'), F.col("event_type"), F.lit('", "x"]}'),
+    )
+    staged = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.when(
+            F.col("event_id") % 13 == 0, F.substring(payload, 1, 9)
+        )
+        .otherwise(payload)
+        .alias("j"),
+    )
+    return staged.select(
+        "event_id",
+        json_field_bigint(F.col("j"), "$.meta.k").alias("k"),
+        json_field(F.col("j"), "$.tags[0]").alias("tag0"),
+        json_field(F.col("j"), "$.meta.absent").alias("absent"),
+        json_valid(F.col("j")).alias("valid"),
+    )
+
+
+def q_props_extract_sql(sf: str) -> str:
+    from ..functions.json import json_field_sql, json_valid_sql
+
+    staged = """
+        select cast(event_id as bigint) as event_id,
+               case when event_id % 13 = 0
+                    then substr('{"meta": ' || props
+                         || ', "tags": ["' || event_type || '", "x"]}',
+                         1, 9)
+                    else '{"meta": ' || props
+                         || ', "tags": ["' || event_type || '", "x"]}'
+               end as j
+        from events
+    """
+    return f"""
+        select event_id,
+               {json_field_sql('j', '$.meta.k', as_bigint=True)} as k,
+               {json_field_sql('j', '$.tags[0]')} as tag0,
+               {json_field_sql('j', '$.meta.absent')} as absent,
+               {json_valid_sql('j')} as valid
+        from ({staged})
+    """
+
+
+def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type JSON schema-drift profile (operators/profile.py:
+    json_schema_profile): top-level key shares, with invalid payloads
+    surfacing as the tracked ``∅invalid`` share. Staging gives each
+    event type a distinct schema footprint: 'click' adds an "x" key,
+    'view' adds "y", event_id ≡ 0 (mod 11) truncates (the producer
+    shipping garbage), everything keeps the base "k" — so each type's
+    key-share vector is decidable."""
+    from ..operators.profile import json_schema_profile
+
+    ev = _read(spark, sf_dir, "events")
+    extra = (
+        F.when(F.col("event_type") == "click", F.lit(', "x": 1}'))
+        .when(F.col("event_type") == "view", F.lit(', "y": 2}'))
+        .otherwise(F.lit("}"))
+    )
+    payload = F.concat(
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k"),
+        extra,
+    )
+    staged = ev.select(
+        F.col("event_type"),
+        F.when(
+            F.col("event_id") % 11 == 0, F.substring(payload, 1, 6)
+        )
+        .otherwise(payload)
+        .alias("j"),
+    )
+    return json_schema_profile(staged, "event_type", "j")
+
+
+def q_json_schema_sql(sf: str) -> str:
+    from ..operators.profile import json_schema_profile_sql
+
+    staged = """
+        select event_type,
+               case when event_id % 11 = 0
+                    then substr(p, 1, 6) else p end as j
+        from (
+          select event_id, event_type,
+                 '{"k": ' || json_extract_string(try_cast(props as json),
+                                                 '$.k')
+                 || case when event_type = 'click' then ', "x": 1}'
+                         when event_type = 'view' then ', "y": 2}'
+                         else '}' end as p
+          from events
+        )
+    """
+    return json_schema_profile_sql(
+        rel=f"({staged})", group_col="event_type", json_col="j"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8620,6 +8734,10 @@ QUERIES: dict[str, tuple] = {
     "trimmed_quality": (q_trimmed_quality, q_trimmed_quality_sql),
     # r5 (thirty-second arc): URL parameter-explosion crawl-budget audit
     "param_explosion": (q_param_explosion, q_param_explosion_sql),
+    # r5 (thirty-third arc): typed JSON field extraction, codegen path
+    "props_extract": (q_props_extract, q_props_extract_sql),
+    # r5 (thirty-third arc): per-type JSON schema-drift profile
+    "json_schema": (q_json_schema, q_json_schema_sql),
 }
 
 
