@@ -248,6 +248,9 @@ HEADLINE = [
     # r5 thirty-third arc: JSON extraction + schema-drift profile
     "props_extract",
     "json_schema",
+    # r5 thirty-fourth arc: simhash operating curve + vocab growth
+    "simhash_sweep",
+    "vocab_growth",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -381,6 +381,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.profile",
             "json_schema_profile",
         ),
+        # round-5 thirty-fourth arc: threshold sweep + Heaps curve
+        "simhash_threshold_sweep": (
+            "logparser_llm_spark.operators.dedup",
+            "simhash_threshold_sweep",
+        ),
+        "vocab_growth": (
+            "logparser_llm_spark.operators.profile",
+            "vocab_growth",
+        ),
     }
     if name in api:
         import importlib

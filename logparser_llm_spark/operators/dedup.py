@@ -1486,3 +1486,111 @@ def minhash_calibration(
             F.expr("_sa div n_pairs").alias("mean_abs_err_e6"),
         )
     )
+
+
+# --- SimHash threshold operating curve ---------------------------------------
+
+
+def simhash_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    family_col: str,
+    *,
+    max_hamming: int = 7,
+    bits: int = 32,
+) -> DataFrame:
+    """Operating curve for the SimHash near-dup THRESHOLD — the sweep a
+    pipeline owner reads before fixing ``max_hamming`` in production
+    (every row of this table is a precision/recall point; the knee is
+    the threshold). Ground truth comes from ``family_col``: two docs
+    are a TRUE duplicate pair iff they share a non-NULL family id (the
+    caller's staging/labeling); predictions at threshold t are the
+    exact pigeonhole-banded pairs with hamming ≤ t.
+
+    Honesty property: recall's denominator is the FULL true-pair count
+    Σ_fam C(k,2) computed from the corpus — true pairs whose hamming
+    exceeds ``max_hamming`` (missed by any threshold in the sweep)
+    stay in fn, so the curve cannot flatter the banding. Per
+    threshold t ∈ [0, max_hamming]: (t, n_pred, tp, fp, fn,
+    precision_e6 — NULL when nothing was predicted, recall_e6).
+
+    Scale shape: one banded candidate join
+    (:func:`simhash_near_dup_pairs`, exact for hamming ≤ bands−1) +
+    two broadcast family-label joins; per-hamming tallies collapse to
+    a ≤ max_hamming+1-row frame BEFORE the cumulative window (which
+    therefore runs on ≤ 8 rows); the true-pair total is one
+    partial-agg over family sizes. No driver loops."""
+    if not 0 <= max_hamming <= bits - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}], got {max_hamming}"
+        )
+    bands = max_hamming + 1
+    pairs = simhash_near_dup_pairs(
+        df, id_col, text_col, max_hamming=max_hamming, bands=bands,
+        bits=bits,
+    )
+    fam = df.select(
+        F.col(id_col).alias("_fid"), F.col(family_col).alias("_fam")
+    )
+    labeled = (
+        pairs.join(
+            fam.select(F.col("_fid").alias("id_a"),
+                       F.col("_fam").alias("fam_a")),
+            "id_a",
+        )
+        .join(
+            fam.select(F.col("_fid").alias("id_b"),
+                       F.col("_fam").alias("fam_b")),
+            "id_b",
+        )
+        .select(
+            "hamming",
+            (
+                F.col("fam_a").isNotNull()
+                & (F.col("fam_a") == F.col("fam_b"))
+            ).alias("same"),
+        )
+    )
+    per_h = labeled.groupBy("hamming").agg(
+        F.sum(F.when(F.col("same"), 1).otherwise(0)).cast("bigint")
+        .alias("tp_h"),
+        F.sum(F.when(F.col("same"), 0).otherwise(1)).cast("bigint")
+        .alias("fp_h"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(t,) for t in range(max_hamming + 1)], "t bigint"
+    )
+    total_true = (
+        fam.where(F.col("_fam").isNotNull())
+        .groupBy("_fam")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("k * (k - 1) div 2")), F.lit(0)
+            ).cast("bigint").alias("total_true")
+        )
+    )
+    cum = (
+        grid.join(per_h, per_h["hamming"] <= grid["t"], "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("tp_h"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.sum("fp_h"), F.lit(0)).cast("bigint").alias("fp"),
+        )
+        .crossJoin(F.broadcast(total_true))
+    )
+    return cum.select(
+        "t",
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        "tp",
+        "fp",
+        (F.col("total_true") - F.col("tp")).alias("fn"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("tp * 1000000 div (tp + fp)"))
+        .alias("precision_e6"),
+        F.when(F.col("total_true") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("tp * 1000000 div total_true"))
+        .alias("recall_e6"),
+    )

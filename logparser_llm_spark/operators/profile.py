@@ -1071,3 +1071,117 @@ def json_schema_profile_sql(
                (c.n * 1000000 // t.t)::BIGINT as share_e6
         from _js_c c join _js_t t on t.g = c.g
     """
+
+
+# --- vocabulary growth (Heaps' law) ------------------------------------------
+
+
+def vocab_growth(
+    df: DataFrame, id_col: str, text_col: str, *, bucket_size: int
+) -> DataFrame:
+    """Vocabulary-growth curve (the Heaps'-law audit): walk the corpus
+    in ``id_col`` order in buckets of ``bucket_size`` docs and report,
+    per bucket, the NEW token types it introduces and the running
+    totals — the diversity signal a data curator reads before adding
+    another crawl dump (a flattening curve says the new data is
+    repeating the old vocabulary; Heaps' law V ≈ K·N^β predicts the
+    slope for healthy natural text, β ≈ 0.4–0.6). Exact, not fitted:
+    the output IS the (cum_tokens, cum_types) point set; fit β
+    downstream if wanted.
+
+    Token law: the shared lowercase-alphanumeric tokenizer
+    (functions/text.py single definition). A token's bucket of first
+    appearance is ``min(bucket)`` over its occurrences — order inside
+    a bucket doesn't matter, so the curve is partition-invariant and
+    engine-portable without any global sort.
+
+    Scale shape: one token explode → (token) MIN-bucket partial agg
+    (map-side combinable) + one (bucket) token-total partial agg; the
+    cumulative window runs over the ≤ n/bucket_size-row bucket frame,
+    never the token stream. Empty buckets inside the id range emit no
+    row (ids absent from the data cannot be distinguished from gaps —
+    callers with sparse ids pre-densify). Output: (bucket, n_docs,
+    n_tokens, new_types, cum_tokens, cum_types)."""
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    from ..functions.text import lower_tokens
+
+    bucket = F.expr(f"{id_col} div {bucket_size}").cast("bigint")
+    toks = df.select(
+        bucket.alias("b"),
+        F.explode(
+            lower_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("b").alias("fb"))
+    new_types = first.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    per_bucket = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    docs = df.select(bucket.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        docs.join(per_bucket, "b", "left")
+        .join(new_types, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).cast("bigint")
+            .alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("bigint"))
+    )
+
+
+def vocab_growth_sql(
+    *, rel: str, id_col: str, text_col: str, bucket_size: int
+) -> str:
+    """DuckDB recompute of :func:`vocab_growth` — same token law, same
+    min-bucket first-appearance rule, generated here so the two
+    spellings cannot drift."""
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    from ..functions.text import LOWER_TOKENS_SQL
+
+    toks = LOWER_TOKENS_SQL.format(c=f"coalesce({text_col}, '')")
+    return f"""
+        with _vg_t as (
+          select ({id_col} // {bucket_size}) as b, unnest({toks}) as tok
+          from {rel}
+        ),
+        _vg_first as (
+          select tok, min(b) as fb from _vg_t group by 1
+        ),
+        _vg_new as (
+          select fb as b, count(*)::BIGINT as new_types
+          from _vg_first group by 1
+        ),
+        _vg_tok as (
+          select b, count(*)::BIGINT as n_tokens from _vg_t group by 1
+        ),
+        _vg_docs as (
+          select ({id_col} // {bucket_size}) as b, count(*)::BIGINT as n_docs
+          from {rel} group by 1
+        )
+        select d.b as bucket, d.n_docs,
+               coalesce(t.n_tokens, 0)::BIGINT as n_tokens,
+               coalesce(n.new_types, 0)::BIGINT as new_types,
+               sum(coalesce(t.n_tokens, 0)) over (order by d.b
+                 rows between unbounded preceding and current row
+               )::BIGINT as cum_tokens,
+               sum(coalesce(n.new_types, 0)) over (order by d.b
+                 rows between unbounded preceding and current row
+               )::BIGINT as cum_types
+        from _vg_docs d
+        left join _vg_tok t on t.b = d.b
+        left join _vg_new n on n.b = d.b
+    """

@@ -8362,6 +8362,180 @@ def q_json_schema_sql(sf: str) -> str:
     )
 
 
+_SWEEP_NTOK = 16
+
+
+def _sweep_keep_expr_sql() -> str:
+    # members m<=1 are exact copies (hamming-0 truth), m=2 light edit,
+    # m=3 heavier, m=4 mostly rewritten
+    return ("case when (doc_id % 5) <= 1 then 16 "
+            "when doc_id % 5 = 2 then 13 "
+            "when doc_id % 5 = 3 then 10 else 7 end")
+
+
+def q_simhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold operating curve (operators/dedup.py:
+    simhash_threshold_sweep) over a constructed family corpus: fam =
+    doc_id div 5; members 0–1 are EXACT copies (the hamming-0 band),
+    member 2 swaps 3 of 16 md5-derived tokens, member 3 swaps 6,
+    member 4 swaps 9; truth = family id for members ≤ 2 (so member
+    3/4 matches are false positives the curve must price). Every
+    precision/recall point is exact; recall's denominator counts ALL
+    true pairs, so band-missed pairs stay in fn."""
+    from ..operators.dedup import simhash_threshold_sweep
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    m = F.col("doc_id") % 5
+    keep = (
+        F.when(m <= 1, F.lit(16))
+        .when(m == 2, F.lit(13))
+        .when(m == 3, F.lit(10))
+        .otherwise(F.lit(7))
+    )
+    fam = F.expr("doc_id div 5").cast("string")
+    toks = [
+        F.when(
+            F.lit(i) < keep,
+            F.substring(
+                F.md5(F.concat(F.lit("f"), fam, F.lit(f"-{i}"))), 1, 6
+            ),
+        ).otherwise(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("d"), F.col("doc_id").cast("string"),
+                        F.lit(f"-{i}"),
+                    )
+                ),
+                1, 6,
+            )
+        )
+        for i in range(_SWEEP_NTOK)
+    ]
+    staged = d.select(
+        "doc_id",
+        F.concat_ws(" ", *toks).alias("text"),
+        F.when(m <= 2, fam).alias("family"),
+    )
+    return simhash_threshold_sweep(staged, "doc_id", "text", "family")
+
+
+def q_simhash_sweep_sql(sf: str) -> str:
+    keep = _sweep_keep_expr_sql()
+    tok_sqls = [
+        f"case when {i} < ({keep}) then "
+        f"substr(md5('f' || cast(doc_id // 5 as varchar) || '-{i}'), 1, 6) "
+        f"else substr(md5('d' || cast(doc_id as varchar) || '-{i}'), 1, 6) "
+        f"end"
+        for i in range(_SWEEP_NTOK)
+    ]
+    text = " || ' ' || ".join(tok_sqls)
+    staged = f"""
+        select cast(doc_id as bigint) as doc_id,
+               {text} as text,
+               case when doc_id % 5 <= 2
+                    then cast(doc_id // 5 as varchar) end as family
+        from documents
+    """
+    bit_terms = _simhash_bit_terms()
+    # independent algebra: brute-force all pairs (no banding), exact
+    # hamming from the shared simhash rendering, cumulative per t
+    return f"""
+        with staged as ({staged}),
+        s as (
+          select doc_id, family,
+            case when len(hs) > 0 then {bit_terms} else 0 end as simhash
+          from (
+            select doc_id, family,
+                   list_transform({TOKENS_SQL.format(c='text')},
+                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) as hs
+            from staged
+          )
+        ),
+        pairs as (
+          select bit_count(xor(a.simhash, b.simhash)) as h,
+                 (a.family is not null and a.family = b.family) as same
+          from s a join s b on a.doc_id < b.doc_id
+          where bit_count(xor(a.simhash, b.simhash)) <= 7
+        ),
+        tt as (
+          select coalesce(sum(k * (k - 1) // 2), 0)::BIGINT as total_true
+          from (select count(*)::BIGINT as k from staged
+                where family is not null group by family)
+        ),
+        grid as (select unnest(range(8)) as t)
+        select cast(g.t as bigint) as t,
+               count(p.h)::BIGINT as n_pred,
+               coalesce(sum(case when p.same then 1 else 0 end),
+                        0)::BIGINT as tp,
+               coalesce(sum(case when p.same then 0 else 1 end),
+                        0)::BIGINT as fp,
+               (tt.total_true - coalesce(sum(case when p.same then 1
+                 else 0 end), 0))::BIGINT as fn,
+               case when count(p.h) = 0 then NULL
+                    else coalesce(sum(case when p.same then 1 else 0
+                      end), 0) * 1000000 // count(p.h)
+               end::BIGINT as precision_e6,
+               case when tt.total_true = 0 then 0
+                    else coalesce(sum(case when p.same then 1 else 0
+                      end), 0) * 1000000 // tt.total_true
+               end::BIGINT as recall_e6
+        from grid g cross join tt
+        left join pairs p on p.h <= g.t
+        group by g.t, tt.total_true
+    """
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (operators/profile.py:
+    vocab_growth) over the documents corpus in doc_id order, 25-doc
+    buckets — the diversity audit read before adding another crawl
+    dump (a flattening cum_types curve says the new data repeats the
+    old vocabulary). Exact point set, shared token law; the staging
+    makes the LAST fifth of the corpus md5-gibberish so the curve
+    must bend sharply UP there (gibberish = all-new types), the
+    decidable inversion of the natural flattening."""
+    from ..operators.profile import vocab_growth
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text"),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 >= 16,
+            F.concat(
+                F.md5(F.concat(F.lit("g1"), F.col("doc_id").cast("string"))),
+                F.lit(" "),
+                F.md5(F.concat(F.lit("g2"), F.col("doc_id").cast("string"))),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return vocab_growth(staged, "doc_id", "text", bucket_size=25)
+
+
+def q_vocab_growth_sql(sf: str) -> str:
+    from ..operators.profile import vocab_growth_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id,
+               case when doc_id % 20 >= 16
+                    then md5('g1' || cast(doc_id as varchar)) || ' '
+                         || md5('g2' || cast(doc_id as varchar))
+                    else text end as text
+        from documents
+    """
+    return vocab_growth_sql(
+        rel=f"({staged})", id_col="doc_id", text_col="text",
+        bucket_size=25,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8738,6 +8912,10 @@ QUERIES: dict[str, tuple] = {
     "props_extract": (q_props_extract, q_props_extract_sql),
     # r5 (thirty-third arc): per-type JSON schema-drift profile
     "json_schema": (q_json_schema, q_json_schema_sql),
+    # r5 (thirty-fourth arc): SimHash threshold operating curve
+    "simhash_sweep": (q_simhash_sweep, q_simhash_sweep_sql),
+    # r5 (thirty-fourth arc): Heaps-law vocabulary growth curve
+    "vocab_growth": (q_vocab_growth, q_vocab_growth_sql),
 }
 
 

@@ -998,3 +998,55 @@ def test_minhash_calibration_reuses_persisted_frames(spark):
     facts = plan_facts(out)
     assert not facts["python_udf"] and not facts["map_in_pandas"]
     assert facts["partial_aggregate"]
+
+
+# --- simhash_threshold_sweep -------------------------------------------------
+
+
+def test_simhash_sweep_truth_accounting_and_monotonicity(spark):
+    """tp + fn == total true pairs at EVERY threshold (band-missed
+    pairs stay in fn — the honesty property); recall monotone
+    non-decreasing, n_pred monotone; zero-prediction rows carry NULL
+    precision; exact-copy families land at hamming 0."""
+    import hashlib
+
+    from logparser_llm_spark.operators.dedup import simhash_threshold_sweep
+
+    def w(seed, i):
+        return hashlib.md5(f"{seed}-{i}".encode()).hexdigest()[:6]
+
+    rows = []
+    for fam in range(6):
+        for m in range(5):
+            did = fam * 5 + m
+            keep = 16 if m <= 1 else 16 - 3 * (m - 1)
+            toks = [w(f"f{fam}", i) if i < keep else w(f"d{did}", i)
+                    for i in range(16)]
+            rows.append((did, " ".join(toks),
+                         f"f{fam}" if m <= 2 else None))
+    df = spark.createDataFrame(rows, "id long, text string, fam string")
+    out = sorted(map(tuple,
+                     simhash_threshold_sweep(df, "id", "text",
+                                             "fam").collect()))
+    total_true = 6 * 3  # 6 families x C(3,2)
+    prev_pred, prev_rec = -1, -1
+    for t, n_pred, tp, fp, fn, prec, rec in out:
+        assert tp + fn == total_true, (t, tp, fn)
+        assert n_pred == tp + fp
+        assert n_pred >= prev_pred and rec >= prev_rec
+        prev_pred, prev_rec = n_pred, rec
+        if n_pred == 0:
+            assert prec is None
+    # the two exact copies per family meet at t=0
+    assert out[0][2] >= 6
+
+
+def test_simhash_sweep_validation(spark):
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.dedup import simhash_threshold_sweep
+
+    df = spark.createDataFrame([(1, "a", None)],
+                               "id long, text string, fam string")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_threshold_sweep(df, "id", "text", "fam", max_hamming=32)

@@ -1050,3 +1050,52 @@ def test_ks_drift_shift_dominates_in_query_staging(spark):
     assert top["source"] == "src13"
     runner_up = sorted((r["ks_e6"] for r in rows), reverse=True)[1]
     assert top["ks_e6"] * 2 > 3 * runner_up  # >= 1.5x the noise floor
+
+
+# --- vocab_growth (operators/profile.py) ------------------------------------
+
+
+def test_vocab_growth_exact_hand_case_and_invariance(spark):
+    """First-appearance is min(bucket) (order inside a bucket is
+    irrelevant); NULL text contributes nothing but its doc counts;
+    cumulative totals telescope; partition invariant."""
+    from logparser_llm_spark.operators.profile import vocab_growth
+
+    rows = [(0, "a b c"), (1, "a b"), (10, "c d e"), (11, None),
+            (20, "e f"), (21, "A, b!")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(map(tuple,
+                     vocab_growth(df, "id", "text",
+                                  bucket_size=10).collect()))
+    assert got == [(0, 2, 5, 3, 5, 3), (1, 2, 3, 2, 8, 5),
+                   (2, 2, 4, 1, 12, 6)]
+    g2 = sorted(map(tuple,
+                    vocab_growth(df.repartition(5), "id", "text",
+                                 bucket_size=10).collect()))
+    assert g2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_size"):
+        vocab_growth(df, "id", "text", bucket_size=0)
+
+
+def test_vocab_growth_gibberish_band_bends_curve_up(spark):
+    """Registered staging: the %20>=16 gibberish band injects all-new
+    md5 types, so buckets covering it add far more new types per doc
+    than natural-text buckets — the decidable inversion of Heaps
+    flattening."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = sorted(
+        map(tuple, QUERIES["vocab_growth"][0](
+            spark, "/root/testdata/sf0.001").collect())
+    )
+    # every bucket holds 25 docs of which 5 are gibberish (2 unique
+    # md5 words each => >= 10 new types guaranteed per bucket) while
+    # natural text saturates: new types must never hit zero
+    assert all(r[3] >= 8 for r in rows), rows[:5]
+    # telescoping check
+    cum = 0
+    for r in rows:
+        cum += r[3]
+        assert r[5] == cum
