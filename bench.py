@@ -251,6 +251,9 @@ HEADLINE = [
     # r5 thirty-fourth arc: simhash operating curve + vocab growth
     "simhash_sweep",
     "vocab_growth",
+    # r5 thirty-fifth arc: Hill tail index + epoch reshuffle plan
+    "host_tail_index",
+    "epoch_plan",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write
@@ -309,6 +312,8 @@ LARGE_RESULT = {
     "snm_blocking",
     # r5 thirty-third arc: per-event result shape
     "props_extract",
+    # r5 thirty-fifth arc: per-(doc, epoch) result shape
+    "epoch_plan",
 }
 
 

@@ -390,6 +390,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.profile",
             "vocab_growth",
         ),
+        # round-5 thirty-fifth arc: tail index + epoch shuffle
+        "hill_tail_index": (
+            "logparser_llm_spark.operators.profile",
+            "hill_tail_index",
+        ),
+        "epoch_shuffle": (
+            "logparser_llm_spark.operators.packing",
+            "epoch_shuffle",
+        ),
     }
     if name in api:
         import importlib

@@ -229,3 +229,90 @@ def shard_plan(
     return ranked.withColumn(
         "shard_id", F.expr(f"cum_before div {target_bytes}")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    epochs: int,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic multi-epoch reshuffle PLAN — the data-loader
+    question at training scale: every epoch must visit every document
+    exactly once in a different, reproducible order, WITHOUT
+    materializing a permutation table or trusting a single-node RNG.
+    Order key = md5(seed ‖ epoch ‖ id) (tie-broken by id): a keyed
+    hash order, reproducible on any engine, uncorrelated between
+    epochs; the position is the scale-correct global rank
+    (:func:`exclusive_prefix_sum` with epoch as the major key — ONE
+    range shuffle over epochs×rows, never the single-task
+    row_number), so within each epoch positions are exactly
+    0..N−1 — a bijection by construction.
+
+    Output: (id, epoch, pos). Each epoch's pos multiset is exactly
+    {0..N−1} (asserted in tests); the same (seed, epoch, id) always
+    lands on the same pos.
+
+    Scale note: for E epochs this materializes E·N plan rows in one
+    job — the shape a loader wants when it writes per-epoch manifest
+    files; for an on-the-fly loader, compute one epoch at a time
+    (same call, epochs=1, seed+epoch varied)."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    e = df.select(F.col(id_col).alias("id")).crossJoin(
+        F.broadcast(
+            df.sparkSession.range(epochs).select(
+                F.col("id").cast("bigint").alias("epoch")
+            )
+        )
+    )
+    key = F.concat(
+        F.lpad(F.col("epoch").cast("string"), 6, "0"),
+        F.lit("|"),
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}|"),
+                F.col("epoch").cast("string"),
+                F.lit("|"),
+                F.col("id").cast("string"),
+            )
+        ),
+        F.lit("|"),
+        F.lpad(F.col("id").cast("string"), 20, "0"),
+    )
+    ranked = global_rank(
+        e.withColumn("_ek", key),
+        "_ek",
+        out_col="_gpos",
+        num_partitions=num_partitions,
+    )
+    n = df.count()
+    return ranked.select(
+        "id",
+        "epoch",
+        (F.col("_gpos") - F.col("epoch") * F.lit(n)).cast("bigint")
+        .alias("pos"),
+    )
+
+
+def epoch_shuffle_sql(
+    *, rel: str, id_col: str, epochs: int, seed: int = 0
+) -> str:
+    """DuckDB recompute of :func:`epoch_shuffle` — same keyed-hash
+    order per epoch, spelled as the single-node window (the
+    independent algebra the Spark side deliberately avoids)."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    return f"""
+        select {id_col} as id, e.epoch,
+               cast(row_number() over (
+                 partition by e.epoch
+                 order by md5('{seed}|' || cast(e.epoch as varchar)
+                              || '|' || cast({id_col} as varchar)),
+                          {id_col}
+               ) - 1 as bigint) as pos
+        from {rel}
+        cross join (select unnest(range({epochs}))::BIGINT as epoch) e
+    """

@@ -1185,3 +1185,118 @@ def vocab_growth_sql(
         left join _vg_tok t on t.b = d.b
         left join _vg_new n on n.b = d.b
     """
+
+
+# --- Hill tail index ---------------------------------------------------------
+
+
+def hill_tail_index(
+    df: DataFrame, key_col: str, size_col: str, *, k: int
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over per-key sizes —
+    the heavy-tail audit a crawl planner runs on host-size /
+    dup-family-size distributions (α ≤ 2 means the biggest hosts
+    dominate total mass: partition-by-host will straggle and source
+    caps are mandatory; α large means the tail is benign).
+
+        α̂ = k / ( (1/k)·Σ_{i=1..k} ln(x_(i) / x_(k+1)) )⁻¹ … spelled
+        alpha_e3 = k·10⁹ DIV Σ round(10⁶·ln(x_(i)/x_(k+1)))
+
+    over the k largest sizes with x_(k+1) the reference order
+    statistic. Each ln term quantizes to integer micro-nats BEFORE
+    the sum (the char_entropy/lm convention: one double division +
+    one ln on integer args — bit-identical cross-engine), so the
+    output is exact given the inputs. Ties at the k-boundary resolve
+    by (size desc, key asc) — deterministic. Requires at least k+1
+    keys with positive size (ValueError-documented, runtime NULL row
+    otherwise is not emitted — the single output row simply reports
+    what it used).
+
+    Output: ONE row (n_keys, k, x_ref, sum_ln_e6, alpha_e3); alpha
+    NULL when the tail is degenerate (sum_ln_e6 = 0 — the top k+1
+    sizes all equal, no tail to measure).
+
+    Scale shape: one partial agg to the per-key size frame; the
+    order-statistic selection is a window over that SMALL frame (keys
+    ≪ rows — hosts, families); the estimator folds in one tiny agg."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sizes = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(size_col)).cast("bigint").alias("sz")
+    ).where(F.col("sz") > 0)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("sz"), F.col("key"))
+    ranked = sizes.select(
+        "sz", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= k + 1)
+    ref = ranked.where(F.col("r") == k + 1).select(
+        F.col("sz").alias("x_ref")
+    )
+    n_keys = sizes.agg(F.count(F.lit(1)).alias("n_keys"))
+    terms = (
+        ranked.where(F.col("r") <= k)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "x_ref",
+            F.round(
+                F.log(F.col("sz").cast("double") / F.col("x_ref"))
+                * 1_000_000
+            ).cast("bigint").alias("t"),
+        )
+    )
+    agg = terms.groupBy("x_ref").agg(
+        F.sum("t").alias("sum_ln_e6"), F.count(F.lit(1)).alias("used_k")
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(agg))
+        .select(
+            "n_keys",
+            F.col("used_k").cast("bigint").alias("k"),
+            "x_ref",
+            "sum_ln_e6",
+            F.when(F.col("sum_ln_e6") <= 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.expr("used_k * 1000000000 div sum_ln_e6")
+            )
+            .alias("alpha_e3"),
+        )
+    )
+
+
+def hill_tail_index_sql(
+    *, rel: str, key_col: str, size_col: str, k: int
+) -> str:
+    """DuckDB recompute of :func:`hill_tail_index` — same order
+    statistics, same quantize-before-sum ln terms, generated here so
+    the two spellings cannot drift."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+        with _ht_s as (
+          select {key_col} as key, sum({size_col})::BIGINT as sz
+          from {rel} group by 1 having sum({size_col}) > 0
+        ),
+        _ht_r as (
+          select sz, row_number() over (order by sz desc, key) as r
+          from _ht_s
+        ),
+        _ht_ref as (select sz as x_ref from _ht_r where r = {k + 1}),
+        _ht_t as (
+          select x_ref,
+                 cast(round(ln(cast(sz as double) / x_ref) * 1000000)
+                      as bigint) as t
+          from _ht_r cross join _ht_ref where r <= {k}
+        ),
+        _ht_a as (
+          select x_ref, sum(t)::BIGINT as sum_ln_e6,
+                 count(*)::BIGINT as used_k
+          from _ht_t group by 1
+        ),
+        _ht_n as (select count(*)::BIGINT as n_keys from _ht_s)
+        select n.n_keys, a.used_k as k, a.x_ref, a.sum_ln_e6,
+               case when a.sum_ln_e6 <= 0 then NULL
+                    else a.used_k * 1000000000 // a.sum_ln_e6
+               end::BIGINT as alpha_e3
+        from _ht_n n cross join _ht_a a
+    """

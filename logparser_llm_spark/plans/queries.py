@@ -8536,6 +8536,72 @@ def q_vocab_growth_sql(sf: str) -> str:
     )
 
 
+def q_host_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index audit of the host-size distribution
+    (operators/profile.py:hill_tail_index, k=10) — the heavy-tail
+    check a crawl planner runs before choosing a host partitioning
+    (small α: the biggest hosts dominate total mass → stragglers →
+    mandatory source caps). Staging gives host sizes a geometric tail
+    (per-source char mass shifted by 2^(idx mod 12)), so the top-10
+    ln-ratio ladder is decidable and the estimator lands in a pinned
+    band."""
+    from ..operators.profile import hill_tail_index
+
+    d = _read(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("source"),
+        (
+            F.col("n_chars")
+            * F.expr(
+                "shiftleft(cast(1 as bigint), "
+                "cast(regexp_replace(source, '[^0-9]', '') as int) % 12)"
+            )
+        ).cast("bigint").alias("mass"),
+    )
+    return hill_tail_index(staged, "source", "mass", k=10)
+
+
+def q_host_tail_index_sql(sf: str) -> str:
+    from ..operators.profile import hill_tail_index_sql
+
+    staged = """
+        select source,
+               cast(n_chars * (1::BIGINT <<
+                 (cast(regexp_replace(source, '[^0-9]', '', 'g') as int)
+                  % 12)) as bigint) as mass
+        from documents
+    """
+    return hill_tail_index_sql(
+        rel=f"({staged})", key_col="source", size_col="mass", k=10
+    )
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-epoch deterministic reshuffle plan (operators/packing.py:
+    epoch_shuffle, seed 7) over the documents corpus — every epoch is
+    an exact bijection onto 0..N−1 in a reproducible md5-keyed order,
+    computed by the range-shuffle prefix-sum rank (epoch-major key),
+    never a single-task window. The oracle IS the single-node window
+    spelling — an independent algebra."""
+    from ..operators.packing import epoch_shuffle
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return epoch_shuffle(d, "doc_id", epochs=3, seed=7)
+
+
+def q_epoch_plan_sql(sf: str) -> str:
+    from ..operators.packing import epoch_shuffle_sql
+
+    return epoch_shuffle_sql(
+        rel="(select cast(doc_id as bigint) as doc_id from documents)",
+        id_col="doc_id",
+        epochs=3,
+        seed=7,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8916,6 +8982,10 @@ QUERIES: dict[str, tuple] = {
     "simhash_sweep": (q_simhash_sweep, q_simhash_sweep_sql),
     # r5 (thirty-fourth arc): Heaps-law vocabulary growth curve
     "vocab_growth": (q_vocab_growth, q_vocab_growth_sql),
+    # r5 (thirty-fifth arc): Hill heavy-tail index of host sizes
+    "host_tail_index": (q_host_tail_index, q_host_tail_index_sql),
+    # r5 (thirty-fifth arc): deterministic multi-epoch reshuffle plan
+    "epoch_plan": (q_epoch_plan, q_epoch_plan_sql),
 }
 
 

@@ -1099,3 +1099,51 @@ def test_vocab_growth_gibberish_band_bends_curve_up(spark):
     for r in rows:
         cum += r[3]
         assert r[5] == cum
+
+
+# --- hill_tail_index (operators/profile.py) ----------------------------------
+
+
+def test_hill_tail_index_geometric_hand_case_and_edges(spark):
+    """Geometric sizes 2^(20-i) give a closed-form ln-ratio ladder;
+    all-equal sizes are a degenerate tail (NULL alpha); zero/negative
+    sizes are excluded from the order statistics; k validation."""
+    import math
+
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.profile import hill_tail_index
+
+    rows = [(f"h{i}", 1 << (20 - i)) for i in range(1, 16)]
+    df = spark.createDataFrame(rows, "k string, s long")
+    r = hill_tail_index(df, "k", "s", k=10).collect()[0]
+    exp = sum(round(1e6 * math.log((1 << (20 - i)) / (1 << 9)))
+              for i in range(1, 11))
+    assert (r["k"], r["x_ref"], r["sum_ln_e6"]) == (10, 512, exp)
+    assert r["alpha_e3"] == 10 * 10**9 // exp  # ~1/ln2 = 1.443
+    eq = spark.createDataFrame([(f"h{i}", 7) for i in range(6)],
+                               "k string, s long")
+    assert hill_tail_index(eq, "k", "s", k=3).collect()[0]["alpha_e3"] \
+        is None
+    with _pytest.raises(ValueError, match="k must be"):
+        hill_tail_index(df, "k", "s", k=0)
+
+
+def test_hill_tail_index_matches_duckdb_unit_scale(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.profile import (
+        hill_tail_index,
+        hill_tail_index_sql,
+    )
+
+    rows = [(f"h{i}", ((i * 37) % 90 + 1) * (1 << (i % 9)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, s long")
+    got = sorted(map(tuple, hill_tail_index(df, "k", "s", k=12).collect()))
+    con = duckdb.connect()
+    con.execute("create table t (k varchar, s bigint)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(hill_tail_index_sql(
+        rel="t", key_col="k", size_col="s", k=12)).fetchall()))
+    assert got == want

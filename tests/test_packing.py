@@ -339,3 +339,59 @@ def test_shard_plan_registered_laws(spark, sf):
         if sid != last:
             assert total + 0 >= SHARD_PLAN_TARGET - max(bs), (sf, sid)
     assert len(by) >= 2, sf
+
+
+# --- epoch_shuffle -----------------------------------------------------------
+
+
+def test_epoch_shuffle_bijection_determinism_and_decorrelation(spark):
+    """Every epoch's pos multiset is exactly 0..N−1; the same (seed,
+    epoch, id) always lands on the same pos; different epochs/seeds
+    give different orders; validation."""
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.packing import epoch_shuffle
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc long")
+    out = epoch_shuffle(ids, "doc", epochs=3, seed=5).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1, 2}
+    for m in by_epoch.values():
+        assert sorted(m.values()) == list(range(60))
+    assert by_epoch[0] != by_epoch[1] and by_epoch[1] != by_epoch[2]
+    again = {r["id"]: r["pos"]
+             for r in epoch_shuffle(ids, "doc", epochs=1,
+                                    seed=5).collect()}
+    assert again == by_epoch[0]
+    other_seed = {r["id"]: r["pos"]
+                  for r in epoch_shuffle(ids, "doc", epochs=1,
+                                         seed=6).collect()}
+    assert other_seed != by_epoch[0]
+    with _pytest.raises(ValueError, match="epochs"):
+        epoch_shuffle(ids, "doc", epochs=0)
+
+
+def test_epoch_shuffle_matches_duckdb_and_no_single_partition(spark):
+    import duckdb
+
+    from logparser_llm_spark.operators.packing import (
+        epoch_shuffle,
+        epoch_shuffle_sql,
+    )
+    from logparser_llm_spark.plans.inspect import physical_plan
+
+    ids = spark.createDataFrame([(i * 3,) for i in range(45)], "doc long")
+    got = sorted(map(tuple,
+                     epoch_shuffle(ids, "doc", epochs=2,
+                                   seed=11).collect()))
+    con = duckdb.connect()
+    con.execute("create table d (doc bigint)")
+    con.executemany("insert into d values (?)",
+                    [(i * 3,) for i in range(45)])
+    want = sorted(map(tuple, con.execute(epoch_shuffle_sql(
+        rel="d", id_col="doc", epochs=2, seed=11)).fetchall()))
+    assert got == want
+    plan = physical_plan(epoch_shuffle(ids, "doc", epochs=2, seed=11))
+    assert "Window" not in plan  # rank comes from the prefix sum
