@@ -254,6 +254,9 @@ HEADLINE = [
     # r5 thirty-fifth arc: Hill tail index + epoch reshuffle plan
     "host_tail_index",
     "epoch_plan",
+    # r5 thirty-sixth arc: graph structure constants + crawl capstone
+    "graph_stats",
+    "crawl_health",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

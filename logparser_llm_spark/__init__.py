@@ -399,6 +399,11 @@ def __getattr__(name):
             "logparser_llm_spark.operators.packing",
             "epoch_shuffle",
         ),
+        # round-5 thirty-sixth arc: graph structure constants
+        "graph_structure": (
+            "logparser_llm_spark.operators.graph",
+            "graph_structure",
+        ),
     }
     if name in api:
         import importlib

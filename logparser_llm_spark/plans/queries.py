@@ -8602,6 +8602,172 @@ def q_epoch_plan_sql(sf: str) -> str:
     )
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph structure constants (operators/graph.py:
+    graph_structure) over the SHARED seeded link family (the
+    pagerank/HITS/triangle edge builder: u → (u·7+3j+1) mod N,
+    j = 0..u%3) plus a planted reciprocal clique (docs ≡ 0 mod 50
+    link back to their successor's target), so reciprocity has a
+    decidable floor and the assortativity moments are non-degenerate.
+    One row: reciprocity + degree assortativity — the crawl-quality
+    alarms (link farm → reciprocity ≈ 1; single-hub scrape → strongly
+    negative assortativity)."""
+    from ..operators.graph import graph_structure
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("doc_id") % 3)
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 7 + F.col("j") * 3 + 1) % F.lit(n))
+            .alias("dst"),
+        )
+        .select("src", "dst")
+    )
+    back = edges.where(F.col("src") % 50 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return graph_structure(edges.unionByName(back), "src", "dst")
+
+
+def q_graph_stats_sql(sf: str) -> str:
+    from ..operators.graph import graph_structure_sql
+
+    edges = """
+        with _n as (select count(*)::BIGINT as n from documents),
+        fwd as (
+          select doc_id as src,
+                 (doc_id * 7 + j.j * 3 + 1) % _n.n as dst
+          from documents cross join _n
+          cross join lateral (
+            select unnest(range(doc_id % 3 + 1)) as j
+          ) j
+        )
+        select src, dst from fwd
+        union all
+        select dst as src, src as dst from fwd where src % 50 = 0
+    """
+    return graph_structure_sql(
+        edges_rel=f"({edges})", src_col="src", dst_col="dst"
+    )
+
+
+def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ops CAPSTONE — one per-host health scorecard
+    composing the family's four audits over the event fetch log:
+    politeness violations (hosts ≡ 3 mod 7 get a 1000×-compressed
+    clock, so their fetches burst under the 60 s delay), day coverage
+    and longest gap (hosts ≡ 5 mod 10 lose days 10–19 — frontier
+    starvation), and the decayed recrawl rank. Each component keeps
+    its operator's registered scale shape (lag window per host; the
+    (host, day) distinct pre-agg; one broadcast anchor + partial
+    agg); the stitch joins three tiny per-host frames. Output: one
+    row per host (n_fetches, n_violations, violation_share_e6,
+    n_active, longest_gap, coverage_e6, score, recrawl_rank)."""
+    from ..operators.frontier import crawl_gaps, politeness_audit
+    from ..operators.frontier import decayed_activity
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("host"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("ts"),
+    )
+    base = ev.where(
+        ~(
+            (F.col("host") % 10 == 5)
+            & F.dayofmonth("ts").between(10, 19)
+        )
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("bigint")
+    fetch = base.select(
+        "host", "event_id",
+        F.when(F.col("host") % 7 == 3, F.expr(
+            "unix_micros(cast(ts as timestamp)) div 1000"
+        ))
+        .otherwise(ts_us)
+        .alias("ts_us"),
+    )
+    pol = (
+        politeness_audit(
+            fetch, "host", "ts_us", min_gap_us=60_000_000,
+            tiebreak_col="event_id",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum(F.col("violation").cast("bigint")).alias("n_violations"),
+        )
+        .select(
+            "host", "n_fetches", "n_violations",
+            F.expr("n_violations * 1000000 div n_fetches")
+            .alias("violation_share_e6"),
+        )
+    )
+    gaps = crawl_gaps(base, "host", "ts").select(
+        "host", "n_active", "longest_gap", "coverage_e6"
+    )
+    act = decayed_activity(base, "host", "ts").select(
+        F.col("key").alias("host"), "score",
+        F.col("rank").alias("recrawl_rank"),
+    )
+    return pol.join(gaps, "host").join(act, "host")
+
+
+def q_crawl_health_sql(sf: str) -> str:
+    from ..operators.frontier import (
+        crawl_gaps_sql,
+        decayed_activity_sql,
+        politeness_audit_sql,
+    )
+
+    base = """
+        select cast(user_id as bigint) as host,
+               cast(event_id as bigint) as event_id, ts
+        from events
+        where not (user_id % 10 = 5 and day(ts) between 10 and 19)
+    """
+    fetch = f"""
+        select host, event_id,
+               case when host % 7 = 3
+                    then epoch_us(ts) // 1000
+                    else epoch_us(ts) end as ts_us
+        from ({base})
+    """
+    pol_rows = politeness_audit_sql(
+        rel=f"({fetch})", host_col="host", ts_col="ts_us",
+        min_gap_us=60_000_000, cols="host", tiebreak_col="event_id",
+    )
+    gaps = crawl_gaps_sql(rel=f"({base})", host_col="host", ts_col="ts")
+    act = decayed_activity_sql(rel=f"({base})", key_col="host",
+                               ts_col="ts")
+    return f"""
+        with _ch_pol as (
+          select host, count(*)::BIGINT as n_fetches,
+                 sum(case when violation then 1 else 0 end)::BIGINT
+                   as n_violations
+          from ({pol_rows}) group by 1
+        ),
+        _ch_gaps as ({gaps}),
+        _ch_act as ({act})
+        select p.host, p.n_fetches, p.n_violations,
+               (p.n_violations * 1000000 // p.n_fetches)::BIGINT
+                 as violation_share_e6,
+               g.n_active, g.longest_gap, g.coverage_e6,
+               a.score, a.rank as recrawl_rank
+        from _ch_pol p
+        join _ch_gaps g on g.host = p.host
+        join _ch_act a on a.key = p.host
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8986,6 +9152,10 @@ QUERIES: dict[str, tuple] = {
     "host_tail_index": (q_host_tail_index, q_host_tail_index_sql),
     # r5 (thirty-fifth arc): deterministic multi-epoch reshuffle plan
     "epoch_plan": (q_epoch_plan, q_epoch_plan_sql),
+    # r5 (thirty-sixth arc): reciprocity + assortativity constants
+    "graph_stats": (q_graph_stats, q_graph_stats_sql),
+    # r5 (thirty-sixth arc): composed per-host crawl-health scorecard
+    "crawl_health": (q_crawl_health, q_crawl_health_sql),
 }
 
 

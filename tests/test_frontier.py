@@ -528,3 +528,31 @@ def test_param_explosion_staged_classes_in_query(spark):
         else:
             assert r["urls_per_path_e3"] == 1000, r
             assert r["max_path_urls"] == 1, r
+
+
+# --- crawl_health composed query ---------------------------------------------
+
+
+def test_crawl_health_staged_classes(spark):
+    """Compressed-clock hosts (≡3 mod 7) must violate on the
+    majority of fetches; starved hosts (≡5 mod 10) carry longest_gap ≥ 10; clean
+    hosts read zero violations; the recrawl rank is a permutation of
+    1..n_hosts."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["crawl_health"][0](
+        spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    ranks = sorted(r["recrawl_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        h = r["host"]
+        if h % 7 == 3:
+            assert r["violation_share_e6"] > 500_000, tuple(r)
+        else:
+            # natural cadence can produce the odd same-minute pair
+            assert r["violation_share_e6"] < 100_000, tuple(r)
+        if h % 10 == 5:
+            assert r["longest_gap"] >= 10, tuple(r)
+        else:
+            assert r["longest_gap"] < 10, tuple(r)

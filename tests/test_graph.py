@@ -633,3 +633,59 @@ def test_trustrank_registered_classes(spark, sf):
         if not r["is_seed"] and r["trust"] > 0:
             assert any(got[u]["trust"] > 0 or got[u]["is_seed"]
                        for u in in_edges.get(r["doc_id"], [])), r
+
+
+# --- graph_structure ---------------------------------------------------------
+
+
+def test_graph_structure_hand_values_and_star_degeneracy(spark):
+    """Self-loops drop, duplicate edges collapse; reciprocity counts
+    directed edges whose reverse exists; assortativity matches the
+    closed-form Pearson on the hand graph; a star graph (zero
+    src-degree variance) emits NULL, not 0."""
+    import math
+
+    from logparser_llm_spark.operators.graph import graph_structure
+
+    rows = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 4), (1, 2)]
+    df = spark.createDataFrame(rows, "s long, d long")
+    r = graph_structure(df, "s", "d").collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_reciprocal"],
+            r["reciprocity_e6"]) == (4, 4, 2, 500_000)
+    xs, ys = [3, 2, 3, 2], [2, 3, 2, 1]
+    m, sx, sy = 4, sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    rr = (m * sxy - sx * sy) / math.sqrt(
+        (m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert r["assortativity_e6"] == round(rr * 1e6)
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "s long, d long")
+    assert graph_structure(star, "s", "d").collect()[0][
+        "assortativity_e6"] is None
+
+
+def test_graph_structure_matches_duckdb_and_clique(spark):
+    """A bidirectional clique reads reciprocity exactly 1.0 (the link
+    farm alarm); unit-scale parity with the generated SQL."""
+    import duckdb
+
+    from logparser_llm_spark.operators.graph import (
+        graph_structure,
+        graph_structure_sql,
+    )
+
+    rows = [(i, (i * 7 + j) % 23) for i in range(23) for j in (1, 2)]
+    df = spark.createDataFrame(rows, "s long, d long")
+    got = sorted(map(tuple, graph_structure(df, "s", "d").collect()))
+    con = duckdb.connect()
+    con.execute("create table e (s bigint, d bigint)")
+    con.executemany("insert into e values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(graph_structure_sql(
+        edges_rel="e", src_col="s", dst_col="d")).fetchall()))
+    assert got == want
+    clique = [(i, j) for i in range(5) for j in range(5) if i != j]
+    cdf = spark.createDataFrame(clique, "s long, d long")
+    rc = graph_structure(cdf, "s", "d").collect()[0]
+    assert rc["reciprocity_e6"] == 1_000_000
