@@ -257,6 +257,9 @@ HEADLINE = [
     # r5 thirty-sixth arc: graph structure constants + crawl capstone
     "graph_stats",
     "crawl_health",
+    # r5 thirty-seventh arc: layout depth + encoding advisor
+    "layout_depth",
+    "encoding_advice",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

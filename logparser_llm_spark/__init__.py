@@ -404,6 +404,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.graph",
             "graph_structure",
         ),
+        # round-5 thirty-seventh arc: storage-layer audits
+        "overlap_depth": (
+            "logparser_llm_spark.operators.layout",
+            "overlap_depth",
+        ),
+        "encoding_advisor": (
+            "logparser_llm_spark.operators.profile",
+            "encoding_advisor",
+        ),
     }
     if name in api:
         import importlib

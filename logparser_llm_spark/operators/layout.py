@@ -165,3 +165,106 @@ def morton_py(vals: Sequence[int], bits: int) -> int:
         for j in range(bits):
             z |= ((v >> j) & 1) << (j * k + i)
     return z
+
+
+# --- min-max clustering quality (overlap depth) ------------------------------
+
+
+def overlap_depth(df: DataFrame, file_col: str, val_col: str) -> DataFrame:
+    """Min-max CLUSTERING-QUALITY metric over a file assignment — the
+    number every table-format optimizer reports after a rewrite
+    (Delta/Iceberg clustering depth): for each point of the value
+    domain, how many files' [min, max] ranges cover it? A perfectly
+    sorted layout reads max depth 1 (any predicate point prunes to
+    one file); an unsorted layout reads depth ≈ n_files (min-max
+    pruning is useless — every file's range spans the domain). This
+    is the measurement that JUSTIFIES zorder_write/sorted layouts
+    rather than asserting them.
+
+    Exact closed form, closed intervals: boundary events (+1 at each
+    file's min, −1 just after its max — at equal points the +1 sorts
+    first, so touching ranges count as overlapping); depth = running
+    prefix sum over the 2·n_files boundary rows; also
+    ``n_overlapping_pairs`` (files whose ranges intersect) from the
+    tiny interval self-join. NULL values are ignored for ranges; a
+    file with only NULLs carries NULL bounds and joins nothing but
+    still counts in n_files.
+
+    Scale shape: ONE partial agg collapses the table to n_files
+    (min, max) rows; the sweep window and the pair join both run on
+    that file-count-sized frame — the raw table is scanned once.
+    Output: ONE row (n_files, max_depth, n_overlapping_pairs)."""
+    ranges = df.groupBy(F.col(file_col).alias("f")).agg(
+        F.min(val_col).alias("lo"), F.max(val_col).alias("hi")
+    )
+    n_files = ranges.agg(F.count(F.lit(1)).alias("n_files"))
+    bounded = ranges.where(F.col("lo").isNotNull())
+    ev = bounded.select(
+        F.col("lo").alias("p"), F.lit(0).alias("k"), F.lit(1).alias("d")
+    ).unionByName(
+        bounded.select(
+            F.col("hi").alias("p"), F.lit(1).alias("k"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("p", "k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    depth = ev.select(F.sum("d").over(w).alias("depth")).agg(
+        F.coalesce(F.max("depth"), F.lit(0)).cast("bigint")
+        .alias("max_depth")
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") < F.col("b.f"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlapping_pairs"))
+    )
+    return (
+        n_files.crossJoin(F.broadcast(depth))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            F.col("n_files").cast("bigint").alias("n_files"),
+            "max_depth",
+            "n_overlapping_pairs",
+        )
+    )
+
+
+def overlap_depth_sql(*, rel: str, file_col: str, val_col: str) -> str:
+    """DuckDB recompute of :func:`overlap_depth` — same closed-interval
+    boundary sweep, same pair join, generated here so the two
+    spellings cannot drift."""
+    return f"""
+        with _od_r as (
+          select {file_col} as f, min({val_col}) as lo,
+                 max({val_col}) as hi
+          from {rel} group by 1
+        ),
+        _od_b as (select * from _od_r where lo is not null),
+        _od_e as (
+          select lo as p, 0 as k, 1 as d from _od_b
+          union all
+          select hi as p, 1 as k, -1 as d from _od_b
+        ),
+        _od_d as (
+          select sum(d) over (order by p, k
+            rows between unbounded preceding and current row) as depth
+          from _od_e
+        ),
+        _od_m as (
+          select coalesce(max(depth), 0)::BIGINT as max_depth from _od_d
+        ),
+        _od_p as (
+          select count(*)::BIGINT as n_overlapping_pairs
+          from _od_b a join _od_b b
+            on a.f < b.f and a.lo <= b.hi and b.lo <= a.hi
+        ),
+        _od_n as (select count(*)::BIGINT as n_files from _od_r)
+        select n.n_files, m.max_depth, p.n_overlapping_pairs
+        from _od_n n cross join _od_m m cross join _od_p p
+    """

@@ -1300,3 +1300,131 @@ def hill_tail_index_sql(
                end::BIGINT as alpha_e3
         from _ht_n n cross join _ht_a a
     """
+
+
+# --- columnar encoding advisor -----------------------------------------------
+
+ENCODING_NDV_PERMILLE = 50   # dict when NDV <= 5% of rows
+ENCODING_RUN_MIN = 4         # RLE when the average run is >= 4 rows
+
+
+def encoding_advisor(
+    df: DataFrame, id_col: str, cols: "Sequence[str]"
+) -> DataFrame:
+    """Columnar ENCODING advisor — per column, the two statistics that
+    decide parquet/ORC encoding choices at write time, with the
+    integer decision rule applied: exact NDV (dictionary pays off
+    when the dictionary is small: NDV ≤ 5% of rows) and the exact RUN
+    structure in ``id_col`` order (RLE pays off when the average run
+    is ≥ 4 rows). Precedence: rle > dict > plain — a long-run column
+    compresses better as runs even when its dictionary is also small.
+
+    Run law WITHOUT a global window: ``id_col`` must be DENSE
+    consecutive integers (the staged-corpus contract; validated by
+    max−min+1 == count via a woven assert): a run boundary is a row
+    whose predecessor (id−1) holds a different value, found by ONE
+    equi-self-join on id = id+1 — shuffle on a bigint key, never a
+    single-task ordering. NULL values compare as the reserved '∅'
+    (a NULL run is still a run). n_runs = boundaries + 1.
+
+    Scale shape per column: one NDV partial agg + one id-keyed
+    equi-join; columns are unioned (k small — this is a schema-sized
+    audit, not a row-sized one). Output per column: (column, n_rows,
+    ndv, n_runs, avg_run_e3, advice)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("no columns to advise on")
+    spark = df.sparkSession
+    outs = []
+    for c in cols:
+        v = F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+        base = df.select(
+            F.col(id_col).cast("bigint").alias("i"), v.alias("v")
+        )
+        # the dense-id assert is woven INTO the consumed n_rows column
+        # (a dropped assert column is pruned by Catalyst — the snm
+        # lesson, re-learned live in this arc's smoke test)
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("ndv"),
+            F.min("i").alias("_lo"),
+            F.max("i").alias("_hi"),
+        ).select(
+            F.when(
+                F.assert_true(
+                    F.col("_hi") - F.col("_lo") + 1 == F.col("n_rows"),
+                    F.lit("encoding_advisor requires dense consecutive "
+                          f"ids in {id_col!r}"),
+                ).isNull(),
+                F.col("n_rows"),
+            ).alias("n_rows"),
+            "ndv",
+        )
+        nxt = base.select(
+            (F.col("i") + 1).alias("i"), F.col("v").alias("pv")
+        )
+        bnd = (
+            base.join(nxt, "i")
+            .where(F.col("v") != F.col("pv"))
+            .agg((F.count(F.lit(1)) + 1).cast("bigint").alias("n_runs"))
+        )
+        one = stats.crossJoin(F.broadcast(bnd)).select(
+            F.lit(c).alias("column"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("ndv").cast("bigint").alias("ndv"),
+            "n_runs",
+            F.expr("n_rows * 1000 div n_runs").alias("avg_run_e3"),
+            F.when(
+                F.expr(f"n_rows >= {ENCODING_RUN_MIN} * n_runs"),
+                F.lit("rle"),
+            )
+            .when(
+                F.expr(f"ndv * 1000 <= {ENCODING_NDV_PERMILLE} * n_rows"),
+                F.lit("dict"),
+            )
+            .otherwise(F.lit("plain"))
+            .alias("advice"),
+        )
+        outs.append(one)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    _ = spark
+    return out
+
+
+def encoding_advisor_sql(
+    *, rel: str, id_col: str, cols: "Sequence[str]"
+) -> str:
+    """DuckDB recompute of :func:`encoding_advisor` — same run law via
+    the id = id+1 self-join, same thresholds, generated here so the
+    two spellings cannot drift."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("no columns to advise on")
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        select '{c}' as column, s.n_rows, s.ndv, b.n_runs,
+               (s.n_rows * 1000 // b.n_runs)::BIGINT as avg_run_e3,
+               case when s.n_rows >= {ENCODING_RUN_MIN} * b.n_runs
+                      then 'rle'
+                    when s.ndv * 1000
+                      <= {ENCODING_NDV_PERMILLE} * s.n_rows then 'dict'
+                    else 'plain' end as advice
+        from (
+          select count(*)::BIGINT as n_rows,
+                 count(distinct coalesce(cast({c} as varchar), '∅'))::BIGINT
+                   as ndv
+          from {rel}
+        ) s cross join (
+          select (count(*) + 1)::BIGINT as n_runs
+          from (select cast({id_col} as bigint) as i,
+                       coalesce(cast({c} as varchar), '∅') as v
+                from {rel}) a
+          join (select cast({id_col} as bigint) + 1 as i,
+                       coalesce(cast({c} as varchar), '∅') as pv
+                from {rel}) b using (i)
+          where a.v != b.pv
+        ) b""")
+    return " union all ".join(parts)

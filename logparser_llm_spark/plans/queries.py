@@ -8768,6 +8768,113 @@ def q_crawl_health_sql(sf: str) -> str:
     """
 
 
+def q_layout_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max clustering quality (operators/layout.py:overlap_depth)
+    of TWO 15-file layouts of the event stream, side by side — the
+    measurement that justifies sorted/Z-ordered writes instead of
+    asserting them: 'hashed' files events by md5 bucket (the
+    no-clustering baseline — synthetic event ids are TIME-ORDERED, so
+    an id-ranged layout is secretly sorted; found live when 'arrival'
+    read depth 1 — every hashed file's ts range spans the month:
+    depth = n_files, pruning useless), 'time' files by day pairs
+    (depth 1-2, every predicate prunes). Value = epoch micros. One
+    partial agg per layout collapses 100k events to 15 (min, max)
+    rows; the sweep and pair join run on that frame."""
+    from ..operators.layout import overlap_depth
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    hashed = ev.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(15),
+        ).alias("f"),
+        F.col("ts_us"),
+    )
+    by_time = ev.select(
+        F.expr("(dom - 1) div 2").alias("f"), F.col("ts_us")
+    )
+    a = overlap_depth(hashed, "f", "ts_us").select(
+        F.lit("hashed").alias("layout"), "*"
+    )
+    t = overlap_depth(by_time, "f", "ts_us").select(
+        F.lit("time").alias("layout"), "*"
+    )
+    return a.unionByName(t)
+
+
+def q_layout_depth_sql(sf: str) -> str:
+    from ..operators.layout import overlap_depth_sql
+
+    base = """
+        select cast(event_id as bigint) as event_id,
+               epoch_us(ts) as ts_us, day(ts) as dom,
+               (select count(*) from events) as n
+        from events
+    """
+    hashed = f"""
+        select ('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::BIGINT
+                 % 15 as f,
+               ts_us
+        from ({base})
+    """
+    by_time = f"select (dom - 1) // 2 as f, ts_us from ({base})"
+    a = overlap_depth_sql(rel=f"({hashed})", file_col="f", val_col="ts_us")
+    t = overlap_depth_sql(rel=f"({by_time})", file_col="f", val_col="ts_us")
+    return f"""
+        select 'hashed' as layout, * from ({a})
+        union all
+        select 'time' as layout, * from ({t})
+    """
+
+
+def q_encoding_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor (operators/profile.py:
+    encoding_advisor) over four staged event columns whose structures
+    pin all three advices: 'month' (one giant run → rle), 'etype'
+    (5 distinct values alternating id-to-id → dict, runs too short
+    for rle), 'eid_str' (all-unique → plain), and 'sparse_flag'
+    (NULL except every 97th id — NULL runs are runs → rle). The run
+    law uses the id = id+1 equi-join (dense event ids, woven
+    assert), never a global window."""
+    from ..operators.profile import encoding_advisor
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.month("ts").alias("month"),
+        F.col("event_type").alias("etype"),
+        F.col("event_id").cast("string").alias("eid_str"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("hit")).alias(
+            "sparse_flag"
+        ),
+    )
+    return encoding_advisor(
+        ev, "event_id", ["month", "etype", "eid_str", "sparse_flag"]
+    )
+
+
+def q_encoding_advice_sql(sf: str) -> str:
+    from ..operators.profile import encoding_advisor_sql
+
+    staged = """
+        select cast(event_id as bigint) as event_id,
+               month(ts) as month, event_type as etype,
+               cast(event_id as varchar) as eid_str,
+               case when event_id % 97 = 0 then 'hit' end as sparse_flag
+        from events
+    """
+    return encoding_advisor_sql(
+        rel=f"({staged})", id_col="event_id",
+        cols=["month", "etype", "eid_str", "sparse_flag"],
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9156,6 +9263,10 @@ QUERIES: dict[str, tuple] = {
     "graph_stats": (q_graph_stats, q_graph_stats_sql),
     # r5 (thirty-sixth arc): composed per-host crawl-health scorecard
     "crawl_health": (q_crawl_health, q_crawl_health_sql),
+    # r5 (thirty-seventh arc): min-max clustering quality, two layouts
+    "layout_depth": (q_layout_depth, q_layout_depth_sql),
+    # r5 (thirty-seventh arc): columnar encoding advisor
+    "encoding_advice": (q_encoding_advice, q_encoding_advice_sql),
 }
 
 

@@ -1147,3 +1147,49 @@ def test_hill_tail_index_matches_duckdb_unit_scale(spark):
     want = sorted(map(tuple, con.execute(hill_tail_index_sql(
         rel="t", key_col="k", size_col="s", k=12)).fetchall()))
     assert got == want
+
+
+# --- encoding_advisor (operators/profile.py) ---------------------------------
+
+
+def test_encoding_advisor_rules_and_dense_guard(spark):
+    """Long-run column → rle; low-NDV alternating column → dict (runs
+    too short); all-unique → plain; NULL-heavy sparse column's NULL
+    runs are runs; sparse ids raise via the woven dense-id assert
+    (the standalone-assert-column form was pruned by Catalyst — found
+    live, the second time; the weave is the regression test)."""
+    import duckdb
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.profile import (
+        encoding_advisor,
+        encoding_advisor_sql,
+    )
+
+    rows = [(i, "x" if i < 40 else "y", f"u{i}", i % 2)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id long, longrun string, uniq string, alt long")
+    got = sorted(map(tuple, encoding_advisor(
+        df, "id", ["longrun", "uniq", "alt"]).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "create table e (id bigint, longrun varchar, uniq varchar, "
+        "alt bigint)")
+    con.executemany("insert into e values (?,?,?,?)", rows)
+    want = sorted(map(tuple, con.execute(encoding_advisor_sql(
+        rel="e", id_col="id",
+        cols=["longrun", "uniq", "alt"])).fetchall()))
+    assert got == want
+    d = {r[0]: r for r in got}
+    assert d["longrun"][1:] == (60, 2, 2, 30_000, "rle")
+    assert d["uniq"][5] == "plain"
+    assert d["alt"][1:] == (60, 2, 60, 1_000, "dict")
+    sparse = spark.createDataFrame([(0, "a"), (5, "b")],
+                                   "id long, c string")
+    with _pytest.raises(SparkRuntimeException, match="dense"):
+        encoding_advisor(sparse, "id", ["c"]).collect()
+    with _pytest.raises(ValueError, match="no columns"):
+        encoding_advisor(df, "id", [])

@@ -154,3 +154,51 @@ def test_registered_query_rejects_negative_inputs(spark, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     with pytest.raises(Exception, match="negative input"):
         QUERIES["zorder_layout"][0](spark, str(tmp_path)).collect()
+
+
+# --- overlap_depth -----------------------------------------------------------
+
+
+def test_overlap_depth_hand_cases_and_duckdb(spark):
+    """Closed intervals: touching ranges overlap; a sorted layout
+    reads depth 1 / zero pairs; NULL-only files count in n_files but
+    not in ranges; parity with the generated SQL."""
+    import duckdb
+
+    from logparser_llm_spark.operators.layout import (
+        overlap_depth,
+        overlap_depth_sql,
+    )
+
+    rows = [("f0", 0), ("f0", 10), ("f1", 5), ("f1", 15),
+            ("f2", 20), ("f2", 30), ("f3", None)]
+    df = spark.createDataFrame(rows, "f string, v long")
+    got = tuple(overlap_depth(df, "f", "v").collect()[0])
+    con = duckdb.connect()
+    con.execute("create table t (f varchar, v bigint)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = tuple(con.execute(overlap_depth_sql(
+        rel="t", file_col="f", val_col="v")).fetchall()[0])
+    assert got == want == (4, 2, 1)
+    srt = spark.createDataFrame(
+        [("a", 0), ("a", 4), ("b", 5), ("b", 9), ("c", 10), ("c", 14)],
+        "f string, v long")
+    assert tuple(overlap_depth(srt, "f", "v").collect()[0]) == (3, 1, 0)
+    tch = spark.createDataFrame(
+        [("a", 0), ("a", 5), ("b", 5), ("b", 9)], "f string, v long")
+    assert tuple(overlap_depth(tch, "f", "v").collect()[0]) == (2, 2, 1)
+
+
+def test_layout_depth_query_separates_layouts(spark):
+    """The registered two-layout comparison must read the hashed
+    layout at full depth (= n_files: every md5 bucket spans the
+    month) and the time layout at depth ≤ 2 — the measured
+    justification for sorted writes."""
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = {r["layout"]: r for r in QUERIES["layout_depth"][0](
+        spark, "/root/testdata/sf0.01").collect()}
+    arr, tim = rows["hashed"], rows["time"]
+    assert arr["max_depth"] >= arr["n_files"] - 1
+    assert tim["max_depth"] <= 2
+    assert tim["n_overlapping_pairs"] <= tim["n_files"]
