@@ -260,6 +260,9 @@ HEADLINE = [
     # r5 thirty-seventh arc: layout depth + encoding advisor
     "layout_depth",
     "encoding_advice",
+    # r5 thirty-eighth arc: Hamilton quotas + Sitemap directives
+    "apportion_mix",
+    "robots_sitemaps",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

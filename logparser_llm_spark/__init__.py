@@ -413,6 +413,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.profile",
             "encoding_advisor",
         ),
+        # round-5 thirty-eighth arc: quota apportionment + sitemaps
+        "apportion": (
+            "logparser_llm_spark.operators.sampling",
+            "apportion",
+        ),
+        "sitemap_directives": (
+            "logparser_llm_spark.operators.frontier",
+            "sitemap_directives",
+        ),
     }
     if name in api:
         import importlib

@@ -666,3 +666,66 @@ def param_explosion_sql(
                h.max_path_urls, w.top_path
         from _pe_h h join _pe_w w on w.host = h.host
     """
+
+
+# --- robots.txt Sitemap directives -------------------------------------------
+
+_SITEMAP_PATTERN = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+
+
+def sitemap_directives(
+    df: DataFrame, host_col: str, robots_col: str
+) -> DataFrame:
+    """Per-host ``Sitemap:`` directive extraction from robots.txt
+    bodies (RFC 9309 §2.3 allows any number, anywhere in the file,
+    case-insensitive) — the missing half of the discovery loop:
+    robots_filter answers "may I fetch", :func:`sitemap_coverage`
+    audits what a sitemap declared, THIS finds the sitemaps in the
+    first place. Per host: ``n_decls`` (directive lines),
+    ``n_distinct`` (hosts often repeat the line), and ``first_url``
+    (min — deterministic representative). Hosts with a NULL/empty
+    robots body or no directives emit a zero row (rows never
+    vanish). The line anchor is the shared multiline
+    case-insensitive pattern — (?im) means the same thing in Java
+    regex and RE2.
+
+    Scale shape: pure scan-side regexp_extract_all + explode_outer
+    into ONE partially-aggregable per-host rollup; the robots frame
+    is host-cardinality-sized to begin with."""
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col(robots_col), F.lit("")),
+        F.lit(_SITEMAP_PATTERN),
+        1,
+    )
+    exploded = df.select(
+        F.col(host_col).alias("host"), F.explode_outer(urls).alias("u")
+    )
+    return exploded.groupBy("host").agg(
+        F.count("u").cast("bigint").alias("n_decls"),
+        F.countDistinct("u").cast("bigint").alias("n_distinct"),
+        F.min("u").alias("first_url"),
+    )
+
+
+def sitemap_directives_sql(
+    *, rel: str, host_col: str, robots_col: str
+) -> str:
+    """DuckDB recompute of :func:`sitemap_directives` — same (?im)
+    pattern, same LEFT JOIN LATERAL zero-row rule, generated here so
+    the two spellings cannot drift."""
+    return f"""
+        with _sd_u as (
+          select b.host, u.u
+          from (
+            select {host_col} as host,
+                   regexp_extract_all(coalesce({robots_col}, ''),
+                     '{_SITEMAP_PATTERN}', 1) as us
+            from {rel}
+          ) b
+          left join lateral (select unnest(b.us) as u) u on true
+        )
+        select host, count(u)::BIGINT as n_decls,
+               count(distinct u)::BIGINT as n_distinct,
+               min(u) as first_url
+        from _sd_u group by 1
+    """

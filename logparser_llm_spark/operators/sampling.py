@@ -459,3 +459,107 @@ def weighted_sample_py(
     # key column, so str() here would pick '10' < '2' on integer ties
     out.sort(key=lambda t: (-t[1], t[0]))
     return out[:k]
+
+
+# --- largest-remainder apportionment -----------------------------------------
+
+
+def apportion(
+    df: DataFrame, key_col: str, size_col: str, *, total: int
+) -> DataFrame:
+    """Hamilton largest-remainder apportionment — allocate EXACTLY
+    ``total`` sample slots across strata proportionally to their
+    sizes: the integer answer to "give me a 10k-doc eval set that
+    mirrors the corpus mix" (naive rounding of per-stratum shares
+    drifts by up to n_strata/2 slots; this never misses the total by
+    even one). quota = floor(size·total/N) + 1 for the strata with
+    the largest remainders, exactly enough to close the gap.
+
+    Entirely exact: base = size·total DIV N and remainder =
+    size·total MOD N are bigints, the leftover count is
+    total − Σ base, and the top-up goes to the largest remainders
+    (ties broken by key asc — deterministic; Hamilton's classic
+    Alabama-paradox caveat is inherent to the method and documented
+    here rather than hidden). Every quota is floor or ceil of the
+    exact proportional share; Σ quota == total is asserted by tests
+    as the method's defining property. Overflow: size·total ≤ 2⁶³
+    — a woven assert enforces total ≤ 10⁹ with Σ size ≤ 9·10⁹.
+
+    Scale shape: one partial agg to the per-stratum size frame; the
+    remainder rank is a window over that tiny frame. Output:
+    (key, size, base, remainder, quota)."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if total > 1_000_000_000:
+        raise ValueError("total must be <= 1e9 (overflow headroom)")
+    sizes = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(size_col)).cast("bigint").alias("size")
+    )
+    n_tot = sizes.agg(F.sum("size").alias("N")).select(
+        F.when(
+            F.assert_true(
+                (F.col("N") > 0) & (F.col("N") <= F.lit(9_000_000_000)),
+                F.lit("apportion requires 0 < sum(size) <= 9e9"),
+            ).isNull(),
+            F.col("N"),
+        ).alias("N")
+    )
+    based = sizes.crossJoin(F.broadcast(n_tot)).select(
+        "key",
+        "size",
+        F.expr(f"size * {total} div N").alias("base"),
+        F.expr(f"size * {total} % N").alias("remainder"),
+    )
+    from pyspark.sql import Window as W
+
+    leftover = based.agg(
+        (F.lit(total) - F.sum("base")).cast("bigint").alias("k")
+    )
+    w = W.orderBy(F.desc("remainder"), F.col("key"))
+    return (
+        based.withColumn("_r", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "key",
+            "size",
+            "base",
+            "remainder",
+            (
+                F.col("base")
+                + (F.col("_r") <= F.col("k")).cast("bigint")
+            ).alias("quota"),
+        )
+    )
+
+
+def apportion_sql(
+    *, rel: str, key_col: str, size_col: str, total: int
+) -> str:
+    """DuckDB recompute of :func:`apportion` — same integer laws, same
+    remainder rank, generated here so the two spellings cannot
+    drift."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if total > 1_000_000_000:
+        raise ValueError("total must be <= 1e9 (overflow headroom)")
+    return f"""
+        with _ap_s as (
+          select {key_col} as key, sum({size_col})::BIGINT as size
+          from {rel} group by 1
+        ),
+        _ap_n as (select sum(size)::BIGINT as N from _ap_s),
+        _ap_b as (
+          select key, size,
+                 (size * {total} // N)::BIGINT as base,
+                 (size * {total} % N)::BIGINT as remainder
+          from _ap_s cross join _ap_n
+        ),
+        _ap_k as (
+          select ({total} - sum(base))::BIGINT as k from _ap_b
+        )
+        select key, size, base, remainder,
+               (base + case when row_number() over (
+                  order by remainder desc, key) <= k then 1 else 0
+                end)::BIGINT as quota
+        from _ap_b cross join _ap_k
+    """

@@ -8875,6 +8875,118 @@ def q_encoding_advice_sql(sf: str) -> str:
     )
 
 
+def q_apportion_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment (operators/sampling.py:
+    apportion) of a 10,000-slot eval budget across sources
+    proportional to char mass — the exact-total answer to "mirror the
+    corpus mix" (naive per-stratum rounding misses the total). Staged
+    geometric mass skew (2^(idx mod 5)) makes quotas decidably uneven
+    and exercises the remainder top-up; Σ quota == 10,000 exactly is
+    the method's defining property (pinned)."""
+    from ..operators.sampling import apportion
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        (
+            F.col("n_chars")
+            * F.expr(
+                "shiftleft(cast(1 as bigint), "
+                "cast(regexp_replace(source, '[^0-9]', '') as int) % 5)"
+            )
+        ).cast("bigint").alias("mass"),
+    )
+    return apportion(d, "source", "mass", total=10_000)
+
+
+def q_apportion_mix_sql(sf: str) -> str:
+    from ..operators.sampling import apportion_sql
+
+    staged = """
+        select source,
+               cast(n_chars * (1::BIGINT <<
+                 (cast(regexp_replace(source, '[^0-9]', '', 'g') as int)
+                  % 5)) as bigint) as mass
+        from documents
+    """
+    return apportion_sql(
+        rel=f"({staged})", key_col="source", size_col="mass",
+        total=10_000,
+    )
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 Sitemap-directive extraction (operators/frontier.py:
+    sitemap_directives) over staged per-host robots bodies covering
+    every parse class: idx ≡ 0 (mod 4) declares two sitemaps with one
+    duplicated line (n_decls 3, n_distinct 2), ≡ 1 has a robots file
+    with no directives (zero row), ≡ 2 uses mixed case + tab
+    whitespace (the (?im) anchor must still hit), ≡ 3 has a NULL
+    body. Completes the discovery loop: robots_filter (may I fetch) →
+    THIS (where are the sitemaps) → sitemap_coverage (did I fetch
+    what they declared)."""
+    from ..operators.frontier import sitemap_directives
+
+    d = _read(spark, sf_dir, "documents").select("source").distinct()
+    sidx = F.regexp_replace(F.col("source"), "[^0-9]", "").cast("bigint")
+    m = sidx % 4
+    url1 = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example/sitemap.xml"))
+    url2 = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example/news.xml"))
+    body = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\nSitemap: "),
+                url1, F.lit("\nSitemap: "), url2,
+                F.lit("\nSitemap: "), url1,
+            ),
+        )
+        .when(m == 1, F.lit("User-agent: *\nAllow: /"))
+        .when(
+            m == 2,
+            F.concat(F.lit("  SiteMap:\t"), url1,
+                     F.lit("\nUser-agent: *")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return sitemap_directives(
+        d.select("source", body.alias("robots")), "source", "robots"
+    )
+
+
+def q_robots_sitemaps_sql(sf: str) -> str:
+    from ..operators.frontier import sitemap_directives_sql
+
+    staged = """
+        select source,
+               case
+                 when cast(regexp_replace(source, '[^0-9]', '', 'g')
+                      as bigint) % 4 = 0
+                 then 'User-agent: *' || chr(10) || 'Disallow: /private/'
+                      || chr(10) || 'Sitemap: https://' || source
+                      || '.example/sitemap.xml'
+                      || chr(10) || 'Sitemap: https://' || source
+                      || '.example/news.xml'
+                      || chr(10) || 'Sitemap: https://' || source
+                      || '.example/sitemap.xml'
+                 when cast(regexp_replace(source, '[^0-9]', '', 'g')
+                      as bigint) % 4 = 1
+                 then 'User-agent: *' || chr(10) || 'Allow: /'
+                 when cast(regexp_replace(source, '[^0-9]', '', 'g')
+                      as bigint) % 4 = 2
+                 then '  SiteMap:' || chr(9) || 'https://' || source
+                      || '.example/sitemap.xml' || chr(10)
+                      || 'User-agent: *'
+                 else NULL
+               end as robots
+        from (select distinct source from documents)
+    """
+    return sitemap_directives_sql(
+        rel=f"({staged})", host_col="source", robots_col="robots"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9267,6 +9379,10 @@ QUERIES: dict[str, tuple] = {
     "layout_depth": (q_layout_depth, q_layout_depth_sql),
     # r5 (thirty-seventh arc): columnar encoding advisor
     "encoding_advice": (q_encoding_advice, q_encoding_advice_sql),
+    # r5 (thirty-eighth arc): Hamilton largest-remainder quotas
+    "apportion_mix": (q_apportion_mix, q_apportion_mix_sql),
+    # r5 (thirty-eighth arc): RFC 9309 Sitemap-directive extraction
+    "robots_sitemaps": (q_robots_sitemaps, q_robots_sitemaps_sql),
 }
 
 

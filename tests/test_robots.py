@@ -112,3 +112,40 @@ def test_distributed_output_keeps_url_columns(spark):
     )
     [r] = robots_allowed(urls, robots_rules(rdf, agent="b")).collect()
     assert (r.k, r.meta, r.allowed) == (1, "extra", False)
+
+
+# --- sitemap_directives ------------------------------------------------------
+
+
+def test_sitemap_directives_classes_and_duckdb(spark):
+    """Case-insensitive multiline anchor; duplicate lines counted in
+    n_decls but collapsed in n_distinct; no-directive, NULL-body and
+    mid-line imposters all yield honest zero rows; DuckDB parity."""
+    import duckdb
+
+    from logparser_llm_spark.operators.frontier import (
+        sitemap_directives,
+        sitemap_directives_sql,
+    )
+
+    rows = [
+        ("h1", "User-agent: *\nDisallow: /x\nSitemap: http://h1/s.xml\n"
+               "sitemap: http://h1/s.xml\n SiteMap:\thttp://h1/t.xml"),
+        ("h2", "User-agent: *\nAllow: /"),
+        ("h3", None),
+        ("h4", "notasitemap: http://x\n#Sitemap: http://no\n"
+               "Sitemap: http://h4/a"),
+    ]
+    df = spark.createDataFrame(rows, "h string, r string")
+    got = sorted(map(tuple, sitemap_directives(df, "h", "r").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (h varchar, r varchar)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(sitemap_directives_sql(
+        rel="t", host_col="h", robots_col="r")).fetchall()))
+    assert got == want
+    d = {r[0]: r for r in got}
+    assert d["h1"] == ("h1", 3, 2, "http://h1/s.xml")
+    assert d["h2"] == ("h2", 0, 0, None)
+    assert d["h3"] == ("h3", 0, 0, None)
+    assert d["h4"] == ("h4", 1, 1, "http://h4/a")

@@ -344,3 +344,55 @@ def test_weighted_sample_reserved_columns_rejected(spark):
     df = spark.createDataFrame([(1, 2, 3)], "id bigint, w bigint, es_key_e12 bigint")
     with pytest.raises(ValueError, match="reserved"):
         weighted_sample(df, "id", "w", 1)
+
+
+# --- apportion (largest remainder) -------------------------------------------
+
+
+def test_apportion_hand_case_total_law_and_bounds(spark):
+    """The classic Hamilton hand case allocates the three largest
+    remainders; Σ quota == total EXACTLY (the defining property);
+    every quota is floor-or-ceil of the exact share; exact
+    divisibility leaves no top-ups; validation."""
+    import duckdb
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.sampling import (
+        apportion,
+        apportion_sql,
+    )
+
+    rows = [("a", 7), ("a", 3), ("b", 3), ("c", 3), ("d", 1)]
+    df = spark.createDataFrame(rows, "k string, s long")
+    got = sorted(map(tuple, apportion(df, "k", "s", total=10).collect()))
+    con = duckdb.connect()
+    con.execute("create table t (k varchar, s bigint)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(apportion_sql(
+        rel="t", key_col="k", size_col="s", total=10)).fetchall()))
+    assert got == want
+    d = {r[0]: r for r in got}
+    assert (d["a"][4], d["b"][4], d["c"][4], d["d"][4]) == (6, 2, 2, 0)
+    assert sum(r[4] for r in got) == 10
+    for key, size, base, rem, quota in got:
+        assert quota in (base, base + 1)
+    even = spark.createDataFrame([("x", 2), ("y", 2)], "k string, s long")
+    q = {r["key"]: r["quota"]
+         for r in apportion(even, "k", "s", total=8).collect()}
+    assert q == {"x": 4, "y": 4}
+    with _pytest.raises(ValueError, match="total"):
+        apportion(df, "k", "s", total=-1)
+    with _pytest.raises(ValueError, match="total"):
+        apportion_sql(rel="t", key_col="k", size_col="s",
+                      total=10**9 + 1)
+
+
+def test_apportion_registered_query_total_exact(spark):
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows = QUERIES["apportion_mix"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["quota"] for r in rows) == 10_000
+    assert len(rows) == 20
+    # geometric mass skew ⇒ quotas must actually differ
+    assert len({r["quota"] for r in rows}) > 3
