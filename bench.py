@@ -263,6 +263,8 @@ HEADLINE = [
     # r5 thirty-eighth arc: Hamilton quotas + Sitemap directives
     "apportion_mix",
     "robots_sitemaps",
+    # r5 thirty-ninth arc: the documents-side dataset-card capstone
+    "dataset_card",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -8987,6 +8987,132 @@ def q_robots_sitemaps_sql(sf: str) -> str:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-side CAPSTONE — the per-source dataset card a
+    curator publishes with a corpus drop, composing the audit
+    family's registered shapes into one row per source: volume
+    (n_docs), robust length (the 10% trimmed mean — one spam blob
+    can't move it), exact-dedup retention (keep-first md5 families,
+    the dedup_exact law: n_kept + dup_share), and lexical richness
+    (distinct token types + types-per-doc). Each component keeps its
+    operator's scale shape (histogram-CDF clipping; one md5-keyed
+    window; one distinct (source, token) partial agg); the stitch
+    joins four tiny per-source frames. The staged ×100 spam class
+    (page-index ≡ 0 mod 17) is INCLUDED so the trimmed mean's
+    robustness is visible in the card itself."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.robust import trimmed_mean
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source"),
+        F.col("text"),
+        F.when(
+            F.expr("(doc_id div 20) % 17 = 0"), F.col("n_chars") * 100
+        )
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+        .alias("len"),
+    )
+    tm = trimmed_mean(d, "source", "len", trim_permille=100).select(
+        "source", F.col("mean_e6").alias("trimmed_len_e6")
+    )
+    fam = W.partitionBy(F.md5("text"))
+    kept = (
+        d.select(
+            "source",
+            (F.min("doc_id").over(fam) == F.col("doc_id"))
+            .cast("bigint")
+            .alias("is_first"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_first").alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "n_kept",
+            F.expr("(n_docs - n_kept) * 1000000 div n_docs")
+            .alias("dup_share_e6"),
+        )
+    )
+    from ..functions.text import lower_tokens
+
+    vocab = (
+        d.select(
+            "source",
+            F.explode(
+                lower_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("tok"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("vocab_types"))
+    )
+    return (
+        kept.join(tm, "source")
+        .join(vocab, "source")
+        .select(
+            "source", "n_docs", "n_kept", "dup_share_e6",
+            "trimmed_len_e6", "vocab_types",
+            F.expr("vocab_types * 1000 div n_docs")
+            .alias("types_per_doc_e3"),
+        )
+    )
+
+
+def q_dataset_card_sql(sf: str) -> str:
+    from ..functions.text import LOWER_TOKENS_SQL
+    from ..operators.robust import trimmed_mean_sql
+
+    staged = """
+        select cast(doc_id as bigint) as doc_id, source, text,
+               cast(case when (doc_id // 20) % 17 = 0 then n_chars * 100
+                         else n_chars end as bigint) as len
+        from documents
+    """
+    tm = trimmed_mean_sql(
+        rel=f"({staged})", group_col="source", val_col="len",
+        trim_permille=100,
+    )
+    toks = LOWER_TOKENS_SQL.format(c="coalesce(text, '')")
+    return f"""
+        with _dc_base as ({staged}),
+        _dc_tm as (
+          select source, mean_e6 as trimmed_len_e6 from ({tm})
+        ),
+        _dc_kept as (
+          select source, count(*)::BIGINT as n_docs,
+                 sum(case when is_first then 1 else 0 end)::BIGINT
+                   as n_kept
+          from (
+            select source,
+                   min(doc_id) over (partition by md5(text)) = doc_id
+                     as is_first
+            from _dc_base
+          ) group by 1
+        ),
+        _dc_vocab as (
+          select source, count(*)::BIGINT as vocab_types
+          from (
+            select distinct source, tok from (
+              select source, unnest({toks}) as tok from _dc_base
+            )
+          ) group by 1
+        )
+        select k.source, k.n_docs, k.n_kept,
+               ((k.n_docs - k.n_kept) * 1000000 // k.n_docs)::BIGINT
+                 as dup_share_e6,
+               t.trimmed_len_e6, v.vocab_types,
+               (v.vocab_types * 1000 // k.n_docs)::BIGINT
+                 as types_per_doc_e3
+        from _dc_kept k
+        join _dc_tm t on t.source = k.source
+        join _dc_vocab v on v.source = k.source
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9383,6 +9509,8 @@ QUERIES: dict[str, tuple] = {
     "apportion_mix": (q_apportion_mix, q_apportion_mix_sql),
     # r5 (thirty-eighth arc): RFC 9309 Sitemap-directive extraction
     "robots_sitemaps": (q_robots_sitemaps, q_robots_sitemaps_sql),
+    # r5 (thirty-ninth arc): the documents-side dataset-card capstone
+    "dataset_card": (q_dataset_card, q_dataset_card_sql),
 }
 
 

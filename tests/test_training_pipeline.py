@@ -81,3 +81,35 @@ def test_plan_persists_kept_frame_and_stays_jvm(spark):
     assert "InMemoryTableScan" in physical_plan(df)
     assert not plan_facts(df)["python_udf"]
     spark.catalog.clearCache()
+
+
+# --- dataset_card capstone ---------------------------------------------------
+
+
+def test_dataset_card_component_laws(spark):
+    """Per source: n_kept <= n_docs with dup_share the exact integer
+    complement; the trimmed length must sit FAR below the raw mean
+    (the included x100 spam class proves robustness inside the card);
+    vocab types positive and types_per_doc the exact division."""
+    from pyspark.sql import functions as F2
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dataset_card"][0](spark, sf).collect()
+    assert len(rows) == 20
+    raw = {r["source"]: r["m"] for r in (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("source",
+                F2.when(F2.expr("(doc_id div 20) % 17 = 0"),
+                        F2.col("n_chars") * 100)
+                .otherwise(F2.col("n_chars")).alias("len"))
+        .groupBy("source").agg(F2.avg("len").alias("m")).collect())}
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert r["dup_share_e6"] == (
+            (r["n_docs"] - r["n_kept"]) * 1_000_000 // r["n_docs"])
+        assert raw[r["source"]] * 1_000_000 > 2 * r["trimmed_len_e6"]
+        assert r["vocab_types"] > 0
+        assert r["types_per_doc_e3"] == (
+            r["vocab_types"] * 1000 // r["n_docs"])
