@@ -265,6 +265,9 @@ HEADLINE = [
     "robots_sitemaps",
     # r5 thirty-ninth arc: the documents-side dataset-card capstone
     "dataset_card",
+    # r5 fortieth arc: lang confusion + byte-weighted median
+    "lang_confusion",
+    "weighted_len_median",
 ]
 
 # queries whose result is row-sized (not an aggregate) → noop-write

@@ -422,6 +422,15 @@ def __getattr__(name):
             "logparser_llm_spark.operators.frontier",
             "sitemap_directives",
         ),
+        # round-5 fortieth arc: confusion scorecard + weighted median
+        "confusion_scorecard": (
+            "logparser_llm_spark.operators.evaluation",
+            "confusion_scorecard",
+        ),
+        "weighted_lower_median": (
+            "logparser_llm_spark.operators.robust",
+            "weighted_lower_median",
+        ),
     }
     if name in api:
         import importlib

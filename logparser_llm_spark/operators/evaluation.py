@@ -503,3 +503,103 @@ def cohens_kappa_sql(
                end::BIGINT as kappa_e6
         from _ck_n n left join _ck_pe p on p.g = n.g
     """
+
+
+# --- multi-class confusion scorecard -----------------------------------------
+
+
+def confusion_scorecard(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class confusion scorecard for a multi-class classifier —
+    the piece the eval family (PR curve, ROC-AUC, calibration, kappa)
+    was missing: for every TRUE class, support, predicted count, tp,
+    and exact-integer precision/recall/F1. The F1 law is the exact
+    rational ``2·tp / (n_true + n_pred)`` (algebraically equal to the
+    harmonic mean — no nested divisions, ONE e6 quantization).
+    Classes that are predicted but never true still surface (support
+    0, recall NULL); classes never predicted get precision NULL —
+    undefined is NULL, not 0. NULL labels count as the literal '∅'
+    class (the kappa convention).
+
+    Scale shape: ONE (truth, pred) partial-agg count; every statistic
+    derives from that small matrix frame (two partial re-aggs + one
+    full-outer class join). Output: (class, n_true, n_pred, tp,
+    precision_e6, recall_e6, f1_e6)."""
+    t = F.coalesce(F.col(truth_col).cast("string"), F.lit("∅"))
+    p = F.coalesce(F.col(pred_col).cast("string"), F.lit("∅"))
+    cnt = df.select(t.alias("t"), p.alias("p")).groupBy("t", "p").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_t = cnt.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("c").alias("n_true"),
+        F.sum(F.when(F.col("p") == F.col("t"), F.col("c"))
+              .otherwise(0)).alias("tp"),
+    )
+    per_p = cnt.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("c").alias("n_pred")
+    )
+    out = per_t.join(per_p, "cls", "full_outer").select(
+        "cls",
+        F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+    )
+    return out.select(
+        F.col("cls").alias("class"),
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("tp * 1000000 div n_pred"))
+        .alias("precision_e6"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("tp * 1000000 div n_true"))
+        .alias("recall_e6"),
+        F.when(
+            F.col("n_true") + F.col("n_pred") == 0,
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.expr("2 * tp * 1000000 div (n_true + n_pred)"))
+        .alias("f1_e6"),
+    )
+
+
+def confusion_scorecard_sql(
+    *, rel: str, truth_col: str, pred_col: str
+) -> str:
+    """DuckDB recompute of :func:`confusion_scorecard` — same matrix
+    algebra, same NULL-for-undefined rules, generated here so the two
+    spellings cannot drift."""
+    return f"""
+        with _cs_c as (
+          select coalesce(cast({truth_col} as varchar), '∅') as t,
+                 coalesce(cast({pred_col} as varchar), '∅') as p,
+                 count(*)::BIGINT as c
+          from {rel} group by 1, 2
+        ),
+        _cs_t as (
+          select t as cls, sum(c)::BIGINT as n_true,
+                 sum(case when p = t then c else 0 end)::BIGINT as tp
+          from _cs_c group by 1
+        ),
+        _cs_p as (select p as cls, sum(c)::BIGINT as n_pred
+                  from _cs_c group by 1)
+        select coalesce(t.cls, p.cls) as class,
+               coalesce(t.n_true, 0)::BIGINT as n_true,
+               coalesce(p.n_pred, 0)::BIGINT as n_pred,
+               coalesce(t.tp, 0)::BIGINT as tp,
+               case when coalesce(p.n_pred, 0) = 0 then NULL
+                    else coalesce(t.tp, 0) * 1000000
+                         // p.n_pred end::BIGINT as precision_e6,
+               case when coalesce(t.n_true, 0) = 0 then NULL
+                    else coalesce(t.tp, 0) * 1000000
+                         // t.n_true end::BIGINT as recall_e6,
+               case when coalesce(t.n_true, 0) + coalesce(p.n_pred, 0)
+                      = 0 then NULL
+                    else 2 * coalesce(t.tp, 0) * 1000000
+                         // (coalesce(t.n_true, 0)
+                             + coalesce(p.n_pred, 0))
+               end::BIGINT as f1_e6
+        from _cs_t t full outer join _cs_p p on p.cls = t.cls
+    """

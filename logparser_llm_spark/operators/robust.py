@@ -424,3 +424,73 @@ def trimmed_mean_sql(
                end::BIGINT as mean_e6
         from _tm_agg
     """
+
+
+# --- weighted lower median ---------------------------------------------------
+
+
+def weighted_lower_median(
+    df: DataFrame, group_col: str, val_col: str, weight_col: str,
+    *, alias: str = "wmed"
+) -> DataFrame:
+    """Per-group weight-lower median of an integer column: the
+    smallest value v with ``2·cumweight(v) ≥ total_weight`` — the
+    size-weighted location a curator wants when documents are not
+    equal ("the median BYTE lives in a doc of this length", not "the
+    median doc has this length"; on a heavy-tailed corpus the two
+    differ wildly). Degrades exactly to :func:`group_lower_median`
+    under unit weights (tested). Weights must be non-negative
+    bigints; zero-weight rows carry no mass (a group with only
+    zero-weight rows emits no row — it has no weighted median, and
+    the absence is the honest answer). Same histogram-CDF law as the
+    whole robust family: one (group, value) weight-sum partial agg,
+    two partition-parallel windows over distinct values, never a
+    per-row rank."""
+    w = F.col(weight_col).cast("bigint")
+    guarded = F.when(
+        F.assert_true(
+            w >= 0, F.lit("weighted_lower_median requires weights >= 0")
+        ).isNull(),
+        w,
+    )
+    hist = df.groupBy(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v")
+    ).agg(F.sum(guarded).alias("wc"))
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("g")
+    return (
+        hist.select(
+            "g", "v",
+            F.sum("wc").over(cum).alias("cw"),
+            F.sum("wc").over(tot).alias("tw"),
+        )
+        .where((F.col("tw") > 0) & (F.col("cw") * 2 >= F.col("tw")))
+        .groupBy(F.col("g").alias(group_col))
+        .agg(F.min("v").alias(alias))
+    )
+
+
+def weighted_lower_median_sql(
+    *, rel: str, group_col: str, val_col: str, weight_col: str,
+    alias: str = "wmed"
+) -> str:
+    """DuckDB recompute of :func:`weighted_lower_median` — same
+    histogram law, generated here so the two spellings cannot
+    drift."""
+    return f"""
+        select {group_col}, min(v) as {alias} from (
+          select {group_col} as {group_col}, v,
+                 sum(wc) over (partition by {group_col} order by v
+                   rows between unbounded preceding and current row
+                 ) as cw,
+                 sum(wc) over (partition by {group_col}) as tw
+          from (
+            select {group_col}, {val_col} as v,
+                   sum(cast({weight_col} as bigint))::BIGINT as wc
+            from {rel} group by 1, 2
+          )
+        ) where tw > 0 and cw * 2 >= tw
+        group by 1
+    """

@@ -2054,7 +2054,11 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_quality_sql(sf: str) -> str:
+def _lang_id_sql_parts() -> tuple[dict, str]:
+    """The DuckDB rendering of functions/text.py:lang_id over a token
+    array column ``tk`` — ONE definition shared by q_lang_quality_sql
+    and q_lang_confusion_sql so the spellings cannot drift. Returns
+    (per-language hit exprs, the language-id CASE expression)."""
     langs = sorted(STOPWORDS)
     hit_exprs = {
         lg: (
@@ -2068,6 +2072,11 @@ def q_lang_quality_sql(sf: str) -> str:
     for lg in langs:
         lid_case += f"when {best} > 0 and {hit_exprs[lg]} = {best} then '{lg}' "
     lid_case += "else 'und' end"
+    return hit_exprs, lid_case
+
+
+def q_lang_quality_sql(sf: str) -> str:
+    hit_exprs, lid_case = _lang_id_sql_parts()
     en_hits = hit_exprs["en"]
     return f"""
         with toks as (
@@ -9113,6 +9122,98 @@ def q_dataset_card_sql(sf: str) -> str:
     """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion scorecard (operators/evaluation.py:
+    confusion_scorecard) of the stopword lang_id heuristic against
+    the corpus lang labels — per class: support, predicted count, tp,
+    and exact-integer precision/recall/F1 (the 2tp/(n_true+n_pred)
+    rational law). The 'und' class (no stopword hits anywhere) is a
+    predicted-but-never-true class whose recall is honestly NULL.
+    One (truth, pred) count; every statistic from that small matrix."""
+    from ..operators.evaluation import confusion_scorecard
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("lang"), lang_id(F.col("text")).alias("pred")
+    )
+    return confusion_scorecard(d, "lang", "pred")
+
+
+def q_lang_confusion_sql(sf: str) -> str:
+    from ..operators.evaluation import confusion_scorecard_sql
+
+    _, lid_case = _lang_id_sql_parts()
+    staged = f"""
+        select lang, {lid_case} as pred from (
+          select lang, {TOKENS_SQL.format(c='text')} as tk
+          from documents
+        )
+    """
+    return confusion_scorecard_sql(
+        rel=f"({staged})", truth_col="lang", pred_col="pred"
+    )
+
+
+def q_weighted_len_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-median vs BYTE-median length per source (operators/
+    robust.py:weighted_lower_median, weight = the length itself):
+    on the staged heavy tail (×100 spam class on page-index ≡ 0 mod
+    17) the two answers diverge decidably — the byte-weighted median
+    JUMPS to the spam lengths (most BYTES live in blobs) while the
+    doc median barely moves. Exactly the statistic that tells a
+    curator 'your corpus is fine by doc count and dominated by spam
+    by volume'. Same histogram-CDF law as the robust family."""
+    from ..operators.robust import (
+        group_lower_median,
+        weighted_lower_median,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.when(
+            F.expr("(doc_id div 20) % 17 = 0"), F.col("n_chars") * 100
+        )
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+        .alias("len"),
+    )
+    med = group_lower_median(d, "source", "len", alias="doc_median")
+    wmed = weighted_lower_median(
+        d, "source", "len", "len", alias="byte_median"
+    )
+    return med.join(wmed, "source")
+
+
+def q_weighted_len_median_sql(sf: str) -> str:
+    from ..operators.robust import weighted_lower_median_sql
+
+    staged = """
+        select source,
+               cast(case when (doc_id // 20) % 17 = 0 then n_chars * 100
+                         else n_chars end as bigint) as len
+        from documents
+    """
+    wm = weighted_lower_median_sql(
+        rel=f"({staged})", group_col="source", val_col="len",
+        weight_col="len", alias="byte_median",
+    )
+    return f"""
+        with _wl_base as ({staged}),
+        _wl_med as (
+          select source, min(len) as doc_median from (
+            select source, len,
+                   sum(c) over (partition by source order by len
+                     rows between unbounded preceding and current row
+                   ) as cum,
+                   sum(c) over (partition by source) as n
+            from (select source, len, count(*)::BIGINT as c
+                  from _wl_base group by 1, 2)
+          ) where cum * 2 >= n group by 1
+        )
+        select m.source, m.doc_median, w.byte_median
+        from _wl_med m join ({wm}) w on w.source = m.source
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9511,6 +9612,10 @@ QUERIES: dict[str, tuple] = {
     "robots_sitemaps": (q_robots_sitemaps, q_robots_sitemaps_sql),
     # r5 (thirty-ninth arc): the documents-side dataset-card capstone
     "dataset_card": (q_dataset_card, q_dataset_card_sql),
+    # r5 (fortieth arc): multi-class confusion scorecard for lang_id
+    "lang_confusion": (q_lang_confusion, q_lang_confusion_sql),
+    # r5 (fortieth arc): doc-median vs byte-median length per source
+    "weighted_len_median": (q_weighted_len_median, q_weighted_len_median_sql),
 }
 
 

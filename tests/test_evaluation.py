@@ -275,3 +275,38 @@ def test_cohens_kappa_partition_invariance_and_plan(spark):
     facts = plan_facts(cohens_kappa(df, "g", "a", "b"))
     assert facts["partial_aggregate"]
     assert not facts["python_udf"] and not facts["map_in_pandas"]
+
+
+# --- confusion_scorecard -----------------------------------------------------
+
+
+def test_confusion_scorecard_matrix_laws_and_duckdb(spark):
+    """tp, supports and predicted counts follow the matrix exactly;
+    F1 is the exact 2tp/(n_true+n_pred) rational; predicted-only
+    classes carry NULL recall, never-predicted classes NULL
+    precision; NULL labels are the '∅' class; DuckDB parity."""
+    import duckdb
+
+    from logparser_llm_spark.operators.evaluation import (
+        confusion_scorecard,
+        confusion_scorecard_sql,
+    )
+
+    rows = ([("en", "en")] * 40 + [("en", "de")] * 10
+            + [("de", "de")] * 20 + [("de", "en")] * 5
+            + [("zh", "zh")] * 3 + [(None, "en")] * 2
+            + [("fr", "ghost")] * 4)
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = sorted(map(tuple, confusion_scorecard(df, "t", "p").collect()))
+    con = duckdb.connect()
+    con.execute("create table t (t varchar, p varchar)")
+    con.executemany("insert into t values (?,?)", rows)
+    want = sorted(map(tuple, con.execute(confusion_scorecard_sql(
+        rel="t", truth_col="t", pred_col="p")).fetchall()))
+    assert got == want
+    d = {r[0]: r for r in got}
+    assert d["en"][1:4] == (50, 47, 40)
+    assert d["en"][6] == 2 * 40 * 1_000_000 // 97
+    assert d["ghost"][1:4] == (0, 4, 0) and d["ghost"][5] is None
+    assert d["fr"][2] == 0 and d["fr"][4] is None
+    assert d["∅"][1] == 2

@@ -348,3 +348,46 @@ def test_trimmed_mean_resists_staged_spam_in_query(spark):
            d.groupBy("source").agg(F2.avg("len").alias("m")).collect()}
     for src, tm in trimmed.items():
         assert raw[src] * 1_000_000 > 2 * tm, src  # raw mean at least 2x
+
+
+# --- weighted_lower_median ---------------------------------------------------
+
+
+def test_weighted_lower_median_laws(spark):
+    """Mass concentrates where the weight says; unit weights degrade
+    exactly to the lower median; all-zero-weight groups emit no row;
+    negative weights raise via the woven assert; the registered query
+    shows the doc-vs-byte median divergence on the spam tail."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    import pytest as _pytest
+
+    from logparser_llm_spark.operators.robust import (
+        group_lower_median,
+        weighted_lower_median,
+    )
+
+    rows = [("g", 10, 1), ("g", 20, 5), ("g", 30, 1),
+            ("h", 1, 0), ("h", 9, 0), ("z", 5, 2)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = sorted(map(tuple,
+                     weighted_lower_median(df, "g", "v", "w").collect()))
+    assert got == [("g", 20), ("z", 5)]
+    u = spark.createDataFrame(
+        [("a", v, 1) for v in (1, 2, 3, 4)], "g string, v long, w long")
+    assert weighted_lower_median(u, "g", "v", "w").collect()[0]["wmed"] \
+        == group_lower_median(u, "g", "v").collect()[0]["med"] == 2
+    neg = spark.createDataFrame([("a", 1, -1)], "g string, v long, w long")
+    with _pytest.raises(SparkRuntimeException, match="weights"):
+        weighted_lower_median(neg, "g", "v", "w").collect()
+
+    from logparser_llm_spark.plans.queries import QUERIES
+
+    rows2 = QUERIES["weighted_len_median"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows2) == 20
+    for r in rows2:
+        assert r["byte_median"] >= r["doc_median"]
+    # the spam tail must drag the byte median far above on most hosts
+    assert sum(1 for r in rows2
+               if r["byte_median"] > 5 * r["doc_median"]) >= 10
