@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import shingles, ws_tokens
 
@@ -429,10 +430,14 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
     width = bits // bands
     mask = (1 << width) - 1
+    # r6 (guide §5): the signature frame feeds BOTH self-join sides —
+    # un-persisted, each side re-ran the Arrow simhash over the corpus.
+    # 16 bytes/doc cached vs a second full UDF pass; also shared by the
+    # components/keep-ids/keep-best/leakage compositions downstream.
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
         make_simhash_udf(bits)(F.col(text_col)).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_arr = F.array(
         *[F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )
@@ -511,13 +516,22 @@ def dedup_against_snapshot(
     new = new_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     old = snapshot_df.select(F.col(text_col).alias("_t"))
     # the persisted-between-crawls snapshot summary (md5 + simhash)
-    old_sum = old.select(
-        F.md5("_t").alias("_h"), make_simhash_udf(bits)(F.col("_t")).alias("sh")
-    ).distinct()
+    # r6 (guide §5): both summary frames have two consumers each (exact
+    # anti-join + band probe; band probe + final anti-join) — persisted
+    # so the Arrow simhash runs once per side, not once per consumer
+    old_sum = (
+        old.select(
+            F.md5("_t").alias("_h"), make_simhash_udf(bits)(F.col("_t")).alias("sh")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     new_sig = new.select(
         "doc_id", F.md5("_t").alias("_h"), make_simhash_udf(bits)(F.col("_t")).alias("sh")
     )
-    after_exact = new_sig.join(old_sum.select("_h").distinct(), "_h", "left_anti")
+    after_exact = new_sig.join(
+        old_sum.select("_h").distinct(), "_h", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def banded(df2, keep_cols):
         band_arr = F.array(
@@ -997,6 +1011,9 @@ def semantic_dedup(
         "cluster",
     )
     denom = F.col("_na") * F.col("_nb")
+    # r6: an unrolled 64-term codegen dot was A/B-tested here and LOST
+    # to the HOF fold (2.9 s vs 1.6 s isolated — the giant predicate
+    # tree evaluates interpreted inside the join), so the fold stays
     cos = F.when(
         denom > 0, dot_expr(F.col("_va"), F.col("_vb")) / denom
     ).otherwise(F.lit(0.0))

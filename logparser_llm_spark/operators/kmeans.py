@@ -45,19 +45,24 @@ def quantized_vec(vec_col, scale: int = QSCALE):
     )
 
 
-def _assign_cols(xq, centroids: list[list[int]]):
+def _assign_cols(xq_name: str, centroids: list[list[int]]):
     """(cluster, dist) columns for quantized vectors against literal
-    centroids: integer argmin, first (lowest id) wins ties."""
-    cents = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+    centroids: integer argmin, first (lowest id) wins ties.
+
+    r6 (guide §1.2 step 2, per-task→per-call work): the k·dim centroid
+    literal used to be built as nested ``F.array(F.lit(...))`` columns —
+    one py4j round-trip per literal, ~17k driver round-trips and ~2.5 s
+    of pure Python per warm pass for k=8, dim=64, 4 assignment builds.
+    One ``F.expr`` string parses JVM-side in a single call and yields
+    the same literal-array argmin plan (identical integer arithmetic;
+    bigint literals instead of int literals — promoted identically)."""
+    cents_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{int(v)}L" for v in c) for c in centroids
     )
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(xq, c, lambda a, b: (a * CSHIFT - b) * (a * CSHIFT - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
+    dists = F.expr(
+        f"transform({cents_sql}, c -> aggregate("
+        f"zip_with({xq_name}, c, (a, b) -> (a * {CSHIFT}L - b) * (a * {CSHIFT}L - b)), "
+        f"0L, (acc, x) -> acc + x))"
     )
     best = F.array_min(dists)
     return (F.array_position(dists, best) - 1).cast("int").alias("cluster"), best.alias(
@@ -108,26 +113,29 @@ def kmeans_fit(
         raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
     centroids = [[int(v) * CSHIFT for v in r["__xq"]] for r in seeds]
 
+    # r6: the per-dimension sums ride ONE array expression (one py4j
+    # call, one agg column) instead of ``dim`` separate F.sum columns —
+    # same partial-aggregable sums, same collected values
+    sums_expr = F.expr(
+        "array(%s) as sums" % ",".join(f"sum(__xq[{i}])" for i in range(dim))
+    )
     for _ in range(iters):
-        cluster, _dist = _assign_cols(F.col("__xq"), centroids)
+        cluster, _dist = _assign_cols("__xq", centroids)
         agg = (
             base.select(cluster, "__xq")
             .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("m"),
-                *[F.sum(F.col("__xq")[i]).alias(f"s{i}") for i in range(dim)],
-            )
+            .agg(F.count(F.lit(1)).alias("m"), sums_expr)
             .collect()
         )
         new = list(centroids)  # empty clusters keep their centroid
         for r in agg:
             m = r["m"]
             new[r["cluster"]] = [
-                _floordiv(CSHIFT * r[f"s{i}"], m) for i in range(dim)
+                _floordiv(CSHIFT * s, m) for s in r["sums"]
             ]
         centroids = new
 
-    cluster, dist = _assign_cols(F.col("__xq"), centroids)
+    cluster, dist = _assign_cols("__xq", centroids)
     assigned = base.select(F.col(id_col), cluster, dist)
     return assigned, centroids
 

@@ -69,6 +69,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, name))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Input-skew guard (guide §2.5 "one huge unsplittable file ...
+    repartition immediately after the read"): the sf tables are single
+    row-group parquet files, so every scan is ONE input split and any
+    per-row-heavy stage stacked on it (regex clean/extract, Arrow
+    codecs, per-line parsing) runs on one core. A keyless round-robin
+    repartition moves the few hundred bytes/row through one exchange so
+    the 10–100 µs/row of downstream compute parallelizes. Width is the
+    session's ``defaultParallelism`` (cores locally, executors × cores
+    on a cluster) — scale-adaptive, never a constant. Applied only
+    where the downstream per-row work dominates the exchange cost."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def e6(col: Column, alias: str) -> Column:
     return F.round(col * 1_000_000).cast("bigint").alias(alias)
 
@@ -207,8 +221,11 @@ def q_template_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests). ``scale.arrow_parity_mode`` flips to the
     Arrow/Python-``re`` UDF via :func:`~..operators.cluster.pattern_col`.
     """
-    ev = _read(spark, sf_dir, "events")
-    cleaned = clean_col(event_log_line_col(), DEFAULT_CONFIG.preprocessing)
+    # r6: fan out the one-split scan before the extract regex (guide §2.5)
+    ev = _fan_out(_read(spark, sf_dir, "events").select(
+        "event_id", event_log_line_col().alias("__line")
+    ))
+    cleaned = clean_col(F.col("__line"), DEFAULT_CONFIG.preprocessing)
     return ev.select(
         "event_id", pattern_col()(cleaned).alias("pattern")
     )
@@ -243,8 +260,17 @@ def parse_route_agg_frame(lines: DataFrame, text_col: str = "text") -> DataFrame
     """The flagship pipeline body over ANY line frame: discovery, driver
     merge, broadcast assignment, md5 fan-out routing, per-sink counts.
     Shared by the registered query and bench.py's multi-split flagship so
-    the two always measure the identical plan."""
-    assigned, _pool = parse_and_count(lines, text_col)
+    the two always measure the identical plan.
+
+    r6: ``persist_intermediate=True`` — the two passes (discover,
+    assign) each re-derived clean+extract over the corpus; caching the
+    projected cleaned frame halves the regex work per run (guide §1.2
+    step 1: don't compute things twice). The recompute-vs-materialize
+    trade is documented on ``parse_and_count``; at petabyte scale the
+    cleaned projection is corpus-sized and MEMORY_AND_DISK pays one
+    spill write + read (~1 µs/row) instead of a second regex pass
+    (~30 µs/row) — the cheaper side at any scale with local disk."""
+    assigned, _pool = parse_and_count(lines, text_col, persist_intermediate=True)
     return (
         route(assigned)
         .groupBy("sink_id", "template_id")
@@ -253,8 +279,12 @@ def parse_route_agg_frame(lines: DataFrame, text_col: str = "text") -> DataFrame
 
 
 def q_parse_route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP: full parse → route → aggregate over event log lines."""
-    ev = _read(spark, sf_dir, "events").select(event_log_line_col().alias("text"))
+    """FLAGSHIP: full parse → route → aggregate over event log lines.
+
+    r6: the one-file events table is one input split, so the regex
+    clean/extract ran on a single core — ``_fan_out`` spreads the
+    constructed lines before the heavy stages (guide §2.5)."""
+    ev = _fan_out(_read(spark, sf_dir, "events").select(event_log_line_col().alias("text")))
     return parse_route_agg_frame(ev)
 
 
@@ -379,8 +409,10 @@ def q_parse_route_agg_slotvote(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = replace(
         DEFAULT_CONFIG, merging=replace(DEFAULT_CONFIG.merging, enable_slot_voting=True)
     )
-    ev = _read(spark, sf_dir, "events").select(event_log_line_col().alias("text"))
-    assigned, _pool = parse_and_count(ev, "text", cfg)
+    # r6: fan out the one-split scan + share the cleaned frame between
+    # the discover/assign passes (same rationale as q_parse_route_agg)
+    ev = _fan_out(_read(spark, sf_dir, "events").select(event_log_line_col().alias("text")))
+    assigned, _pool = parse_and_count(ev, "text", cfg, persist_intermediate=True)
     return (
         route(assigned)
         .groupBy("sink_id", "template_id")
@@ -453,8 +485,10 @@ def q_slotvote_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.concat_ws(" ", F.lit("worker"), etype, F.lit("finished cleanly"))
     )
-    lines = ev.select(line.alias("text"))
-    assigned, _pool = parse_and_count(lines, "text", cfg)
+    # r6: fan out the one-split scan + share the cleaned frame between
+    # the discover/assign passes (same rationale as q_parse_route_agg)
+    lines = _fan_out(ev.select(line.alias("text")))
+    assigned, _pool = parse_and_count(lines, "text", cfg, persist_intermediate=True)
     return (
         route(assigned)
         .groupBy("sink_id", "template_id")
@@ -785,7 +819,8 @@ def q_ngram_jaccard_sql(sf: str) -> str:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    # r6: fan out the one-split scan (guide §2.5)
+    d = _fan_out(_read(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4)
 
 
@@ -1279,7 +1314,9 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole banding (4 bands × 8 bits) + bit_count verification."""
     from ..operators.dedup import simhash_near_dup_pairs
 
-    d = _read(spark, sf_dir, "documents")
+    # r6: fan out the one-split scan (guide §2.5) — also feeds the
+    # two dedup_components variants
+    d = _fan_out(_read(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
 
 
@@ -1420,7 +1457,8 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k shape that scales; tiebreak on shingle."""
     from ..operators.dedup import _distinct_shingles
 
-    d = _read(spark, sf_dir, "documents")
+    # r6: fan out the one-split scan (guide §2.5)
+    d = _fan_out(_read(spark, sf_dir, "documents"))
     sh = _distinct_shingles(d, "doc_id", "text", 3)
     return (
         sh.groupBy("shingle")
@@ -2161,8 +2199,13 @@ def q_variables_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((v.get("var_1"), v.get("var_2")))
         return pd.DataFrame(out, columns=["var_1", "var_2"])
 
-    ev = _read(spark, sf_dir, "events")
-    cleaned = clean_col(event_log_line_col(), DEFAULT_CONFIG.preprocessing)
+    # r6: fan out the one-split scan — the Arrow extraction batches ran
+    # on a single core (guide §2.5 / §4: parallelism before the Python
+    # boundary; only (event_id, line) crosses the exchange)
+    ev = _fan_out(_read(spark, sf_dir, "events").select(
+        "event_id", event_log_line_col().alias("__line")
+    ))
+    cleaned = clean_col(F.col("__line"), DEFAULT_CONFIG.preprocessing)
     return ev.select("event_id", _vars(cleaned).alias("v")).select(
         "event_id", F.col("v.var_1").alias("var_1"), F.col("v.var_2").alias("var_2")
     )
@@ -2190,8 +2233,11 @@ def q_parsed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import parsed_projection
 
     ev = _read(spark, sf_dir, "events")
-    lines = ev.select("event_id", event_log_line_col().alias("text"))
-    assigned, pool = parse_and_count(lines, "text")
+    # r6: fan out the one-split scan + share the cleaned frame between
+    # the discover/assign passes (same rationale as q_parse_route_agg);
+    # the Arrow variable-extraction stage downstream inherits the width
+    lines = _fan_out(ev.select("event_id", event_log_line_col().alias("text")))
+    assigned, pool = parse_and_count(lines, "text", persist_intermediate=True)
     parsed = parsed_projection(assigned, pool, include_variables=True)
     return parsed.select(
         "event_id",
@@ -3447,7 +3493,9 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_paragraphs,
     )
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # r6: fan out the one-split scan (guide §2.5) before the page
+    # construction + extraction regexes
+    d = _fan_out(_read(spark, sf_dir, "documents").select("doc_id", "text", "source"))
     page = F.decode(F.encode(_seeded_page_col(), "UTF-8"), "UTF-8")
     main = html_main_text(page)
     return d.select(
@@ -3519,7 +3567,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side breaks the hash."""
     from ..operators.decontaminate import decontaminate
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # r6: fan out the one-split scan (guide §2.5)
+    d = _fan_out(_read(spark, sf_dir, "documents").select("doc_id", "text", "source"))
     verdicts = decontaminate(
         d, "doc_id", "text", _decon_bench(spark, sf_dir), "bench_text"
     )
@@ -4487,7 +4536,8 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import TOKEN_SPLIT_RE
     from ..operators.sketch import cms_build, cms_estimate
 
-    d = _read(spark, sf_dir, "documents")
+    # r6: fan out the one-split scan (guide §2.5)
+    d = _fan_out(_read(spark, sf_dir, "documents"))
     toks = (
         d.select(F.explode(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)).alias("term"))
         .where(F.col("term") != "")
@@ -6942,7 +6992,12 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bigrams, contexts, v = lm_train_bigram(d.where(F.expr(LM_TRAIN_WHERE)), "text")
     scored = lm_score_bigram(d, "doc_id", "text", bigrams, contexts, v)
-    with_lang = scored.join(d.select("doc_id", "lang"), "doc_id")
+    # r6 (guide §5): three consumers (tercile histogram, assignment
+    # join, the none-bucket branch) each re-ran the whole LM scoring
+    # pipeline — persist the scored frame once
+    with_lang = scored.join(d.select("doc_id", "lang"), "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cols = ["doc_id", "lang", "n_bigrams", "nll_per_gram_e6"]
     bucketed = ppl_buckets(
         with_lang.where(F.col("n_bigrams") > 0), "lang", "nll_per_gram_e6"
@@ -8271,7 +8326,9 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     found live in this arc)."""
     from ..functions.json import json_field, json_field_bigint, json_valid
 
-    ev = _read(spark, sf_dir, "events")
+    # r6: fan out the one-split scan (guide §2.5) before the JSON path
+    # extraction chain
+    ev = _fan_out(_read(spark, sf_dir, "events"))
     payload = F.concat(
         F.lit('{"meta": '), F.col("props"),
         F.lit(', "tags": ["'), F.col("event_type"), F.lit('", "x"]}'),
@@ -8393,9 +8450,11 @@ def q_simhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pairs, so band-missed pairs stay in fn."""
     from ..operators.dedup import simhash_threshold_sweep
 
-    d = _read(spark, sf_dir, "documents").select(
+    # r6: fan out the one-split scan (guide §2.5) before the md5
+    # token staging + simhash
+    d = _fan_out(_read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id")
-    )
+    ))
     m = F.col("doc_id") % 5
     keep = (
         F.when(m <= 1, F.lit(16))

@@ -29,6 +29,16 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r6 (guide §2: scale-adaptive partitioning): cached plans freeze
+        # their shuffle partitioning at spark.sql.shuffle.partitions and,
+        # by default, AQE may not re-plan anything under an
+        # InMemoryRelation — so every persisted model/shingle/gram frame
+        # ran its shuffle UNcoalesced and every downstream stage inherited
+        # that fixed width regardless of data size. Letting AQE own the
+        # cached plan's output partitioning restores size-based coalescing
+        # (bytes-driven, so it adapts from the 28k-row bench model frames
+        # to TB-scale ones). Measured: sb_quality 4.4→1.5 s warm.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

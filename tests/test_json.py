@@ -105,13 +105,22 @@ def test_props_extract_query_classes(spark):
 
 
 def test_json_extraction_stays_jvm_codegen(spark):
-    """The hot path must be pure JVM — no Python workers, no
-    exchanges for the per-row extraction."""
+    """The hot path must be pure JVM — no Python workers; the single
+    allowed exchange is the explicit r6 fan-out of the one-file sf
+    table (a real corpus's input splits make it unnecessary — the
+    gopher_repetition gate precedent), never a shuffle of the
+    extraction itself."""
     from logparser_llm_spark.plans.inspect import plan_facts
     from logparser_llm_spark.plans.queries import QUERIES
 
     out = QUERIES["props_extract"][0](spark, "/root/testdata/sf0.001")
     facts = plan_facts(out)
-    assert facts["exchanges"] == 0
+    assert facts["exchanges"] <= 1
     assert not facts["python_udf"] and not facts["map_in_pandas"]
-    assert facts["whole_stage_codegen"]
+    # with the fan-out exchange the pre-execution explain is an
+    # unresolved AdaptiveSparkPlan (codegen markers appear only per
+    # materialized stage) — assert codegen on the EXECUTED plan
+    out.collect()  # drives THIS DataFrame's queryExecution to the final plan
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in executed or "*(" in executed
+    assert "BatchEvalPython" not in executed and "ArrowEvalPython" not in executed
