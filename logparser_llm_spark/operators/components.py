@@ -124,13 +124,20 @@ def connected_components(
     labels are never returned; raise ``max_iter`` or switch to the
     log-rounds star contraction for pathological chains."""
     canon = _canonical_pairs(pairs, id_a, id_b)
-    if canon.count() <= local_max_edges:
+    # r6 (one action instead of two): ``take(bound+1)`` both DECIDES the
+    # gate (≤ bound rows returned ⟺ the whole edge list fits) and, when
+    # it fits, already IS the edge list — the previous count()+collect()
+    # pair materialized the (possibly expensive) pair mining in one job
+    # and re-read it in a second. Over the bound, take stops early and
+    # the distributed loop proceeds as before.
+    head = canon.take(local_max_edges + 1) if local_max_edges >= 0 else []
+    if local_max_edges >= 0 and len(head) <= local_max_edges:
         # Kiveris-style local finish: the distinct undirected pair list
         # fits the driver bound → one collect + union-find instead of
         # O(rounds) tiny Spark jobs. Same contract, exact, deterministic.
         return _finish_local(
             canon.sparkSession,
-            [(r["u"], r["v"]) for r in canon.collect()],
+            [(r["u"], r["v"]) for r in head],
             canon.schema["u"].dataType.simpleString(),
         )
     edges = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -272,12 +279,15 @@ def connected_components_star(
     # and is the shared local-finish gate quantity (same knob semantics
     # as connected_components)
     canon = _canonical_pairs(pairs, id_a, id_b)
-    if canon.count() <= local_max_edges:
+    # r6: same one-action gate as connected_components — take(bound+1)
+    # decides AND delivers the edge list when it fits
+    head = canon.take(local_max_edges + 1) if local_max_edges >= 0 else []
+    if local_max_edges >= 0 and len(head) <= local_max_edges:
         # Kiveris-style local finish (the paper's own last step):
         # self-pairs included, honoring the (k, k) node contract
         return _finish_local(
             canon.sparkSession,
-            [(r["u"], r["v"]) for r in canon.collect()],
+            [(r["u"], r["v"]) for r in head],
             canon.schema["u"].dataType.simpleString(),
         )
     # every participating node INCLUDING self-pair-only nodes — min-label

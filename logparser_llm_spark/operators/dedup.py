@@ -363,29 +363,46 @@ def make_simhash_udf(bits: int = 32):
 
         import numpy as np
 
-        memo: dict[str, "np.ndarray"] = {}
-
-        def token_bits(tok: str) -> "np.ndarray":
-            v = memo.get(tok)
-            if v is None:
-                h = int(_hl.md5(tok.encode()).hexdigest()[:8], 16)
-                v = np.array([1 if (h >> b) & 1 else -1 for b in range(bits)], dtype=np.int32)
-                memo[tok] = v
-            return v
-
-        out = np.zeros(len(text), dtype=np.int64)
-        weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+        # r6 (guide §4.2): the old per-doc loop paid one numpy vector add
+        # PER TOKEN (~2 µs each); this form only appends ints in the
+        # Python loop and does ALL vote accumulation as one scatter-add,
+        # with md5 computed once per UNIQUE token. Semantics unchanged
+        # (same md5-derived ±1 votes, same ≥0 rule, empty docs → 0) —
+        # equality with simhash_col stays asserted in tests.
+        n = len(text)
+        out = np.zeros(n, dtype=np.int64)
+        vocab: dict[str, int] = {}
+        row_ix: list[int] = []
+        tok_ix: list[int] = []
         for i, t in enumerate(text):
             # strip SPACES only: JVM ws_tokens uses F.trim, which removes
             # ASCII spaces but not tabs/newlines — Python's bare strip()
             # would diverge on whitespace-varied text
-            toks = [x for x in (t or "").strip(" ").split(" ") if x]
-            if not toks:
-                continue
-            votes = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                votes += token_bits(tok)
-            out[i] = int(weights[votes >= 0].sum())
+            for tok in (t or "").strip(" ").split(" "):
+                if tok:
+                    j = vocab.get(tok)
+                    if j is None:
+                        j = len(vocab)
+                        vocab[tok] = j
+                    row_ix.append(i)
+                    tok_ix.append(j)
+        if not vocab:
+            return pd.Series(out)
+        hs = np.fromiter(
+            (int(_hl.md5(tok.encode()).hexdigest()[:8], 16) for tok in vocab),
+            dtype=np.int64,
+            count=len(vocab),
+        )
+        tok_bits = (
+            ((hs[:, None] >> np.arange(bits, dtype=np.int64)) & 1) * 2 - 1
+        )  # (vocab, bits) of ±1
+        votes = np.zeros((n, bits), dtype=np.int64)
+        np.add.at(votes, np.asarray(row_ix), tok_bits[np.asarray(tok_ix)])
+        weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+        nonempty = np.zeros(n, dtype=bool)
+        nonempty[row_ix] = True
+        vals = (votes >= 0) @ weights
+        out[nonempty] = vals[nonempty]
         return pd.Series(out)
 
     return _simhash
@@ -981,48 +998,55 @@ def semantic_dedup(
     assigned, _cents = kmeans_fit(
         df.select(id_col, vec_col), id_col, vec_col, k=k, dim=dim, iters=iters
     )
-    # three consumers (both pairwise sides + the verdict join) — persist
-    # so the assignment join runs once, not once per consumer, and the
-    # k×dim literal argmin codegens once. Norms precompute PER ROW: the
-    # pairwise predicate then pays one dot fold instead of three
-    # (higher-order array folds are interpreted, not codegen'd — at
-    # Σ cell² pairs the norm refolds were 2/3 of the stage). Same float
-    # ops on the same inputs, so the e6 verdict is unchanged.
+    # two consumers (the per-cell pairwise verdict + the final join) —
+    # persist so the assignment join runs once, not once per consumer.
     from pyspark.storagelevel import StorageLevel
-
-    from .similarity import dot_expr, norm_expr
 
     w = (
         df.select(id_col, vec_col)
         .join(assigned.select(id_col, "cluster"), id_col)
-        .withColumn("_nrm", norm_expr(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = w.select(
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("_nrm").alias("_na"),
-        "cluster",
-    )
-    b = w.select(
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nb"),
-        "cluster",
-    )
-    denom = F.col("_na") * F.col("_nb")
-    # r6: an unrolled 64-term codegen dot was A/B-tested here and LOST
-    # to the HOF fold (2.9 s vs 1.6 s isolated — the giant predicate
-    # tree evaluates interpreted inside the join), so the fold stays
-    cos = F.when(
-        denom > 0, dot_expr(F.col("_va"), F.col("_vb")) / denom
-    ).otherwise(F.lit(0.0))
+    # r6 (guide §4.2 "do the heavy lifting in native code"): the
+    # previous formulation self-joined the cell on its id and evaluated
+    # one interpreted higher-order dot fold PER PAIR (~4.6 µs/pair
+    # measured; an unrolled codegen dot was also A/B-tested and lost —
+    # the giant expression tree still evaluates interpreted inside the
+    # join). A cell is one group either way (the join key was the cell
+    # id, so no partitioning could spread one cell's Σ cell² work), so
+    # hand the WHOLE cell to numpy as one Arrow batch and do the
+    # pairwise cosines as a single GEMM — the shape SemDeDup itself
+    # ships. Distribution granularity, memory bound (O(cell²) per
+    # task), and the verdict rule (dup ⟺ some lower-id cellmate at
+    # round(cos·1e6) ≥ τ_e6, HALF_UP like Spark's round) are identical;
+    # float sums differ only in association order, which cannot flip a
+    # verdict unless a pair's cosine sits within ~1e-6 of the threshold
+    # (the documented contract above).
+    _id_t = dict(zip(w.columns, (f.dataType.simpleString() for f in w.schema)))[
+        id_col
+    ]
+
+    def _cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        G = V @ V.T
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, G / denom, 0.0)
+        # Spark ROUND is HALF_UP (away from zero); np.round is banker's
+        ce6 = np.sign(cos) * np.floor(np.abs(cos) * 1_000_000 + 0.5)
+        hit = np.triu(ce6 >= tau_e6, k=1)  # strictly i<j in id order
+        return pd.DataFrame({id_col: ids_s[hit.any(axis=0)]})
+
     dup_ids = (
-        a.join(b, "cluster")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(F.round(cos * 1_000_000).cast("bigint") >= tau_e6)
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+        w.select(id_col, vec_col, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_cell_dups, schema=f"{id_col} {_id_t}")
         .withColumn("_dup", F.lit(True))
     )
     return w.join(dup_ids, id_col, "left").select(

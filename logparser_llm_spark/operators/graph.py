@@ -433,6 +433,22 @@ def hits_integer(
         raise ValueError("scale must be >= 1")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # r6 (guide §2.4 "remove shuffles outright"): each iteration joins the
+    # edge list on src (auth step) and on dst (hub step). Un-partitioned,
+    # BOTH sides of every join shuffle — 2·iterations full edge shuffles.
+    # Persisting one src-hashed and one dst-hashed copy establishes each
+    # partitioning once; every round's join then only exchanges the tiny
+    # (node, s) score frame. Same rows, bit-exact integer output.
+    e_src = (
+        e.repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e_dst = (
+        e.repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -462,13 +478,13 @@ def hits_integer(
     auth = None
     for _ in range(iterations):
         auth = _normalize(
-            e.join(hub, e["src"] == hub["node"])
-            .groupBy(e["dst"].alias("node"))
+            e_src.join(hub, e_src["src"] == hub["node"])
+            .groupBy(e_src["dst"].alias("node"))
             .agg(F.sum("s").alias("s"))
         ).localCheckpoint(eager=False)
         hub = _normalize(
-            e.join(auth, e["dst"] == auth["node"])
-            .groupBy(e["src"].alias("node"))
+            e_dst.join(auth, e_dst["dst"] == auth["node"])
+            .groupBy(e_dst["src"].alias("node"))
             .agg(F.sum("s").alias("s"))
         ).localCheckpoint(eager=False)
     h = hub.select("node", F.col("s").alias("hub"))
