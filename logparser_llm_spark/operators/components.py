@@ -103,8 +103,15 @@ def _finish_local(spark, edge_rows: list, dtype: str) -> DataFrame:
     for u, v in edge_rows:
         union(u, v)
     out = sorted((n, find(n)) for n in parent)
+    # r6: size the slices by the data — the default createDataFrame
+    # parallelizes into defaultParallelism slices, so every downstream
+    # stage over the (small) components frame ran one task per core on
+    # a handful of rows each; ~100k rows/slice keeps the frame 1-few
+    # partitions at the local-finish scale this path is gated to
+    n_slices = max(1, len(out) // 100_000) if out else 1
     return spark.createDataFrame(
-        out, schema=f"node {dtype}, component_id {dtype}"
+        spark.sparkContext.parallelize(out, n_slices),
+        schema=f"node {dtype}, component_id {dtype}",
     )
 
 
