@@ -163,7 +163,12 @@ def nb_predict(
     # the class dim is already on the driver — rebuild it as a local
     # frame so the plan's three consumers (wq, base) don't recompute
     # the label scan + n_c aggregate (review finding: 4 redundant jobs)
-    classes_local = df.sparkSession.createDataFrame(cls_rows, classes.schema)
+    # one slice, not defaultParallelism: the class dim is ≤ MAX_CLASSES
+    # rows, and a core-count-wide local frame makes every stage over it
+    # (broadcast builds included) launch one task per core for nothing
+    classes_local = df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(cls_rows, 1), classes.schema
+    )
     # class dim with prior and the unseen-word baseline, all ln in JVM
     cls = classes_local.select(
         "label",

@@ -215,8 +215,11 @@ def assign_templates(
     spark = df.sparkSession
     # map-side column aliased _map_pattern: a bare 'pattern' would make
     # drop('pattern') also take out an input column of that name
+    # one slice: the map is pool-sized (bounded); a core-count-wide local
+    # frame makes the broadcast build launch one task per core for nothing
     map_df = spark.createDataFrame(
-        list(amap.items()), schema="_map_pattern string, _tid string"
+        spark.sparkContext.parallelize(list(amap.items()), 1),
+        schema="_map_pattern string, _tid string",
     )
 
     cleaned = df if pre_cleaned else cleaned_frame(df, text_col, cfg)
@@ -256,12 +259,16 @@ def assign_templates(
 
 
 def pool_to_df(spark: SparkSession, pool: list[dict]) -> DataFrame:
-    """The template pool as a (broadcastable) dimension DataFrame."""
+    """The template pool as a (broadcastable) dimension DataFrame —
+    one slice (pool-sized, bounded by the discovery cap)."""
     return spark.createDataFrame(
-        [
-            (t["template_id"], t["pattern"], int(t.get("count", 0)), float(t.get("confidence", 0.9)))
-            for t in pool
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (t["template_id"], t["pattern"], int(t.get("count", 0)), float(t.get("confidence", 0.9)))
+                for t in pool
+            ],
+            1,
+        ),
         schema="template_id string, pattern string, discovery_count bigint, confidence double",
     )
 

@@ -1601,7 +1601,8 @@ def simhash_threshold_sweep(
     )
     spark = df.sparkSession
     grid = spark.createDataFrame(
-        [(t,) for t in range(max_hamming + 1)], "t bigint"
+        spark.sparkContext.parallelize([(t,) for t in range(max_hamming + 1)], 1),
+        "t bigint",
     )
     total_true = (
         fam.where(F.col("_fam").isNotNull())

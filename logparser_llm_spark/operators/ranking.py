@@ -554,10 +554,13 @@ def retrieval_metrics(
     spark = df.sparkSession
     w = ndcg_weights_e6(k)
     wdim = spark.createDataFrame(
-        [(r + 1, w[r]) for r in range(k)], "rnk bigint, w bigint"
+        spark.sparkContext.parallelize([(r + 1, w[r]) for r in range(k)], 1),
+        "rnk bigint, w bigint",
     )
     pre = [(m, sum(w[:m])) for m in range(1, k + 1)]
-    idim = spark.createDataFrame(pre, "m bigint, idcg bigint")
+    idim = spark.createDataFrame(
+        spark.sparkContext.parallelize(pre, 1), "m bigint, idcg bigint"
+    )
     rnk = F.col(rank_col).cast("bigint")
     base = df.select(
         F.col(query_col).alias("q"),

@@ -205,7 +205,8 @@ def quota_mix(
     ]
     key_type = dict(df.dtypes)[key_col]
     qdf = df.sparkSession.createDataFrame(
-        quotas, schema=f"{key_col} {key_type}, __quota bigint"
+        df.sparkSession.sparkContext.parallelize(quotas, 1),
+        schema=f"{key_col} {key_type}, __quota bigint",
     )
     w = Window.partitionBy(key_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)

@@ -77,11 +77,17 @@ def domain_of(url: Column) -> Column:
 
 
 def lang_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(LANG_DIM, LANG_DIM_SCHEMA)
+    # one slice: a handful of rows; a core-count-wide local frame makes
+    # every broadcast build over it launch one task per core for nothing
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(LANG_DIM, 1), LANG_DIM_SCHEMA
+    )
 
 
 def domain_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DOMAIN_DIM, DOMAIN_DIM_SCHEMA)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(DOMAIN_DIM, 1), DOMAIN_DIM_SCHEMA
+    )
 
 
 def enrich(

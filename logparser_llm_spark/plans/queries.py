@@ -520,7 +520,10 @@ def q_slotvote_routes_sql(sf: str) -> str:
 def q_enrich_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast-join enrichment + per-family counts."""
     d = _read(spark, sf_dir, "documents")
-    dim = spark.createDataFrame(LANG_DIM, "lang string, lang_name string, lang_family string")
+    dim = spark.createDataFrame(
+        spark.sparkContext.parallelize(LANG_DIM, 1),
+        "lang string, lang_name string, lang_family string",
+    )
     return (
         d.join(F.broadcast(dim), "lang", "left")
         .groupBy("lang_family", "lang_name")
@@ -3678,7 +3681,9 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("dist").alias("wcss")
     )
     md5s = spark.createDataFrame(
-        [(i, centroid_md5(c)) for i, c in enumerate(cents)],
+        spark.sparkContext.parallelize(
+            [(i, centroid_md5(c)) for i, c in enumerate(cents)], 1
+        ),
         "cluster int, centroid_md5 string",
     )
     return stats.join(F.broadcast(md5s), "cluster").select(
@@ -4544,7 +4549,10 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cms = cms_build(toks, "term", depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH)
-    probes = spark.createDataFrame([(t,) for t in CMS_PROBE_TERMS], "term string")
+    probes = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in CMS_PROBE_TERMS], 1),
+        "term string",
+    )
     est = cms_estimate(
         cms, probes, "term", depth=CMS_QUERY_DEPTH, width=CMS_QUERY_WIDTH
     )
@@ -5447,7 +5455,8 @@ def q_file_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "v", m_bits=FSI_M_BITS, k=FSI_K, group_cols=("file_id",)
     )
     probes = spark.createDataFrame(
-        [(f"doc-{i}",) for i in FSI_PROBE_IDS], "v string"
+        spark.sparkContext.parallelize([(f"doc-{i}",) for i in FSI_PROBE_IDS], 1),
+        "v string",
     )
     grid = probes.crossJoin(
         F.broadcast(spark.range(FSI_FILES).select(F.col("id").alias("file_id")))
@@ -6258,7 +6267,8 @@ def q_blocklist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     bl = spark.createDataFrame(
-        [(t,) for t in _BLOCKLIST_TERMS], "term string"
+        spark.sparkContext.parallelize([(t,) for t in _BLOCKLIST_TERMS], 1),
+        "term string",
     )
     out = blocklist_join(d, "doc_id", "text", bl)
     return out.select(
