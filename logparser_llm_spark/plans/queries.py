@@ -2624,7 +2624,8 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("bigint").alias("doc_id"),
             _gopher_rep_seed_col().alias("t"),
         )
-        .repartition(32, "doc_id")
+        # r6: session parallelism, not a constant (scale-adaptive width)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return gopher_repetition(d, "doc_id", "t")
 
@@ -2710,7 +2711,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.quality import dup_token_fraction, top_token_fraction
     from ..functions.text import ws_tokens
 
-    d = _read(spark, sf_dir, "documents")
+    # r6: single-consumer per-doc fold chain over the one-split scan —
+    # the _fan_out winning shape (cf. main_content/decontaminate)
+    d = _fan_out(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = ws_tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -9201,7 +9204,9 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     One (truth, pred) count; every statistic from that small matrix."""
     from ..operators.evaluation import confusion_scorecard
 
-    d = _read(spark, sf_dir, "documents").select(
+    # r6: the stopword lang_id scan is the cost (per-doc token-set
+    # intersections) and feeds one map-side-combinable count — fan out
+    d = _fan_out(_read(spark, sf_dir, "documents").select("lang", "text")).select(
         F.col("lang"), lang_id(F.col("text")).alias("pred")
     )
     return confusion_scorecard(d, "lang", "pred")
