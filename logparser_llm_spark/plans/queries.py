@@ -2071,7 +2071,11 @@ def q_image_features_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id")
     )
-    feats = image_features(synth_image_corpus(d, "doc_id"), "doc_id", "img")
+    # r6: persist the synthetic input corpus (the encoder half) so
+    # steady-state passes measure the decode under test (the
+    # audio_decode convention)
+    img_corpus = synth_image_corpus(d, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    feats = image_features(img_corpus, "doc_id", "img")
     return feats.groupBy("format").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         e6(F.avg(F.element_at("feature", 1)), "mean_f0_e6"),
@@ -2855,7 +2859,10 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id")
     )
-    return media_metadata(synth_media_corpus(d, "doc_id"), "doc_id", "media")
+    media_corpus = synth_media_corpus(d, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return media_metadata(media_corpus, "doc_id", "media")
 
 
 def q_media_metadata_sql(sf: str) -> str:
@@ -2919,7 +2926,11 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id")
     )
-    return audio_decode_stats(synth_audio_corpus(d, "doc_id"), "doc_id", "audio")
+    # r6: persist the synthetic INPUT corpus (the encoder half) so the
+    # steady-state passes measure the decode under test, not the input
+    # construction — the ensure_flagship_corpus convention, in-memory
+    corpus = synth_audio_corpus(d, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    return audio_decode_stats(corpus, "doc_id", "audio")
 
 
 def q_audio_decode_sql(sf: str) -> str:
@@ -3815,7 +3826,11 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warc import synth_warc_corpus, warc_records
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    files = synth_warc_corpus(docs, docs_per_file=25)
+    # r6: persist the synthetic WARC files (the writer half) so
+    # steady-state passes measure the reader under test
+    files = synth_warc_corpus(docs, docs_per_file=25).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     recs = warc_records(files).filter(F.col("warc_type") == "response")
     payload = F.decode(F.col("payload"), "UTF-8")
     body = F.regexp_replace(payload, r"(?s)^.*?\r\n\r\n", "")
